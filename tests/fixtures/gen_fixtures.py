@@ -1,0 +1,319 @@
+"""Generate parity fixtures by running the reference (torch, CPU) on random inputs.
+
+Run once offline:  python tests/fixtures/gen_fixtures.py
+Outputs .npz files consumed by the unit tests. The reference tree is only
+EXECUTED here to record expected numerics — no code is copied from it.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+FIXTURES = Path(__file__).parent
+os.environ.setdefault("YOLO_CONFIG_DIR", str(FIXTURES / ".yolo_cfg"))  # keep writes inside repo
+sys.path.insert(0, "/root/reference")
+
+# The reference asks importlib.metadata for a torchvision version at import time
+# (ultralytics/utils/__init__.py:53) but its NMS has an exact pure-torch path
+# (TorchNMS) used whenever torchvision is not imported — fake the metadata only.
+import importlib.metadata  # noqa: E402
+
+_orig_version = importlib.metadata.version
+importlib.metadata.version = lambda name: "0.23.0" if name == "torchvision" else _orig_version(name)
+
+import torch  # noqa: E402
+
+# Minimal torchvision stub for reference model instantiation (the module zoo
+# imports it at module scope; yolov8-class models never call into it).
+import types  # noqa: E402
+
+
+def _make_tv_stub():
+    def _unavailable(*a, **k):
+        raise RuntimeError("torchvision stubbed out for fixture generation")
+
+    tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.23.0"
+    ops = types.ModuleType("torchvision.ops")
+    ops.nms = _unavailable
+    ops.deform_conv2d = _unavailable
+
+    class DeformConv2d(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        forward = staticmethod(_unavailable)
+
+    class StochasticDepth(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        forward = staticmethod(_unavailable)
+
+    ops.DeformConv2d = DeformConv2d
+    ops.StochasticDepth = StochasticDepth
+    deform = types.ModuleType("torchvision.ops.deform_conv")
+    deform.DeformConv2d = DeformConv2d
+    ops.deform_conv = deform
+    transforms = types.ModuleType("torchvision.transforms")
+    transforms.Compose = _unavailable
+    models = types.ModuleType("torchvision.models")
+    tv.ops = ops
+    tv.transforms = transforms
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.ops.deform_conv"] = deform
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.models"] = models
+
+
+_make_tv_stub()
+
+
+# Generic auto-stubs for optional third-party deps the reference module zoo
+# imports at module scope (timm, mamba_ssm, ...). Classes (CamelCase) become
+# empty nn.Module subclasses; lowercase names become permissive callables that
+# work as decorators (return their first arg).
+import importlib.abc  # noqa: E402
+import importlib.machinery  # noqa: E402
+
+STUB_ROOTS = {
+    "timm", "mamba_ssm", "selective_scan", "selective_scan_cuda", "causal_conv1d",
+    "pywt", "fvcore", "seaborn", "einops_exts", "natten", "flash_attn", "triton",
+    "depthwise_conv2d_implicit_gemm", "paddle", "mmcv", "mmdet", "mmengine",
+    "basicsr", "kornia", "spikingjelly", "thop", "pytorch_wavelets", "taichi",
+    "torch_dct", "xformers", "deform_conv2d_onnx_exporter", "ptflops", "onnx",
+}
+
+
+def _stub_callable(*args, **kwargs):
+    if args and callable(args[0]):
+        return args[0]  # decorator usage
+    return _stub_callable
+
+
+class _StubModule(types.ModuleType):
+    def __getattr__(self, name):
+        if name.startswith("__") and name.endswith("__"):
+            raise AttributeError(name)
+        if name[:1].isupper():
+            meta = type(f"_{name}Meta", (type(torch.nn.Module),), {"__getattr__": lambda cls, n: _stub_callable})
+            cls = meta(name, (torch.nn.Module,), {"__init__": lambda self, *a, **k: torch.nn.Module.__init__(self)})
+            setattr(self, name, cls)
+            return cls
+        setattr(self, name, _stub_callable)
+        return _stub_callable
+
+
+class _StubFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+    """Last-resort finder (appended to sys.meta_path): stubs ANY module the
+    standard finders could not locate, so the reference's 224-file module zoo
+    imports regardless of which optional CUDA/vision packages it mentions."""
+
+    def find_spec(self, fullname, path=None, target=None):
+        root = fullname.split(".")[0]
+        if root.startswith("ultralytics"):
+            return None  # real errors in the reference tree should surface
+        if root in {"winreg", "msvcrt", "_winreg", "win32api", "win32con", "win32file",
+                    "java", "Foundation", "AppKit", "fcntl", "termios", "grp", "pwd",
+                    "resource", "ctypes", "curses", "readline"}:
+            return None  # platform-conditional imports guarded by try/except upstream
+        return importlib.machinery.ModuleSpec(fullname, self, is_package=True)
+
+    def create_module(self, spec):
+        return _StubModule(spec.name)
+
+    def exec_module(self, module):
+        module.__path__ = []
+
+
+# Pre-import real packages BEFORE installing the catch-all finder so their
+# platform-conditional imports (six.moves.winreg etc.) resolve normally.
+for _name in ("pandas", "dateutil", "matplotlib", "scipy", "PIL", "yaml", "psutil", "cv2", "polars", "requests"):
+    try:
+        __import__(_name)
+    except ImportError:
+        pass
+
+sys.meta_path.append(_StubFinder())
+
+torch.manual_seed(0)
+rng = np.random.default_rng(0)
+
+
+def t(x):
+    # Copy: several reference ops (clip_boxes etc.) mutate tensors in place,
+    # and from_numpy would share memory with our fixture arrays.
+    return torch.from_numpy(np.array(x, dtype=np.float32, copy=True))
+
+
+def gen_boxes():
+    from ultralytics.utils import ops
+
+    xyxy = rng.uniform(0, 640, (64, 4)).astype(np.float32)
+    xyxy[:, 2:] = xyxy[:, :2] + np.abs(xyxy[:, 2:] - xyxy[:, :2])  # ensure x2>x1,y2>y1
+    xywh = ops.xyxy2xywh(t(xyxy)).numpy()
+    out = {
+        "xyxy": xyxy,
+        "xyxy2xywh": xywh,
+        "xywh2xyxy": ops.xywh2xyxy(t(xywh)).numpy(),
+        "xyxy2ltwh": ops.xyxy2ltwh(t(xyxy)).numpy(),
+        "xywh2ltwh": ops.xywh2ltwh(t(xywh)).numpy(),
+        "ltwh2xyxy": ops.ltwh2xyxy(ops.xyxy2ltwh(t(xyxy))).numpy(),
+        "ltwh2xywh": ops.ltwh2xywh(ops.xyxy2ltwh(t(xyxy))).numpy(),
+        "xywhn2xyxy": ops.xywhn2xyxy(t(xywh / 640.0), w=640, h=480, padw=3, padh=5).numpy(),
+        "xyxy2xywhn": ops.xyxy2xywhn(t(xyxy), w=640, h=480, clip=True).numpy(),
+        "clip_shape": np.array([480, 640], np.float32),
+        "clip_boxes": ops.clip_boxes(t(xyxy), (480, 640)).numpy(),
+    }
+    # scale_boxes: from letterboxed 640x640 back to a 480x640 original
+    sb = ops.scale_boxes((640, 640), t(xyxy.copy()), (480, 640)).numpy()
+    out["scale_boxes_640_to_480x640"] = sb
+    # rotated corners
+    xywhr = np.concatenate([xywh[:, :4], rng.uniform(-np.pi / 2, np.pi / 2, (64, 1)).astype(np.float32)], 1)
+    out["xywhr"] = xywhr
+    out["xywhr2xyxyxyxy"] = ops.xywhr2xyxyxyxy(t(xywhr)).numpy()
+    np.savez(FIXTURES / "boxes.npz", **out)
+
+
+def gen_iou():
+    from ultralytics.utils import metrics
+
+    b1 = rng.uniform(0, 640, (32, 4)).astype(np.float32)
+    b1[:, 2:] = b1[:, :2] + np.abs(b1[:, 2:] - b1[:, :2]) + 1
+    b2 = rng.uniform(0, 640, (48, 4)).astype(np.float32)
+    b2[:, 2:] = b2[:, :2] + np.abs(b2[:, 2:] - b2[:, :2]) + 1
+    # elementwise pairs (xywh), overlapping-ish
+    p1 = rng.uniform(100, 400, (64, 4)).astype(np.float32)
+    p2 = (p1 + rng.normal(0, 30, (64, 4))).astype(np.float32)
+    p1[:, 2:] = np.abs(p1[:, 2:]) + 2
+    p2[:, 2:] = np.abs(p2[:, 2:]) + 2
+
+    obb1 = np.concatenate([p1, rng.uniform(-1.5, 1.5, (64, 1)).astype(np.float32)], 1)
+    obb2 = np.concatenate([p2, rng.uniform(-1.5, 1.5, (64, 1)).astype(np.float32)], 1)
+
+    kpt1 = rng.uniform(0, 640, (8, 17, 3)).astype(np.float32)
+    kpt1[..., 2] = (rng.uniform(0, 1, (8, 17)) > 0.3).astype(np.float32) * 2
+    kpt2 = rng.uniform(0, 640, (12, 17, 2)).astype(np.float32)
+    area = rng.uniform(1000, 40000, (8,)).astype(np.float32)
+    sigma = np.array(
+        [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89],
+        np.float32,
+    ) / 10.0
+
+    m1 = (rng.uniform(0, 1, (6, 160 * 160)) > 0.5).astype(np.float32)
+    m2 = (rng.uniform(0, 1, (9, 160 * 160)) > 0.5).astype(np.float32)
+
+    np.savez(
+        FIXTURES / "iou.npz",
+        b1=b1, b2=b2, p1=p1, p2=p2, obb1=obb1, obb2=obb2,
+        kpt1=kpt1, kpt2=kpt2, area=area, sigma=sigma, m1=m1, m2=m2,
+        box_iou=metrics.box_iou(t(b1), t(b2)).numpy(),
+        iou=metrics.bbox_iou(t(p1), t(p2), xywh=True).numpy(),
+        giou=metrics.bbox_iou(t(p1), t(p2), xywh=True, GIoU=True).numpy(),
+        diou=metrics.bbox_iou(t(p1), t(p2), xywh=True, DIoU=True).numpy(),
+        ciou=metrics.bbox_iou(t(p1), t(p2), xywh=True, CIoU=True).numpy(),
+        iou_xyxy=metrics.bbox_iou(t(b1[:32]), t(b2[:32]), xywh=False).numpy(),
+        probiou=metrics.probiou(t(obb1), t(obb2)).numpy(),
+        batch_probiou=metrics.batch_probiou(t(obb1[:16]), t(obb2[:24])).numpy(),
+        kpt_iou=metrics.kpt_iou(t(kpt1), t(kpt2), t(area), sigma.tolist()).numpy(),
+        mask_iou=metrics.mask_iou(t(m1), t(m2)).numpy(),
+    )
+
+
+def gen_anchors():
+    from ultralytics.utils import tal
+
+    feats = [torch.zeros(1, 64, 80, 80), torch.zeros(1, 64, 40, 40), torch.zeros(1, 64, 20, 20)]
+    strides = torch.tensor([8.0, 16.0, 32.0])
+    pts, st = tal.make_anchors(feats, strides, 0.5)
+    dist = t(rng.uniform(0, 16, (8400, 4)))
+    boxes_xywh = tal.dist2bbox(dist, pts, xywh=True, dim=-1)
+    boxes_xyxy = tal.dist2bbox(dist, pts, xywh=False, dim=-1)
+    d_back = tal.bbox2dist(pts, boxes_xyxy, 16)
+    angle = t(rng.uniform(-1.5, 1.5, (8400, 1)))
+    rbox = tal.dist2rbox(dist, angle, pts, dim=-1)
+    np.savez(
+        FIXTURES / "anchors.npz",
+        anchor_points=pts.numpy(), stride_tensor=st.numpy(), dist=dist.numpy(),
+        dist2bbox_xywh=boxes_xywh.numpy(), dist2bbox_xyxy=boxes_xyxy.numpy(),
+        bbox2dist=d_back.numpy(), angle=angle.numpy(), dist2rbox=rbox.numpy(),
+    )
+
+
+def gen_nms():
+    from ultralytics.utils.nms import non_max_suppression
+
+    # Reference NMS dispatches to torchvision.ops.nms when torchvision is
+    # importable; hide the stub so it uses its exact pure-torch TorchNMS path.
+    tv_mods = {k: sys.modules.pop(k) for k in list(sys.modules) if k.startswith("torchvision")}
+    try:
+        _gen_nms_inner(non_max_suppression)
+    finally:
+        sys.modules.update(tv_mods)
+
+
+def _gen_nms_inner(non_max_suppression):
+
+    bs, nc, na = 2, 80, 8400
+    # Build a realistic prediction: clustered boxes + mostly-low scores.
+    boxes = rng.uniform(40, 600, (bs, na, 4)).astype(np.float32)
+    boxes[..., 2:] = np.abs(rng.normal(60, 30, (bs, na, 2))).astype(np.float32) + 4
+    scores = (rng.uniform(0, 1, (bs, na, nc)) ** 8).astype(np.float32)  # few above 0.25
+    pred = np.concatenate([boxes, scores], axis=-1).transpose(0, 2, 1)  # (bs, 4+nc, na)
+
+    for name, kw in {
+        "default": dict(conf_thres=0.25, iou_thres=0.45),
+        "val": dict(conf_thres=0.001, iou_thres=0.7, multi_label=True),
+        "agnostic": dict(conf_thres=0.25, iou_thres=0.45, agnostic=True),
+    }.items():
+        out = non_max_suppression(t(pred), max_det=300, nc=nc, max_time_img=1e9, **kw)
+        np.savez(
+            FIXTURES / f"nms_{name}.npz",
+            pred=pred,
+            **{f"out{i}": o.numpy() for i, o in enumerate(out)},
+        )
+
+
+def gen_model_parity(cfg="yolov8n.yaml", out_name="model_yolov8n.npz", imgsz=64):
+    """Reference DetectionModel with seeded random weights: record state_dict,
+    an input, and the eval-mode decoded output for forward-parity testing."""
+    from ultralytics.nn.tasks import DetectionModel
+
+    torch.manual_seed(7)
+    model = DetectionModel(cfg=cfg, ch=3, verbose=False)
+    model.eval()
+    x = rng.standard_normal((1, 3, imgsz, imgsz)).astype(np.float32)
+    with torch.no_grad():
+        y = model(torch.from_numpy(x))
+    y = y[0] if isinstance(y, (list, tuple)) else y
+    sd = {f"sd::{k}": v.detach().numpy() for k, v in model.state_dict().items()}
+    np.savez_compressed(
+        FIXTURES / out_name,
+        input=x,
+        output=y.numpy(),
+        stride=model.stride.numpy(),
+        **sd,
+    )
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    jobs = {
+        "boxes": gen_boxes,
+        "iou": gen_iou,
+        "anchors": gen_anchors,
+        "nms": gen_nms,
+        "model": gen_model_parity,
+    }
+    for name, fn in jobs.items():
+        if args.only in (None, name):
+            fn()
+    print("fixtures written to", FIXTURES)

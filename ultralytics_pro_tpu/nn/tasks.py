@@ -1,0 +1,409 @@
+"""YAML model compiler and task models.
+
+Behavioral parity with the reference `parse_model` (ultralytics/nn/tasks.py:2409)
+and task model classes (BaseModel:987, DetectionModel:1256, SegmentationModel:1443,
+PoseModel:1475, OBBModel:1411, ClassificationModel:1516), redesigned for JAX:
+
+- the model YAML format ([from, repeats, module, args] + scales) is kept for
+  config compatibility, but compiles into a *functional* flax module whose
+  forward is a pure `apply(variables, x)`;
+- input channels are inferred lazily by flax, which deletes the reference's
+  740-line channel-inference dispatch; only OUTPUT channels need the
+  depth/width/max_channels scaling rules, handled by a small per-module
+  builder registry instead of an elif chain;
+- strides are computed by `jax.eval_shape` dry-run (the reference dry-runs a
+  real forward, tasks.py:1318) — zero FLOPs, no compile.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from ultralytics_pro_tpu.nn import modules as M
+from ultralytics_pro_tpu.utils import LOGGER, PKG_ROOT, colorstr, yaml_load
+
+
+def make_divisible(x, divisor: int = 8):
+    """Round channel count up to the nearest multiple of divisor."""
+    return math.ceil(x / divisor) * divisor
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    """One compiled model layer: flax module class + constructor kwargs + graph wiring."""
+
+    i: int
+    f: Any  # int or tuple of ints ("from" indices)
+    cls: type
+    kwargs: tuple  # tuple of (key, value) pairs — hashable
+    type_name: str
+    n: int = 1
+
+    def build(self) -> nn.Module:
+        return self.cls(**dict(self.kwargs))
+
+
+def _kw(**kwargs) -> tuple:
+    return tuple(kwargs.items())
+
+
+def _a(args, i, default=None):
+    return args[i] if len(args) > i else default
+
+
+# ---------------------------------------------------------------------------
+# Builder registry: name -> fn(args, n, width, depth, max_ch, ctx) -> (cls, kwargs)
+# `args` are the raw YAML args (without from/repeats). `n` is the depth-scaled
+# repeat count. Channel args are width-scaled here.
+# ---------------------------------------------------------------------------
+
+def _sc(c, width, max_ch):
+    return make_divisible(min(c, max_ch) * width, 8)
+
+
+def _conv_like(cls):
+    def build(args, n, w, d, mx, ctx):
+        return cls, _kw(c2=_sc(args[0], w, mx), k=_a(args, 1, 1), s=_a(args, 2, 1),
+                       p=_a(args, 3, None), g=_a(args, 4, 1))
+    return build
+
+
+def _csp_like(cls, shortcut_default=True, has_g=True):
+    def build(args, n, w, d, mx, ctx):
+        kw = dict(c2=_sc(args[0], w, mx), n=n, shortcut=_a(args, 1, shortcut_default))
+        if has_g:
+            kw["g"] = _a(args, 2, 1)
+            kw["e"] = _a(args, 3, 0.5)
+        return cls, tuple(kw.items())
+    return build
+
+
+def _build_c3k2(args, n, w, d, mx, ctx):
+    c3k = _a(args, 1, False)
+    if ctx.get("scale") in "mlx":
+        c3k = True
+    ctx["legacy"] = False
+    return M.C3k2, _kw(c2=_sc(args[0], w, mx), n=n, c3k=c3k, e=_a(args, 2, 0.5),
+                       g=_a(args, 3, 1), shortcut=_a(args, 4, True))
+
+
+def _build_c2fcib(args, n, w, d, mx, ctx):
+    ctx["legacy"] = False
+    return M.C2fCIB, _kw(c2=_sc(args[0], w, mx), n=n, shortcut=_a(args, 1, False),
+                         lk=_a(args, 2, False))
+
+
+def _build_head(cls):
+    def build(args, n, w, d, mx, ctx):
+        kw = dict(nc=args[0], legacy=ctx.get("legacy", True))
+        if cls is M.Segment:
+            kw["nm"] = _a(args, 1, 32)
+            kw["npr"] = _sc(_a(args, 2, 256), w, mx)
+        elif cls is M.OBB:
+            kw["ne"] = _a(args, 1, 1)
+        elif cls is M.Pose:
+            kw["kpt_shape"] = tuple(_a(args, 1, (17, 3)))
+        ctx["head_index"] = ctx["i"]
+        return cls, tuple(kw.items())
+    return build
+
+
+BUILDERS: Dict[str, Callable] = {
+    "Conv": _conv_like(M.Conv),
+    "DWConv": _conv_like(M.DWConv),
+    "Focus": _conv_like(M.Focus),
+    "GhostConv": _conv_like(M.GhostConv),
+    "ConvTranspose": lambda a, n, w, d, mx, ctx: (
+        M.ConvTranspose, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 2), s=_a(a, 2, 2), p=_a(a, 3, 0))),
+    "LightConv": lambda a, n, w, d, mx, ctx: (M.LightConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1))),
+    "Bottleneck": lambda a, n, w, d, mx, ctx: (
+        M.Bottleneck, _kw(c2=_sc(a[0], w, mx), shortcut=_a(a, 1, True), g=_a(a, 2, 1),
+                          k=tuple(_a(a, 3, (3, 3))), e=_a(a, 4, 0.5))),
+    "GhostBottleneck": lambda a, n, w, d, mx, ctx: (
+        M.GhostBottleneck, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "C1": lambda a, n, w, d, mx, ctx: (M.C1, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "C2": _csp_like(M.C2),
+    "C2f": _csp_like(M.C2f, shortcut_default=False),
+    "C3": _csp_like(M.C3),
+    "C3k": _csp_like(M.C3k),
+    "C3Ghost": _csp_like(M.C3Ghost),
+    "C3k2": _build_c3k2,
+    "BottleneckCSP": _csp_like(M.BottleneckCSP),
+    "C2fCIB": _build_c2fcib,
+    "SPP": lambda a, n, w, d, mx, ctx: (M.SPP, _kw(c2=_sc(a[0], w, mx), k=tuple(_a(a, 1, (5, 9, 13))))),
+    "SPPF": lambda a, n, w, d, mx, ctx: (M.SPPF, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 5))),
+    "PSA": lambda a, n, w, d, mx, ctx: (M.PSA, _kw(c2=_sc(a[0], w, mx), e=_a(a, 1, 0.5))),
+    "C2PSA": lambda a, n, w, d, mx, ctx: (M.C2PSA, _kw(c2=_sc(a[0], w, mx), n=n, e=_a(a, 1, 0.5))),
+    "SCDown": lambda a, n, w, d, mx, ctx: (M.SCDown, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 2))),
+    "HGStem": lambda a, n, w, d, mx, ctx: (M.HGStem, _kw(cm=a[0], c2=a[1])),
+    "HGBlock": lambda a, n, w, d, mx, ctx: (
+        M.HGBlock, _kw(cm=a[0], c2=a[1], k=_a(a, 2, 3), n=n if n > 1 else 6,
+                       lightconv=_a(a, 3, False), shortcut=_a(a, 4, False))),
+    "ResNetLayer": lambda a, n, w, d, mx, ctx: (
+        M.ResNetLayer, _kw(c2=a[1], s=_a(a, 2, 1), is_first=_a(a, 3, False), n=_a(a, 4, 1))),
+    "CBAM": lambda a, n, w, d, mx, ctx: (M.CBAM, _kw(k=_a(a, 1, 7))),
+    "ChannelAttention": lambda a, n, w, d, mx, ctx: (M.ChannelAttention, _kw()),
+    "Concat": lambda a, n, w, d, mx, ctx: (M.Concat, _kw(dim=_a(a, 0, 1))),
+    "Index": lambda a, n, w, d, mx, ctx: (M.Index, _kw(c2=a[0], index=_a(a, 1, 0))),
+    "nn.Upsample": lambda a, n, w, d, mx, ctx: (
+        M.Upsample, _kw(scale=int(_a(a, 1, 2)), mode=_a(a, 2, "nearest"))),
+    "Upsample": lambda a, n, w, d, mx, ctx: (
+        M.Upsample, _kw(scale=int(_a(a, 1, 2)), mode=_a(a, 2, "nearest"))),
+    "Detect": _build_head(M.Detect),
+    "Segment": _build_head(M.Segment),
+    "OBB": _build_head(M.OBB),
+    "Pose": _build_head(M.Pose),
+    "Classify": lambda a, n, w, d, mx, ctx: (M.Classify, _kw(c2=a[0])),
+}
+
+# Modules that flip Detect heads off the legacy branch layout (reference
+# tasks.py:2862-2870: C3k2 family, A2C2f, C2fCIB).
+HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose")
+
+
+def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[str] = None,
+                verbose: bool = False) -> Tuple[List[LayerSpec], List[int], dict]:
+    """Compile a model YAML dict into LayerSpecs + save list.
+
+    Returns (specs, save, meta) where meta holds scale/nc/head info.
+    """
+    scales = d.get("scales")
+    scale = scale or d.get("scale")
+    if scales:
+        if not scale:
+            scale = next(iter(scales))
+        depth, width, max_channels = scales[scale][:3]
+    else:
+        depth, width, max_channels = d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0), float("inf")
+    nc = nc or d.get("nc", 80)
+
+    ctx = {"legacy": True, "scale": scale, "head_index": None, "i": 0}
+    layers_yaml = list(d.get("backbone", [])) + list(d.get("head", []))
+
+    # Pre-scan for legacy flip (reference decides legacy before head build).
+    for _, _, m_name, _ in layers_yaml:
+        if m_name in {"C3k2", "A2C2f", "C2fCIB", "PST", "HyperACE"}:
+            ctx["legacy"] = False
+
+    specs: List[LayerSpec] = []
+    save: List[int] = []
+    for i, (f, n, m_name, args) in enumerate(layers_yaml):
+        ctx["i"] = i
+        n = max(round(n * depth), 1) if n > 1 else n
+        if m_name in HEAD_TYPES:
+            args = [nc if a == "nc" else a for a in args]
+            if not args:
+                args = [nc]
+        builder = BUILDERS.get(m_name)
+        if builder is None:
+            raise NotImplementedError(
+                f"module '{m_name}' (layer {i}) is not yet implemented in the TPU build; "
+                f"implemented: {sorted(BUILDERS)}"
+            )
+        cls, kwargs = builder(list(args), n, width, depth, max_channels, ctx)
+        specs.append(LayerSpec(i=i, f=tuple(f) if isinstance(f, list) else f, cls=cls,
+                               kwargs=kwargs, type_name=m_name, n=n))
+        fs = f if isinstance(f, list) else [f]
+        save.extend(x % i for x in fs if x != -1)
+        if verbose:
+            LOGGER.info(f"{i:>3} {str(f):>10} {n:>3} {m_name:<20} {list(args)}")
+    return specs, sorted(set(save)), {"scale": scale, "nc": nc, "legacy": ctx["legacy"],
+                                      "head_index": ctx["head_index"]}
+
+
+class YOLOModule(nn.Module):
+    """The compiled model graph: sequential layers with a y-cache save-list
+    (mirrors BaseModel._predict_once, reference tasks.py:1046)."""
+
+    specs: Tuple[LayerSpec, ...]
+    save: Tuple[int, ...]
+
+    def setup(self):
+        self.layers = [s.build() for s in self.specs]
+
+    def __call__(self, x, train: bool = False):
+        y = {}
+        out = x
+        for spec, layer in zip(self.specs, self.layers):
+            f = spec.f
+            if isinstance(f, tuple):
+                inp = [out if j == -1 else y[j] for j in f]
+            elif f != -1:
+                inp = y[f]
+            else:
+                inp = out
+            out = layer(inp, train=train)
+            if spec.i in self.save:
+                y[spec.i] = out
+        return out
+
+
+def yaml_model_load(path) -> dict:
+    """Load a model YAML; infers scale from filename stem (yolov8n -> scale 'n').
+
+    Reference: tasks.py:3147.
+    """
+    path = Path(path)
+    name = path.stem
+    d = yaml_load(find_model_yaml(path))
+    scale = None
+    # yolov8n.yaml -> unified yolov8.yaml with scale=n
+    import re
+
+    m = re.match(r"(.*?)([nslmx])?$", name)
+    if m and m.group(2):
+        base = m.group(1)
+        d_scales = d.get("scales", {})
+        if m.group(2) in d_scales:
+            scale = m.group(2)
+    d["scale"] = scale or d.get("scale")
+    d["yaml_file"] = str(path)
+    return d
+
+
+def find_model_yaml(path) -> Path:
+    """Resolve a model YAML name against the bundled cfg/models tree."""
+    path = Path(path)
+    if path.exists():
+        return path
+    # yolov8n.yaml -> cfg/models/v8/yolov8.yaml (strip scale char)
+    import re
+
+    stem = re.sub(r"([nslmx])(?=[-.])|([nslmx])$", "", path.stem)
+    candidates = list((PKG_ROOT / "cfg" / "models").rglob(f"{stem}.yaml"))
+    candidates += list((PKG_ROOT / "cfg" / "models").rglob(f"{path.stem}.yaml"))
+    if not candidates:
+        raise FileNotFoundError(f"model YAML '{path}' not found (searched {PKG_ROOT / 'cfg' / 'models'})")
+    return candidates[0]
+
+
+class BaseModel:
+    """Task-model wrapper: holds the compiled flax module, variables, metadata.
+
+    Functional counterpart of the reference BaseModel (tasks.py:987): forward is
+    `module.apply(variables, x, train=...)` — no hidden state.
+    """
+
+    task: str = "detect"
+
+    def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: Optional[int] = None,
+                 verbose: bool = False, dtype=jnp.float32):
+        self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        self.ch = ch
+        self.dtype = dtype
+        if nc and nc != self.yaml.get("nc"):
+            self.yaml["nc"] = nc
+        self.specs, self.save, self.meta = parse_model(
+            self.yaml, ch=ch, nc=self.yaml.get("nc"), scale=self.yaml.get("scale"), verbose=verbose
+        )
+        self.nc = self.meta["nc"]
+        self.stride = self._infer_strides()
+        self.module = YOLOModule(specs=tuple(self.specs), save=tuple(self.save))
+        self.variables = None  # set by init_params or loaded from checkpoint
+        self.names = {i: f"class{i}" for i in range(self.nc)}
+
+    # -- build ----------------------------------------------------------------
+    def _head_spec(self) -> Optional[LayerSpec]:
+        for s in reversed(self.specs):
+            if s.type_name in HEAD_TYPES:
+                return s
+        return None
+
+    def _infer_strides(self):
+        """eval_shape dry-run at 256px to compute head strides (reference
+        DetectionModel computes stride via a real forward, tasks.py:1318)."""
+        head = self._head_spec()
+        if head is None:
+            return (32,)
+        module = YOLOModule(specs=tuple(self.specs), save=tuple(self.save))
+        x = jax.ShapeDtypeStruct((1, 256, 256, self.ch), jnp.float32)
+        from functools import partial
+
+        vars_shape = jax.eval_shape(partial(module.init, train=True), jax.random.PRNGKey(0), x)
+        out_shape = jax.eval_shape(
+            lambda v, xx: module.apply(v, xx, train=True, mutable=["batch_stats"])[0], vars_shape, x
+        )
+        feats = out_shape["feats"] if isinstance(out_shape, dict) else out_shape
+        strides = tuple(int(256 / f.shape[1]) for f in feats)
+        # Rebuild the head spec with the correct strides baked in.
+        kw = dict(head.kwargs)
+        kw["strides"] = strides
+        self.specs[head.i] = LayerSpec(i=head.i, f=head.f, cls=head.cls,
+                                       kwargs=tuple(kw.items()), type_name=head.type_name, n=head.n)
+        return strides
+
+    def init_params(self, rng=None, imgsz: int = 640):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
+        self.variables = self.module.init(rng, x, train=True)
+        return self.variables
+
+    # -- forward --------------------------------------------------------------
+    def apply(self, variables, x, train: bool = False, mutable=False):
+        return self.module.apply(variables, x, train=train, mutable=mutable)
+
+    def __call__(self, x, train: bool = False):
+        if self.variables is None:
+            raise RuntimeError("call init_params() or load weights first")
+        return self.apply(self.variables, x, train=train)
+
+    def info(self, verbose: bool = False):
+        n_layers = len(self.specs)
+        n_params = 0
+        if self.variables is not None:
+            n_params = sum(p.size for p in jax.tree.leaves(self.variables.get("params", {})))
+        LOGGER.info(f"{self.__class__.__name__}: {n_layers} layers, {n_params:,} parameters")
+        return n_layers, n_params
+
+
+class DetectionModel(BaseModel):
+    task = "detect"
+
+
+class SegmentationModel(DetectionModel):
+    task = "segment"
+
+
+class PoseModel(DetectionModel):
+    task = "pose"
+
+
+class OBBModel(DetectionModel):
+    task = "obb"
+
+
+class ClassificationModel(BaseModel):
+    task = "classify"
+
+
+def guess_model_task(cfg) -> str:
+    """Infer task from the head module in a model YAML (reference tasks.py:3185)."""
+    d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+    head = d.get("head", [])
+    names = {row[2] for row in head}
+    if "Segment" in names:
+        return "segment"
+    if "Pose" in names:
+        return "pose"
+    if "OBB" in names:
+        return "obb"
+    if "Classify" in names:
+        return "classify"
+    return "detect"
+
+
+TASK2MODEL = {
+    "detect": DetectionModel,
+    "segment": SegmentationModel,
+    "pose": PoseModel,
+    "obb": OBBModel,
+    "classify": ClassificationModel,
+}

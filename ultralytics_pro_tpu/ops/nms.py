@@ -1,0 +1,135 @@
+"""Static-shape batched class-aware NMS for TPU.
+
+Behavioral parity with the reference NMS (ultralytics/utils/nms.py:13
+`non_max_suppression` and :169 `TorchNMS`): same candidate selection
+(conf threshold, multi-label expansion, class filter, max_nms cap, class-offset
+trick with max_wh) and exact greedy suppression semantics (a box suppressed by
+an already-suppressed box survives — matching torchvision.ops.nms), but
+reformulated with fixed shapes so the whole postprocess jits:
+
+- candidates are selected by top-K on masked scores instead of boolean indexing;
+- greedy NMS runs as a fori_loop of `max_det` argmax+suppress steps, O(max_det*K)
+  work with no dynamic shapes, instead of a data-dependent while loop;
+- outputs are fixed (B, max_det, ...) arrays plus a validity mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ultralytics_pro_tpu.ops.boxes import xywh2xyxy
+
+
+def _greedy_nms_scores(boxes, scores, iou_thres: float, max_det: int):
+    """Exact greedy NMS on (K,4) xyxy boxes with (K,) scores (invalid rows < 0).
+
+    Returns (keep_idx (max_det,), keep_valid (max_det,) bool).
+    """
+    k = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1) * (y2 - y1)
+
+    def body(i, carry):
+        s, keep_idx, keep_valid = carry
+        j = jnp.argmax(s)
+        sj = s[j]
+        # IoU of box j against all boxes.
+        xx1 = jnp.maximum(x1[j], x1)
+        yy1 = jnp.maximum(y1[j], y1)
+        xx2 = jnp.minimum(x2[j], x2)
+        yy2 = jnp.minimum(y2[j], y2)
+        inter = jnp.clip(xx2 - xx1, 0, None) * jnp.clip(yy2 - yy1, 0, None)
+        iou = inter / (areas[j] + areas - inter + 1e-7)
+        suppress = iou > iou_thres  # includes j itself (iou == 1)
+        s = jnp.where(suppress, -1.0, s)
+        keep_idx = keep_idx.at[i].set(j)
+        keep_valid = keep_valid.at[i].set(sj > 0)
+        return s, keep_idx, keep_valid
+
+    init = (scores, jnp.zeros((max_det,), jnp.int32), jnp.zeros((max_det,), bool))
+    _, keep_idx, keep_valid = jax.lax.fori_loop(0, max_det, body, init)
+    return keep_idx, keep_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "conf_thres", "iou_thres", "max_det", "max_nms", "max_wh", "agnostic", "multi_label",
+    ),
+)
+def non_max_suppression(
+    boxes,
+    scores,
+    extra=None,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_nms: int = 30000,
+    max_wh: float = 7680.0,
+    agnostic: bool = False,
+    multi_label: bool = False,
+    classes=None,
+):
+    """Batched class-aware NMS with fixed output shapes.
+
+    Args:
+        boxes: (B, A, 4) xywh pixel boxes (head decode output).
+        scores: (B, A, nc) per-class scores (post-sigmoid).
+        extra: optional (B, A, E) per-anchor payload (e.g. mask coefficients).
+        classes: optional (nc,) bool mask of allowed classes.
+
+    Returns:
+        dict with 'boxes' (B, max_det, 4) xyxy, 'scores' (B, max_det),
+        'cls' (B, max_det) int32, 'valid' (B, max_det) bool,
+        and 'extra' (B, max_det, E) if extra was given.
+    """
+    nc = scores.shape[-1]
+    a = scores.shape[1]
+    if classes is not None:
+        scores = jnp.where(jnp.asarray(classes)[None, None, :], scores, 0.0)
+
+    def single(boxes_i, scores_i, extra_i):
+        if multi_label and nc > 1:
+            # Every (anchor, class) pair is a candidate.
+            flat = scores_i.reshape(-1)  # (A*nc,)
+            masked = jnp.where(flat > conf_thres, flat, -1.0)
+            k = min(max_nms, flat.shape[0])
+            top_scores, top_flat = jax.lax.top_k(masked, k)
+            anchor_idx = top_flat // nc
+            cls_idx = (top_flat % nc).astype(jnp.int32)
+        else:
+            conf = scores_i.max(axis=-1)  # (A,)
+            cls_all = scores_i.argmax(axis=-1).astype(jnp.int32)
+            masked = jnp.where(conf > conf_thres, conf, -1.0)
+            k = min(max_nms, a)
+            top_scores, anchor_idx = jax.lax.top_k(masked, k)
+            cls_idx = cls_all[anchor_idx]
+
+        cand_boxes = xywh2xyxy(boxes_i[anchor_idx])  # (K, 4)
+        offset = jnp.where(agnostic, 0.0, 1.0) * cls_idx.astype(cand_boxes.dtype)[:, None] * max_wh
+        keep_idx, keep_valid = _greedy_nms_scores(cand_boxes + offset, top_scores, iou_thres, max_det)
+
+        out_boxes = cand_boxes[keep_idx]
+        out_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)
+        out_cls = jnp.where(keep_valid, cls_idx[keep_idx], 0)
+        out = {"boxes": out_boxes, "scores": out_scores, "cls": out_cls, "valid": keep_valid}
+        if extra_i is not None:
+            out["extra"] = extra_i[anchor_idx][keep_idx]
+        return out
+
+    if extra is None:
+        return jax.vmap(lambda b, s: single(b, s, None))(boxes, scores)
+    return jax.vmap(single)(boxes, scores, extra)
+
+
+def nms_indices(boxes, scores, iou_thres: float = 0.45, max_det: int = 300):
+    """Plain single-class NMS on (K,4) xyxy + (K,) scores -> (keep_idx, valid).
+
+    TPU-friendly replacement for torchvision.ops.nms (used by SAM AMG and the
+    exporter NMS graph in the reference).
+    """
+    masked = jnp.where(scores > 0, scores, -1.0)
+    return _greedy_nms_scores(boxes, masked, iou_thres, max_det)

@@ -1,0 +1,196 @@
+"""Runtime utilities: logging, YAML IO, simple namespaces, paths.
+
+Behavioral parity notes reference upstream call sites as file:line of the
+reference tree (e.g. ultralytics/utils/__init__.py:384 LOGGER) without copying
+its implementation.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from pathlib import Path
+from types import SimpleNamespace
+
+import yaml
+
+# Package root (ultralytics_pro_tpu/) and repo root.
+PKG_ROOT = Path(__file__).resolve().parents[1]
+REPO_ROOT = PKG_ROOT.parent
+DEFAULT_CFG_PATH = PKG_ROOT / "cfg" / "default.yaml"
+
+# Rank gating: in JAX SPMD there is one process per host; only host 0 logs.
+# (Reference gates on RANK in {-1, 0}; ultralytics/utils/__init__.py:33.)
+
+
+def _process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+VERBOSE = str(os.getenv("UPT_VERBOSE", "true")).lower() == "true"
+
+
+def set_logging(name: str = "ultralytics_pro_tpu", verbose: bool = True) -> logging.Logger:
+    level = logging.INFO if (verbose and _process_index() == 0) else logging.ERROR
+    logger = logging.getLogger(name)
+    logger.setLevel(level)
+    if not logger.handlers:
+        handler = logging.StreamHandler(sys.stdout)
+        handler.setFormatter(logging.Formatter("%(message)s"))
+        handler.setLevel(level)
+        logger.addHandler(handler)
+    logger.propagate = False
+    return logger
+
+
+LOGGER = set_logging(verbose=VERBOSE)
+
+
+def colorstr(*args):
+    """Color a string for terminal output, e.g. colorstr('blue', 'bold', 'hello')."""
+    *colors, string = args if len(args) > 1 else ("blue", "bold", args[0])
+    codes = {
+        "black": "\033[30m", "red": "\033[31m", "green": "\033[32m", "yellow": "\033[33m",
+        "blue": "\033[34m", "magenta": "\033[35m", "cyan": "\033[36m", "white": "\033[37m",
+        "bright_red": "\033[91m", "bright_green": "\033[92m", "bright_yellow": "\033[93m",
+        "bold": "\033[1m", "underline": "\033[4m",
+    }
+    end = "\033[0m"
+    return "".join(codes.get(c, "") for c in colors) + f"{string}" + end
+
+
+class IterableSimpleNamespace(SimpleNamespace):
+    """SimpleNamespace that iterates like a dict and prints its keys."""
+
+    def __iter__(self):
+        return iter(vars(self).items())
+
+    def __str__(self):
+        return "\n".join(f"{k}={v}" for k, v in vars(self).items())
+
+    def get(self, key, default=None):
+        return getattr(self, key, default)
+
+
+def yaml_load(file, append_filename: bool = False) -> dict:
+    """Load a YAML file to dict (utf-8, ignores non-serializable)."""
+    path = Path(file)
+    with open(path, errors="ignore", encoding="utf-8") as f:
+        data = yaml.safe_load(f.read()) or {}
+    if append_filename:
+        data["yaml_file"] = str(path)
+    return data
+
+
+def yaml_save(file, data: dict) -> None:
+    path = Path(file)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    clean = {k: (str(v) if isinstance(v, Path) else v) for k, v in data.items()}
+    with open(path, "w", encoding="utf-8") as f:
+        yaml.safe_dump(clean, f, sort_keys=False, allow_unicode=True)
+
+
+def yaml_print(file_or_dict) -> None:
+    data = yaml_load(file_or_dict) if isinstance(file_or_dict, (str, Path)) else file_or_dict
+    LOGGER.info(yaml.safe_dump(data, sort_keys=False, allow_unicode=True))
+
+
+class TQDM:
+    """Minimal in-house progress bar (reference keeps its own: utils/tqdm.py:18).
+
+    Iterates an iterable while printing `desc i/n elapsed` lines at a throttled
+    rate; silent off host 0 or when not a TTY.
+    """
+
+    def __init__(self, iterable=None, total=None, desc="", disable=False, **kwargs):
+        self.iterable = iterable
+        self.total = total if total is not None else (len(iterable) if hasattr(iterable, "__len__") else None)
+        self.desc = desc
+        self.disable = disable or _process_index() != 0
+        self.n = 0
+        self._t0 = time.time()
+        self._last = 0.0
+
+    def __iter__(self):
+        for item in self.iterable:
+            yield item
+            self.update(1)
+        self.close()
+
+    def update(self, n=1):
+        self.n += n
+        now = time.time()
+        if not self.disable and (now - self._last > 0.5 or self.n == self.total):
+            total = f"/{self.total}" if self.total else ""
+            LOGGER.info(f"{self.desc} {self.n}{total} [{now - self._t0:.1f}s]")
+            self._last = now
+
+    def set_description(self, desc):
+        self.desc = desc
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class SimpleClass:
+    """Base class giving readable repr of public attributes."""
+
+    def __str__(self):
+        attrs = []
+        for k, v in vars(self).items():
+            if not k.startswith("_"):
+                attrs.append(f"{k}: {v.__class__.__name__}")
+        return f"{self.__class__.__name__}({', '.join(attrs)})"
+
+    __repr__ = __str__
+
+
+class Profile:
+    """Context-manager/decorator timer; accumulates dt over uses.
+
+    TPU analogue of the CUDA-synchronized ops.Profile (reference utils/ops.py:18):
+    callers must block_until_ready() the arrays they time.
+    """
+
+    def __init__(self, t: float = 0.0):
+        self.t = t
+        self.dt = 0.0
+
+    def __enter__(self):
+        self._start = time.perf_counter()
+        return self
+
+    def __exit__(self, *a):
+        self.dt = time.perf_counter() - self._start
+        self.t += self.dt
+
+    def __str__(self):
+        return f"{self.t:.4f}s"
+
+
+def increment_path(path, exist_ok: bool = False, sep: str = "", mkdir: bool = False) -> Path:
+    """runs/exp -> runs/exp2, exp3, ... (reference utils/files.py:106)."""
+    path = Path(path)
+    if path.exists() and not exist_ok:
+        base, suffix = (path.with_suffix(""), path.suffix) if path.is_file() else (path, "")
+        for n in range(2, 9999):
+            p = f"{base}{sep}{n}{suffix}"
+            if not os.path.exists(p):
+                path = Path(p)
+                break
+    if mkdir:
+        path.mkdir(parents=True, exist_ok=True)
+    return path

@@ -1,0 +1,70 @@
+"""End-to-end inference benchmark on real TPU hardware.
+
+Measures YOLOv8s @ 640 end-to-end device throughput (on-device preprocess ->
+forward -> decode -> batched NMS, fixed shapes) and prints ONE JSON line.
+
+Baseline: the reference stack's published A100 TensorRT figure for YOLOv8s is
+~2.66 ms/img (≈376 imgs/s, upstream ultralytics docs; the reference repo
+itself publishes no numbers — BASELINE.md). vs_baseline = our imgs/s / 376.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), "tests", ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np
+
+A100_TRT_IMGS_PER_SEC = 376.0  # YOLOv8s TensorRT FP16 bs=1 upstream figure
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.tasks import DetectionModel
+    from ultralytics_pro_tpu.ops.nms import non_max_suppression
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
+    model = DetectionModel("yolov8s.yaml", dtype=jnp.bfloat16)
+    variables = model.init_params(imgsz=imgsz)
+    nc = model.nc
+
+    @jax.jit
+    def e2e(variables, img_u8):
+        x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+        y, _ = model.module.apply(variables, x, train=False)
+        out = non_max_suppression(
+            y[..., :4], y[..., 4:4 + nc], conf_thres=0.25, iou_thres=0.45, max_det=300,
+            max_nms=4096,
+        )
+        return out["boxes"], out["scores"], out["cls"], out["valid"]
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
+
+    # warmup / compile
+    r = e2e(variables, img)
+    jax.block_until_ready(r)
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = e2e(variables, img)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "yolov8s-640 e2e imgs/sec/chip (preproc+fwd+decode+NMS, bf16)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / A100_TRT_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -300,6 +300,99 @@ def gen_model_parity(cfg="yolov8n.yaml", out_name="model_yolov8n.npz", imgsz=64)
     )
 
 
+
+def gen_tal():
+    """Reference TaskAlignedAssigner on random inputs (padded gts + mask)."""
+    from ultralytics.utils.tal import TaskAlignedAssigner, make_anchors
+
+    torch.manual_seed(3)
+    feats = [torch.zeros(1, 1, 16, 16), torch.zeros(1, 1, 8, 8)]
+    anc, stride_t = make_anchors(feats, torch.tensor([8.0, 16.0]), 0.5)
+    a = anc.shape[0]
+    bs, g, nc = 2, 8, 5
+    pd_scores = torch.rand(bs, a, nc)
+    cxy = torch.rand(bs, a, 2) * 128
+    wh = torch.rand(bs, a, 2) * 60 + 4
+    pd_bboxes = torch.cat([cxy - wh / 2, cxy + wh / 2], -1)
+    anc_pix = anc * stride_t
+    # gts: first n valid per image, rest zero
+    n_valid = [5, 3]
+    gt_labels = torch.zeros(bs, g, 1, dtype=torch.long)
+    gt_bboxes = torch.zeros(bs, g, 4)
+    for b in range(bs):
+        for i in range(n_valid[b]):
+            c = torch.rand(2) * 100 + 14
+            s = torch.rand(2) * 50 + 12
+            gt_bboxes[b, i] = torch.cat([c - s / 2, c + s / 2])
+            gt_labels[b, i] = torch.randint(0, nc, (1,))
+    mask_gt = gt_bboxes.sum(2, keepdim=True).gt_(0.0).float()
+
+    assigner = TaskAlignedAssigner(topk=10, num_classes=nc, alpha=0.5, beta=6.0)
+    tl, tb, ts, fg, tgi = assigner(pd_scores, pd_bboxes, anc_pix, gt_labels, gt_bboxes, mask_gt)
+    np.savez(
+        FIXTURES / "tal.npz",
+        pd_scores=pd_scores.numpy(), pd_bboxes=pd_bboxes.numpy(), anc_points=anc_pix.numpy(),
+        gt_labels=gt_labels.numpy(), gt_bboxes=gt_bboxes.numpy(), mask_gt=mask_gt.numpy(),
+        target_labels=tl.numpy(), target_bboxes=tb.numpy(), target_scores=ts.numpy(),
+        fg_mask=fg.numpy(), target_gt_idx=tgi.numpy(),
+    )
+
+
+def gen_detect_loss():
+    """Reference v8DetectionLoss on the seeded yolov8n with a random batch."""
+    from types import SimpleNamespace
+
+    from ultralytics.nn.tasks import DetectionModel
+    from ultralytics.utils.loss import v8DetectionLoss
+
+    torch.manual_seed(7)
+    model = DetectionModel(cfg="yolov8n.yaml", ch=3, verbose=False)
+    model.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    model.train()
+    criterion = v8DetectionLoss(model)
+
+    imgsz = 64
+    im = torch.from_numpy(rng.standard_normal((2, 3, imgsz, imgsz)).astype(np.float32))
+    # random batch: 4 boxes for img0, 2 for img1 (normalized xywh)
+    batch_idx = torch.tensor([0, 0, 0, 0, 1, 1], dtype=torch.float32)
+    cls = torch.tensor([1, 3, 5, 0, 2, 7], dtype=torch.float32)
+    cxy = torch.rand(6, 2) * 0.6 + 0.2
+    wh = torch.rand(6, 2) * 0.3 + 0.08
+    bboxes = torch.cat([cxy, wh], 1)
+    batch = {"batch_idx": batch_idx, "cls": cls, "bboxes": bboxes}
+
+    with torch.no_grad():
+        feats = model(im)
+        total, items = criterion(feats, batch)
+    np.savez(
+        FIXTURES / "detect_loss.npz",
+        input=im.numpy(), batch_idx=batch_idx.numpy(), cls=cls.numpy(), bboxes=bboxes.numpy(),
+        total=total.detach().numpy(), items=items.numpy(),
+        feat0=feats[0].numpy(), feat1=feats[1].numpy(), feat2=feats[2].numpy(),
+    )
+
+
+
+def gen_metrics():
+    """Reference ap_per_class on synthetic detections."""
+    from ultralytics.utils.metrics import ap_per_class
+
+    n_pred, n_gt, nc = 400, 150, 6
+    tp = rng.uniform(0, 1, (n_pred, 10))
+    conf = rng.uniform(0.01, 1, n_pred).astype(np.float32)
+    # make tp correlated with conf so curves are non-trivial
+    tp = (tp < conf[:, None] * np.linspace(0.9, 0.3, 10)[None, :]).astype(bool)
+    pred_cls = rng.integers(0, nc, n_pred).astype(np.float32)
+    target_cls = rng.integers(0, nc, n_gt).astype(np.float32)
+    out = ap_per_class(t(tp.astype(np.float32)).bool().numpy(), conf, pred_cls, target_cls)
+    # reference returns tuple: tp, fp, p, r, f1, ap, unique_classes, p_curve, r_curve, f1_curve, x, prec_values
+    names = ["tp_out", "fp_out", "p", "r", "f1", "ap", "unique_classes", "p_curve", "r_curve", "f1_curve", "x", "prec_values"]
+    save = {"tp": tp, "conf": conf, "pred_cls": pred_cls, "target_cls": target_cls}
+    for nm, v in zip(names, out):
+        save[nm] = np.asarray(v)
+    np.savez(FIXTURES / "metrics.npz", **save)
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -312,6 +405,9 @@ if __name__ == "__main__":
         "anchors": gen_anchors,
         "nms": gen_nms,
         "model": gen_model_parity,
+        "tal": gen_tal,
+        "detect_loss": gen_detect_loss,
+        "metrics": gen_metrics,
     }
     for name, fn in jobs.items():
         if args.only in (None, name):

@@ -1,0 +1,56 @@
+"""Synthetic coco8-style dataset generator for e2e tests (no egress in this
+environment, so the reference's coco8 download path is replaced with generated
+geometric shapes whose boxes are exactly known)."""
+
+from pathlib import Path
+
+import cv2
+import numpy as np
+import yaml
+
+
+def make_synth_dataset(root, n_images=8, imgsz=160, nc=3, seed=0, max_objects=4):
+    """images/{train,val} + labels/{train,val} + data.yaml under `root`."""
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    colors = [(255, 64, 64), (64, 255, 64), (64, 64, 255), (255, 255, 64), (64, 255, 255)]
+    for split in ("train", "val"):
+        (root / "images" / split).mkdir(parents=True, exist_ok=True)
+        (root / "labels" / split).mkdir(parents=True, exist_ok=True)
+        for i in range(n_images):
+            im = np.full((imgsz, imgsz, 3), 30, np.uint8)
+            lines = []
+            for _ in range(int(rng.integers(1, max_objects + 1))):
+                c = int(rng.integers(0, nc))
+                w = int(rng.integers(imgsz // 8, imgsz // 3))
+                h = int(rng.integers(imgsz // 8, imgsz // 3))
+                x = int(rng.integers(0, imgsz - w))
+                y = int(rng.integers(0, imgsz - h))
+                color = colors[c % len(colors)]
+                if c % 3 == 0:
+                    cv2.rectangle(im, (x, y), (x + w, y + h), color, -1)
+                elif c % 3 == 1:
+                    cv2.ellipse(im, (x + w // 2, y + h // 2), (w // 2, h // 2), 0, 0, 360, color, -1)
+                else:
+                    pts = np.array([[x + w // 2, y], [x, y + h], [x + w, y + h]])
+                    cv2.fillPoly(im, [pts], color)
+                cx, cy = (x + w / 2) / imgsz, (y + h / 2) / imgsz
+                lines.append(f"{c} {cx:.6f} {cy:.6f} {w / imgsz:.6f} {h / imgsz:.6f}")
+            cv2.imwrite(str(root / "images" / split / f"{split}{i}.jpg"), im)
+            (root / "labels" / split / f"{split}{i}.txt").write_text("\n".join(lines) + "\n")
+
+    data = {
+        "path": str(root),
+        "train": "images/train",
+        "val": "images/val",
+        "names": {i: f"shape{i}" for i in range(nc)},
+    }
+    with open(root / "data.yaml", "w") as f:
+        yaml.safe_dump(data, f)
+    return root / "data.yaml"
+
+
+if __name__ == "__main__":
+    import sys
+
+    print(make_synth_dataset(sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth8"))

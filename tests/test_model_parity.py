@@ -12,18 +12,22 @@ import pytest
 from tests.conftest import load_fixture
 
 
-@pytest.fixture(scope="module")
-def fx():
-    return load_fixture("model_yolov8n.npz")
-
-
-def test_yolov8n_forward_parity(fx):
+@pytest.mark.parametrize(
+    "cfg,fixture",
+    [
+        ("yolov8n.yaml", "model_yolov8n.npz"),
+        ("yolov5s.yaml", "model_yolov5s.npz"),  # exercises C3 + Repeat stacking
+        ("yolov3-tiny.yaml", "model_yolov3tiny.npz"),  # MaxPool/ZeroPad, 2-scale head
+    ],
+)
+def test_forward_parity(cfg, fixture):
     import jax.numpy as jnp
 
     from ultralytics_pro_tpu.nn.tasks import DetectionModel
     from ultralytics_pro_tpu.utils.torch_import import load_torch_state_dict
 
-    model = DetectionModel("yolov8n.yaml")
+    fx = load_fixture(fixture)
+    model = DetectionModel(cfg)
     assert tuple(model.stride) == tuple(int(s) for s in fx["stride"])
 
     variables = model.init_params(imgsz=64)

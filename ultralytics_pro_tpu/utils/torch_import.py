@@ -69,6 +69,26 @@ def _convert_array(w: np.ndarray, target_shape) -> np.ndarray:
     return w
 
 
+def _resolve_split(flat, coll, path, leaf):
+    """Fallback for stacked-module children: a merged token like 'layers_4_0'
+    may correspond to flax ('layers_4', '0') when the layer is a Repeat of n
+    copies. Try splitting trailing _digit suffixes off each component."""
+    candidates = [tuple(path)]
+    for idx in range(len(path)):
+        tok = path[idx]
+        parts = tok.split("_")
+        # peel digit suffixes one at a time: cv2_0_1 -> (cv2_0, 1) -> (cv2, 0, 1)
+        for cut in range(len(parts) - 1, 0, -1):
+            if all(p.isdigit() for p in parts[cut:]):
+                cand = (*path[:idx], "_".join(parts[:cut]), *parts[cut:], *path[idx + 1:])
+                candidates.append(tuple(cand))
+    for cand in candidates:
+        fkey = (coll, (*cand, leaf))
+        if fkey in flat:
+            return fkey
+    return None
+
+
 def load_torch_state_dict(variables, state_dict: Dict[str, "object"], strict: bool = True):
     """Return a copy of flax `variables` with leaves replaced from a torch state_dict.
 
@@ -93,6 +113,8 @@ def load_torch_state_dict(variables, state_dict: Dict[str, "object"], strict: bo
         path, leaf, coll = torch_key_to_flax(tkey)
         fkey = (coll, (*path, leaf))
         if fkey not in flat:
+            fkey = _resolve_split(flat, coll, path, leaf)
+        if fkey is None:
             missing.append(tkey)
             continue
         w = np.asarray(w, dtype=np.float32)

@@ -1,11 +1,18 @@
 """End-to-end inference benchmark on real TPU hardware.
 
 Measures YOLOv8s @ 640 end-to-end device throughput (on-device preprocess ->
-forward -> decode -> batched NMS, fixed shapes) and prints ONE JSON line.
+forward -> decode -> batched NMS, fixed shapes, bf16) and prints ONE JSON line.
+
+Measurement notes: on this environment the TPU is reached through a tunnel
+where `block_until_ready` does NOT wait for real execution (verified: it
+reports 46x the chip's peak FLOPs on a calibration matmul); only host readback
+forces completion. So the benchmark chains ITERS data-dependent end-to-end
+passes inside ONE jitted fori_loop, reads back a single scalar, and subtracts
+the measured tunnel round-trip latency.
 
 Baseline: the reference stack's published A100 TensorRT figure for YOLOv8s is
-~2.66 ms/img (≈376 imgs/s, upstream ultralytics docs; the reference repo
-itself publishes no numbers — BASELINE.md). vs_baseline = our imgs/s / 376.
+~2.66 ms/img (≈376 imgs/s bs=1, upstream ultralytics docs; the reference repo
+itself publishes no numbers — see BASELINE.md). vs_baseline = our imgs/s / 376.
 """
 
 import json
@@ -29,11 +36,11 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
     model = DetectionModel("yolov8s.yaml", dtype=jnp.bfloat16)
     variables = model.init_params(imgsz=imgsz)
     nc = model.nc
 
-    @jax.jit
     def e2e(variables, img_u8):
         x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
         y, _ = model.module.apply(variables, x, train=False)
@@ -41,23 +48,44 @@ def main():
             y[..., :4], y[..., 4:4 + nc], conf_thres=0.25, iou_thres=0.45, max_det=300,
             max_nms=4096,
         )
-        return out["boxes"], out["scores"], out["cls"], out["valid"]
+        return out
+
+    @jax.jit
+    def e2e_chain(variables, img_u8):
+        """ITERS sequential e2e passes with a data dependency between them so
+        the device cannot overlap or elide them."""
+
+        def body(i, carry):
+            # fold the previous scalar into the input (value-neutral) to chain
+            x = img_u8 + (carry * 0).astype(jnp.uint8)
+            out = e2e(variables, x)
+            return out["scores"].sum().astype(jnp.float32) + carry * 0
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
 
-    # warmup / compile
-    r = e2e(variables, img)
-    jax.block_until_ready(r)
+    # compile + warm
+    float(np.asarray(e2e_chain(variables, img)))
+    float(np.asarray(trivial(jnp.float32(1.0))))
 
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    # tunnel round-trip latency (scalar readback of a trivial computation)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = e2e(variables, img)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
+    for _ in range(3):
+        float(np.asarray(trivial(jnp.float32(2.0))))
+    rtt = (time.perf_counter() - t0) / 3
 
-    imgs_per_sec = batch * iters / dt
+    t0 = time.perf_counter()
+    s = float(np.asarray(e2e_chain(variables, img)))
+    total = time.perf_counter() - t0
+
+    compute = max(total - rtt, 1e-9)
+    imgs_per_sec = batch * iters / compute
     print(json.dumps({
         "metric": "yolov8s-640 e2e imgs/sec/chip (preproc+fwd+decode+NMS, bf16)",
         "value": round(imgs_per_sec, 2),

@@ -9,8 +9,14 @@ import numpy as np
 import yaml
 
 
-def make_synth_dataset(root, n_images=8, imgsz=160, nc=3, seed=0, max_objects=4):
-    """images/{train,val} + labels/{train,val} + data.yaml under `root`."""
+def make_synth_dataset(root, n_images=8, imgsz=160, nc=3, seed=0, max_objects=4,
+                       task="detect"):
+    """images/{train,val} + labels/{train,val} + data.yaml under `root`.
+
+    task controls the label format written: detect (cls xywh), segment
+    (cls polygon), pose (cls xywh + 5 corner/center keypoints), obb
+    (cls 4 rotated corners).
+    """
     root = Path(root)
     rng = np.random.default_rng(seed)
     colors = [(255, 64, 64), (64, 255, 64), (64, 64, 255), (255, 255, 64), (64, 255, 255)]
@@ -27,15 +33,40 @@ def make_synth_dataset(root, n_images=8, imgsz=160, nc=3, seed=0, max_objects=4)
                 x = int(rng.integers(0, imgsz - w))
                 y = int(rng.integers(0, imgsz - h))
                 color = colors[c % len(colors)]
-                if c % 3 == 0:
+                if task == "obb":
+                    ang = float(rng.uniform(-60, 60))
+                    rect = ((x + w / 2, y + h / 2), (w, h), ang)
+                    pts = cv2.boxPoints(rect)
+                    pts = np.clip(pts, 2, imgsz - 2)
+                    cv2.fillPoly(im, [pts.astype(np.int32)], color)
+                    flat = (pts / imgsz).reshape(-1)
+                    lines.append(f"{c} " + " ".join(f"{v:.6f}" for v in flat))
+                    continue
+                if c % 3 == 0 or task == "segment":
                     cv2.rectangle(im, (x, y), (x + w, y + h), color, -1)
+                    poly = np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]], np.float32)
                 elif c % 3 == 1:
                     cv2.ellipse(im, (x + w // 2, y + h // 2), (w // 2, h // 2), 0, 0, 360, color, -1)
+                    poly = None
                 else:
                     pts = np.array([[x + w // 2, y], [x, y + h], [x + w, y + h]])
                     cv2.fillPoly(im, [pts], color)
+                    poly = pts.astype(np.float32)
                 cx, cy = (x + w / 2) / imgsz, (y + h / 2) / imgsz
-                lines.append(f"{c} {cx:.6f} {cy:.6f} {w / imgsz:.6f} {h / imgsz:.6f}")
+                if task == "segment":
+                    flat = (poly / imgsz).reshape(-1)
+                    lines.append(f"{c} " + " ".join(f"{v:.6f}" for v in flat))
+                elif task == "pose":
+                    kpts = np.array([
+                        [x, y, 2], [x + w, y, 2], [x + w, y + h, 2], [x, y + h, 2],
+                        [x + w / 2, y + h / 2, 2],
+                    ], np.float32)
+                    kpts[:, 0] /= imgsz
+                    kpts[:, 1] /= imgsz
+                    ks = " ".join(f"{a:.6f} {b:.6f} {int(v)}" for a, b, v in kpts)
+                    lines.append(f"{c} {cx:.6f} {cy:.6f} {w / imgsz:.6f} {h / imgsz:.6f} {ks}")
+                else:
+                    lines.append(f"{c} {cx:.6f} {cy:.6f} {w / imgsz:.6f} {h / imgsz:.6f}")
             cv2.imwrite(str(root / "images" / split / f"{split}{i}.jpg"), im)
             (root / "labels" / split / f"{split}{i}.txt").write_text("\n".join(lines) + "\n")
 
@@ -45,6 +76,8 @@ def make_synth_dataset(root, n_images=8, imgsz=160, nc=3, seed=0, max_objects=4)
         "val": "images/val",
         "names": {i: f"shape{i}" for i in range(nc)},
     }
+    if task == "pose":
+        data["kpt_shape"] = [5, 3]
     with open(root / "data.yaml", "w") as f:
         yaml.safe_dump(data, f)
     return root / "data.yaml"

@@ -77,15 +77,27 @@ class LetterBox:
         labels["img"] = img
         labels["ratio_pad"] = (ratio, (left, top))
         if "bboxes" in labels and len(labels["bboxes"]):
-            b = labels["bboxes"] * ratio[0]
-            b[:, [0, 2]] += left
-            b[:, [1, 3]] += top
+            b = labels["bboxes"].copy()
+            if b.shape[1] == 5:  # rotated xywhr: scale dims, shift center only
+                b[:, :4] *= ratio[0]
+                b[:, 0] += left
+                b[:, 1] += top
+            else:
+                b = b * ratio[0]
+                b[:, [0, 2]] += left
+                b[:, [1, 3]] += top
             labels["bboxes"] = b
         if labels.get("keypoints") is not None and len(labels["keypoints"]):
             k = labels["keypoints"].copy()
+            vis = k[..., 2:3] if k.shape[-1] == 3 else None
             k[..., 0] = k[..., 0] * ratio[0] + left
             k[..., 1] = k[..., 1] * ratio[1] + top
+            if vis is not None:  # invisible points stay at 0
+                k[..., :2] = np.where(vis > 0, k[..., :2], 0.0)
             labels["keypoints"] = k
+        if labels.get("segments") is not None:
+            labels["segments"] = [s * ratio[0] + np.array([left, top], np.float32)
+                                  for s in labels["segments"]]
         labels["resized_shape"] = img.shape[:2]
         return labels
 
@@ -127,23 +139,40 @@ class RandomFlip:
         img = labels["img"]
         h, w = img.shape[:2]
         boxes = labels.get("bboxes")
+        rotated = boxes is not None and len(boxes) and boxes.shape[1] == 5
         if self.direction == "horizontal":
             labels["img"] = np.fliplr(img)
             if boxes is not None and len(boxes):
-                x1 = boxes[:, 0].copy()
-                boxes[:, 0] = w - boxes[:, 2]
-                boxes[:, 2] = w - x1
+                if rotated:
+                    boxes[:, 0] = w - boxes[:, 0]
+                    boxes[:, 4] = -boxes[:, 4]
+                else:
+                    x1 = boxes[:, 0].copy()
+                    boxes[:, 0] = w - boxes[:, 2]
+                    boxes[:, 2] = w - x1
             if labels.get("keypoints") is not None and len(labels["keypoints"]):
                 k = labels["keypoints"]
+                vis = k[..., 2:3] if k.shape[-1] == 3 else None
                 k[..., 0] = w - k[..., 0]
+                if vis is not None:
+                    k[..., :2] = np.where(vis > 0, k[..., :2], 0.0)
                 if self.flip_idx is not None:
-                    labels["keypoints"] = k[:, self.flip_idx]
+                    k = k[:, self.flip_idx]
+                labels["keypoints"] = k
+            if labels.get("segments") is not None:
+                labels["segments"] = [np.stack([w - s[:, 0], s[:, 1]], 1) for s in labels["segments"]]
         else:
             labels["img"] = np.flipud(img)
             if boxes is not None and len(boxes):
-                y1 = boxes[:, 1].copy()
-                boxes[:, 1] = h - boxes[:, 3]
-                boxes[:, 3] = h - y1
+                if rotated:
+                    boxes[:, 1] = h - boxes[:, 1]
+                    boxes[:, 4] = -boxes[:, 4]
+                else:
+                    y1 = boxes[:, 1].copy()
+                    boxes[:, 1] = h - boxes[:, 3]
+                    boxes[:, 3] = h - y1
+            if labels.get("segments") is not None:
+                labels["segments"] = [np.stack([s[:, 0], h - s[:, 1]], 1) for s in labels["segments"]]
         return labels
 
 

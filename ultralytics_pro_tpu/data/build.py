@@ -20,29 +20,62 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
-def collate_detect(samples, max_gt: int = 128) -> Dict[str, np.ndarray]:
+def collate_detect(samples, max_gt: int = 128, mask_ratio: int = 4) -> Dict[str, np.ndarray]:
     """Stack label dicts into a fixed-shape batch. Boxes are renormalized to
     the letterboxed image (matching the reference Format transform,
-    augment.py:2017)."""
+    augment.py:2017). Handles optional keypoints (pose), segments->masks
+    (segment, rasterized at 1/mask_ratio), and rotated 5-col boxes (obb)."""
+    import cv2
+
     b = len(samples)
     s0 = samples[0]["img"]
     imgs = np.stack([s["img"] for s in samples])  # (B, H, W, 3) uint8 BGR
     h, w = s0.shape[:2]
+    rotated = len(samples[0].get("bboxes", np.zeros((0, 4)))) and samples[0]["bboxes"].shape[1] == 5
+    nb = 5 if rotated else 4
     cls = np.zeros((b, max_gt), np.float32)
-    bboxes = np.zeros((b, max_gt, 4), np.float32)
+    bboxes = np.zeros((b, max_gt, nb), np.float32)
     mask = np.zeros((b, max_gt), bool)
+    has_kpts = samples[0].get("keypoints") is not None
+    has_segs = samples[0].get("segments") is not None
+    kpts = None
+    masks = None
+    if has_kpts:
+        k = samples[0]["keypoints"].shape[1] if len(samples[0]["keypoints"]) else 17
+        kpts = np.zeros((b, max_gt, k, 3), np.float32)
+    if has_segs:
+        mh, mw = h // mask_ratio, w // mask_ratio
+        masks = np.zeros((b, max_gt, mh, mw), np.float32)
+
     for i, s in enumerate(samples):
         n = min(len(s["cls"]), max_gt)
-        if n:
-            xyxy = s["bboxes"][:n]
-            cx = (xyxy[:, 0] + xyxy[:, 2]) / 2 / w
-            cy = (xyxy[:, 1] + xyxy[:, 3]) / 2 / h
-            bw = (xyxy[:, 2] - xyxy[:, 0]) / w
-            bh = (xyxy[:, 3] - xyxy[:, 1]) / h
-            bboxes[i, :n] = np.stack([cx, cy, bw, bh], 1)
-            cls[i, :n] = s["cls"][:n]
-            mask[i, :n] = True
-    return {
+        if not n:
+            continue
+        bx = s["bboxes"][:n]
+        if rotated:
+            bboxes[i, :n, 0] = bx[:, 0] / w
+            bboxes[i, :n, 1] = bx[:, 1] / h
+            bboxes[i, :n, 2] = bx[:, 2] / w
+            bboxes[i, :n, 3] = bx[:, 3] / h
+            bboxes[i, :n, 4] = bx[:, 4]
+        else:
+            bboxes[i, :n, 0] = (bx[:, 0] + bx[:, 2]) / 2 / w
+            bboxes[i, :n, 1] = (bx[:, 1] + bx[:, 3]) / 2 / h
+            bboxes[i, :n, 2] = (bx[:, 2] - bx[:, 0]) / w
+            bboxes[i, :n, 3] = (bx[:, 3] - bx[:, 1]) / h
+        cls[i, :n] = s["cls"][:n]
+        mask[i, :n] = True
+        if has_kpts and len(s.get("keypoints", [])):
+            kk = s["keypoints"][:n].copy()
+            kk[..., 0] /= w
+            kk[..., 1] /= h
+            kpts[i, :n] = kk
+        if has_segs:
+            for j, poly in enumerate(s["segments"][:n]):
+                if len(poly) >= 3:
+                    cv2.fillPoly(masks[i, j], [(poly / mask_ratio).astype(np.int32)], 1.0)
+
+    out = {
         "img": imgs,
         "cls": cls,
         "bboxes": bboxes,
@@ -51,6 +84,11 @@ def collate_detect(samples, max_gt: int = 128) -> Dict[str, np.ndarray]:
         "ori_shapes": [s.get("ori_shape") for s in samples],
         "ratio_pads": [s.get("ratio_pad") for s in samples],
     }
+    if kpts is not None:
+        out["keypoints"] = kpts
+    if masks is not None:
+        out["masks"] = masks
+    return out
 
 
 def collate_classify(samples) -> Dict[str, np.ndarray]:

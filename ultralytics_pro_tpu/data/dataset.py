@@ -75,27 +75,79 @@ class YOLODataset:
         return files
 
     def get_labels(self) -> List[Dict]:
+        """Parse YOLO-format txt labels by task (reference data/utils.py
+        verify_image_label):
+        detect: cls cx cy w h | segment: cls x1 y1 ... (polygon) |
+        pose: cls cx cy w h kpts... | obb: cls x1 y1 x2 y2 x3 y3 x4 y4."""
         label_files = img2label_paths(self.im_files)
+        kpt_shape = tuple(self.data.get("kpt_shape", (17, 3)))
         labels = []
         for im_file, lb_file in zip(self.im_files, label_files):
+            rows = []
             if os.path.isfile(lb_file):
                 with open(lb_file) as f:
-                    lb = np.array(
-                        [x.split() for x in f.read().strip().splitlines() if len(x)],
-                        dtype=np.float32,
-                    )
-                if lb.size == 0:
-                    lb = np.zeros((0, 5), dtype=np.float32)
+                    rows = [x.split() for x in f.read().strip().splitlines() if len(x)]
+            entry = {"im_file": im_file}
+            if self.task == "segment":
+                cls, boxes, segments = [], [], []
+                for r in rows:
+                    pts = np.array(r[1:], np.float32).reshape(-1, 2)
+                    cls.append(float(r[0]))
+                    boxes.append(self._poly2xywh(pts))
+                    segments.append(pts)
+                entry["cls"] = np.array(cls, np.float32)
+                entry["bboxes_n"] = np.array(boxes, np.float32).reshape(-1, 4)
+                entry["segments_n"] = segments
+            elif self.task == "pose":
+                k, nd = kpt_shape
+                cls, boxes, kpts = [], [], []
+                for r in rows:
+                    v = np.array(r, np.float32)
+                    cls.append(v[0])
+                    boxes.append(v[1:5])
+                    kp = v[5:5 + k * nd].reshape(k, nd)
+                    if nd == 2:
+                        kp = np.concatenate([kp, 2 * np.ones((k, 1), np.float32)], 1)
+                    kpts.append(kp)
+                entry["cls"] = np.array(cls, np.float32)
+                entry["bboxes_n"] = np.array(boxes, np.float32).reshape(-1, 4)
+                entry["keypoints_n"] = (np.stack(kpts) if kpts
+                                        else np.zeros((0, k, 3), np.float32))
+            elif self.task == "obb":
+                cls, corners = [], []
+                for r in rows:
+                    pts = np.array(r[1:9], np.float32).reshape(4, 2)
+                    cls.append(float(r[0]))
+                    corners.append(pts)
+                entry["cls"] = np.array(cls, np.float32)
+                entry["corners_n"] = (np.stack(corners) if corners
+                                      else np.zeros((0, 4, 2), np.float32))
+                entry["bboxes_n"] = np.zeros((len(cls), 4), np.float32)  # unused for obb
             else:
-                lb = np.zeros((0, 5), dtype=np.float32)
-            if self.single_cls:
-                lb[:, 0] = 0
-            labels.append({
-                "im_file": im_file,
-                "cls": lb[:, 0],
-                "bboxes_n": lb[:, 1:5],  # normalized xywh as stored on disk
-            })
+                lb = np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+                entry["cls"] = lb[:, 0]
+                entry["bboxes_n"] = lb[:, 1:5]
+            if self.single_cls and len(entry["cls"]):
+                entry["cls"][:] = 0
+            labels.append(entry)
         return labels
+
+    @staticmethod
+    def _poly2xywh(pts):
+        x1, y1 = pts[:, 0].min(), pts[:, 1].min()
+        x2, y2 = pts[:, 0].max(), pts[:, 1].max()
+        return np.array([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], np.float32)
+
+    @staticmethod
+    def _poly2xywhr(pts):
+        """4 normalized corners -> (cx, cy, w, h, rad) via minAreaRect
+        (reference data converter xyxyxyxy2xywhr semantics)."""
+        (cx, cy), (w, h), angle = cv2.minAreaRect(pts.astype(np.float32))
+        rad = np.deg2rad(angle)
+        if w < h:  # canonicalize: long side = w, angle in [-pi/4, 3pi/4)
+            w, h = h, w
+            rad += np.pi / 2
+        return np.array([cx, cy, w, h, rad], np.float32)
 
     def update_labels(self, include_classes):
         """Keep only the requested classes (reference base.py:185)."""
@@ -120,28 +172,58 @@ class YOLODataset:
         return im, (h0, w0), im.shape[:2]
 
     def get_image_and_label(self, i: int) -> Dict:
-        """Label dict with pixel-xyxy boxes for the (resized) image."""
+        """Label dict with pixel-space annotations for the (resized) image."""
         im, ori_shape, resized = self.load_image(i)
         lb = self.labels[i]
         h, w = resized
         n = lb["bboxes_n"]
+        out = {
+            "img": im,
+            "cls": lb["cls"].copy(),
+            "im_file": lb["im_file"],
+            "ori_shape": ori_shape,
+            "resized_shape": resized,
+        }
+        if self.task == "obb":
+            # corners are stored normalized; convert to pixel space of the
+            # RESIZED image before minAreaRect so angles are undistorted
+            corners = lb["corners_n"]
+            rb = np.zeros((len(corners), 5), np.float32)
+            for j, pts in enumerate(corners):
+                rb[j] = self._poly2xywhr(pts * np.array([w, h], np.float32))
+            out["bboxes"] = rb
+            return out
         if len(n):
             cx, cy, bw, bh = n[:, 0] * w, n[:, 1] * h, n[:, 2] * w, n[:, 3] * h
             boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1)
         else:
             boxes = np.zeros((0, 4), np.float32)
-        return {
-            "img": im,
-            "cls": lb["cls"].copy(),
-            "bboxes": boxes.astype(np.float32),
-            "im_file": lb["im_file"],
-            "ori_shape": ori_shape,
-            "resized_shape": resized,
-        }
+        out["bboxes"] = boxes.astype(np.float32)
+        if "keypoints_n" in lb:
+            k = lb["keypoints_n"].copy()
+            if len(k):
+                k[..., 0] *= w
+                k[..., 1] *= h
+            out["keypoints"] = k
+        if "segments_n" in lb:
+            out["segments"] = [s * np.array([w, h], np.float32) for s in lb["segments_n"]]
+        return out
 
     # -- pipeline -------------------------------------------------------------
     def build_transforms(self) -> Compose:
         if self.augment:
+            if self.task in ("obb", "pose", "segment"):
+                # geometric zoo for these tasks lands with full instance-aware
+                # warps; train-time letterbox + flips keeps labels consistent
+                from ultralytics_pro_tpu.data.augment import RandomFlip, RandomHSV
+
+                return Compose([
+                    LetterBox((self.imgsz, self.imgsz), scaleup=True),
+                    RandomHSV(self.hyp.get("hsv_h", 0.015), self.hyp.get("hsv_s", 0.7),
+                              self.hyp.get("hsv_v", 0.4)),
+                    RandomFlip(p=self.hyp.get("fliplr", 0.5), direction="horizontal",
+                               flip_idx=self.data.get("flip_idx")),
+                ])
             pipeline = v8_transforms(self, self.imgsz, self.hyp)
             return Compose(pipeline.transforms + [LetterBox((self.imgsz, self.imgsz), scaleup=True)])
         return Compose([LetterBox((self.imgsz, self.imgsz), scaleup=False)])

@@ -88,35 +88,54 @@ class Model:
         return self.predict(source, stream, **kwargs)
 
     def val(self, data=None, **kwargs):
-        from ultralytics_pro_tpu.data.build import DataLoader
-        from ultralytics_pro_tpu.data.dataset import YOLODataset
-        from ultralytics_pro_tpu.data.utils import check_det_dataset
+        from ultralytics_pro_tpu.data.build import DataLoader, collate_classify
+        from ultralytics_pro_tpu.data.dataset import ClassificationDataset, YOLODataset
+        from ultralytics_pro_tpu.data.utils import check_cls_dataset, check_det_dataset
         from ultralytics_pro_tpu.models import task_map
 
         args = self._merged_args(**kwargs)
-        d = check_det_dataset(data or args.get("data") or TASK2DATA[self.task])
+        imgsz = int(args.get("imgsz", 640))
         if self.model.variables is None:
-            self.model.init_params(imgsz=int(args.get("imgsz", 640)))
-        self.model.names = d["names"]
-        dataset = YOLODataset(d[args.get("split", "val")], imgsz=int(args.get("imgsz", 640)),
-                              augment=False, data=d, task=self.task)
-        loader = DataLoader(dataset, batch_size=int(args.get("batch", 16)), shuffle=False,
-                            drop_last=False, max_gt=int(args.get("max_gt", 128)))
+            self.model.init_params(imgsz=imgsz)
+        if self.task == "classify":
+            d = check_cls_dataset(data or args.get("data"))
+            dataset = ClassificationDataset(d["val"], imgsz=imgsz, augment=False)
+            loader = DataLoader(dataset, batch_size=int(args.get("batch", 16)), shuffle=False,
+                                drop_last=False, collate_fn=collate_classify)
+        else:
+            d = check_det_dataset(data or args.get("data") or TASK2DATA[self.task])
+            self.model.names = d["names"]
+            dataset = YOLODataset(d[args.get("split", "val")], imgsz=imgsz,
+                                  augment=False, data=d, task=self.task)
+            loader = DataLoader(dataset, batch_size=int(args.get("batch", 16)), shuffle=False,
+                                drop_last=False, max_gt=int(args.get("max_gt", 128)))
         validator_cls = task_map[self.task]["validator"]
         validator = validator_cls(args)
         return validator(self.model, loader, names=d["names"])
 
     def train(self, data=None, **kwargs):
-        from ultralytics_pro_tpu.data.build import DataLoader
-        from ultralytics_pro_tpu.data.dataset import YOLODataset
-        from ultralytics_pro_tpu.data.utils import check_det_dataset
+        from ultralytics_pro_tpu.data.build import DataLoader, collate_classify
+        from ultralytics_pro_tpu.data.dataset import ClassificationDataset, YOLODataset
+        from ultralytics_pro_tpu.data.utils import check_cls_dataset, check_det_dataset
         from ultralytics_pro_tpu.models import task_map
 
         args = self._merged_args(**kwargs)
+        if self.task == "classify":
+            return self._train_classify(data, args)
         d = check_det_dataset(data or args.get("data") or TASK2DATA[self.task])
-        if d["nc"] != self.model.nc:
-            cls = TASK2MODELCLS[self.task]
-            self.model = cls(self.model.yaml, nc=d["nc"])
+        rebuild = d["nc"] != self.model.nc
+        if self.task == "pose" and d.get("kpt_shape"):
+            import copy
+
+            y = copy.deepcopy(self.model.yaml if isinstance(self.model.yaml, dict) else {})
+            for row in y.get("head", []):
+                if row[2] == "Pose" and list(row[3][1]) != list(d["kpt_shape"]):
+                    row[3] = [row[3][0], list(d["kpt_shape"])]
+                    rebuild = True
+            if rebuild:
+                self.model = TASK2MODELCLS[self.task](y, nc=d["nc"])
+        elif rebuild:
+            self.model = TASK2MODELCLS[self.task](self.model.yaml, nc=d["nc"])
         self.model.names = d["names"]
         imgsz = int(args.get("imgsz", 640))
         if self.model.variables is None:
@@ -147,6 +166,44 @@ class Model:
                     return None
 
         self.trainer.train(train_loader, val_fn=val_fn)
+        return getattr(self.trainer, "metrics", None)
+
+    def _train_classify(self, data, args):
+        from ultralytics_pro_tpu.data.build import DataLoader, collate_classify
+        from ultralytics_pro_tpu.data.dataset import ClassificationDataset
+        from ultralytics_pro_tpu.data.utils import check_cls_dataset
+        from ultralytics_pro_tpu.models import task_map
+
+        d = check_cls_dataset(data or args.get("data"))
+        if d["nc"] != self.model.nc:
+            cls = TASK2MODELCLS[self.task]
+            self.model = cls(self.model.yaml, nc=d["nc"])
+        self.model.names = d["names"]
+        imgsz = int(args.get("imgsz", 224))
+        if self.model.variables is None:
+            self.model.init_params(imgsz=imgsz)
+        args["imgsz"] = imgsz
+        train_set = ClassificationDataset(d["train"], imgsz=imgsz, augment=bool(args.get("augment", True)))
+        loader = DataLoader(train_set, batch_size=int(args.get("batch", 16)), shuffle=True,
+                            drop_last=True, collate_fn=collate_classify,
+                            workers=int(args.get("workers", 8)))
+        self.trainer = task_map["classify"]["trainer"](self.model, args)
+
+        val_fn = None
+        if args.get("val", True) and d.get("val"):
+            val_set = ClassificationDataset(d["val"], imgsz=imgsz, augment=False)
+            val_loader = DataLoader(val_set, batch_size=int(args.get("batch", 16)), shuffle=False,
+                                    drop_last=False, collate_fn=collate_classify)
+
+            def val_fn(model):
+                try:
+                    m = task_map["classify"]["validator"](args)(model, val_loader)
+                    return m.fitness
+                except Exception as e:
+                    LOGGER.info(f"val failed: {e}")
+                    return None
+
+        self.trainer.train(loader, val_fn=val_fn)
         return getattr(self.trainer, "metrics", None)
 
     @staticmethod

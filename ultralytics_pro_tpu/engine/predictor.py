@@ -180,3 +180,111 @@ class SegmentationPredictor(BasePredictor):
             )
             results.append(Results(im0, paths[i], self.model.names, boxes=data, masks=masks))
         return results
+
+
+class ClassificationPredictor(BasePredictor):
+    """Classify-task predictor: probs instead of boxes (reference
+    models/yolo/classify/predict.py)."""
+
+    def _build_jit(self):
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+
+        @jax.jit
+        def run(variables, img_u8):
+            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            return model.module.apply(variables, x, train=False)
+
+        return run
+
+    def preprocess(self, imgs):
+        import cv2
+
+        batch = [cv2.resize(im, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR) for im in imgs]
+        return np.stack(batch), [None] * len(imgs)
+
+    def stream_inference(self, source):
+        if self._jitted is None:
+            self._jitted = self._build_jit()
+        for path, im0 in self.load_images(source):
+            batch, _ = self.preprocess([im0])
+            probs = np.asarray(self._jitted(self.model.variables, batch))[0]
+            yield Results(im0, path, self.model.names, probs=probs)
+
+
+class PosePredictor(BasePredictor):
+    """Pose-task predictor: boxes + decoded keypoints (reference
+    models/yolo/pose/predict.py)."""
+
+    def postprocess(self, out, batch, im0s, paths):
+        results = []
+        h1, w1 = batch.shape[1:3]
+        for i, im0 in enumerate(im0s):
+            valid = out["valid"][i]
+            n = int(valid.sum())
+            boxes = np.asarray(scale_boxes((h1, w1), out["boxes"][i][:n], im0.shape[:2]))
+            data = np.concatenate(
+                [boxes, out["scores"][i][:n, None], out["cls"][i][:n, None].astype(np.float32)], 1
+            )
+            kpts = None
+            if "extra" in out and n:
+                k = out["extra"][i][:n]
+                nk = k.shape[-1] // 3 if k.shape[-1] % 3 == 0 else k.shape[-1] // 2
+                nd = k.shape[-1] // nk
+                k = k.reshape(n, nk, nd)
+                gain = min(h1 / im0.shape[0], w1 / im0.shape[1])
+                pad_w = round((w1 - im0.shape[1] * gain) / 2 - 0.1)
+                pad_h = round((h1 - im0.shape[0] * gain) / 2 - 0.1)
+                k = k.copy()
+                k[..., 0] = (k[..., 0] - pad_w) / gain
+                k[..., 1] = (k[..., 1] - pad_h) / gain
+                kpts = k
+            results.append(Results(im0, paths[i], self.model.names, boxes=data, keypoints=kpts))
+        return results
+
+
+class OBBPredictor(BasePredictor):
+    """OBB-task predictor: rotated NMS, Results.obb (reference
+    models/yolo/obb/predict.py)."""
+
+    def _build_jit(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ultralytics_pro_tpu.ops.nms import non_max_suppression_rotated
+
+        model = self.model
+        conf, iou, max_det = self.conf, self.iou, self.max_det
+        nc = model.nc
+
+        @jax.jit
+        def run(variables, img_u8):
+            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            y, aux = model.module.apply(variables, x, train=False)
+            rb = jnp.concatenate([y[..., :4], y[..., 4 + nc:5 + nc]], axis=-1)
+            return non_max_suppression_rotated(
+                rb, y[..., 4:4 + nc], conf_thres=conf, iou_thres=iou, max_det=max_det,
+            )
+
+        return run
+
+    def postprocess(self, out, batch, im0s, paths):
+        results = []
+        h1, w1 = batch.shape[1:3]
+        for i, im0 in enumerate(im0s):
+            valid = out["valid"][i]
+            n = int(valid.sum())
+            rb = out["rboxes"][i][:n].copy()
+            gain = min(h1 / im0.shape[0], w1 / im0.shape[1])
+            pad_w = round((w1 - im0.shape[1] * gain) / 2 - 0.1)
+            pad_h = round((h1 - im0.shape[0] * gain) / 2 - 0.1)
+            rb[:, 0] = (rb[:, 0] - pad_w) / gain
+            rb[:, 1] = (rb[:, 1] - pad_h) / gain
+            rb[:, 2:4] /= gain
+            data = np.concatenate(
+                [rb, out["scores"][i][:n, None], out["cls"][i][:n, None].astype(np.float32)], 1
+            )
+            results.append(Results(im0, paths[i], self.model.names, obb=data))
+        return results

@@ -287,7 +287,7 @@ class BaseTrainer:
     def put_batch(self, batch: Dict) -> Dict:
         """Host batch -> device arrays sharded over the data axis."""
         out = {}
-        for k in ("img", "cls", "bboxes", "mask_gt", "masks"):
+        for k in ("img", "cls", "bboxes", "mask_gt", "masks", "keypoints"):
             if k in batch and isinstance(batch[k], np.ndarray):
                 out[k] = jax.device_put(batch[k], self._data_sharding)
         return out
@@ -357,4 +357,61 @@ class SegmentationTrainer(BaseTrainer):
             hyp={"box": self.args.get("box", 7.5), "cls": self.args.get("cls", 0.5),
                  "dfl": self.args.get("dfl", 1.5)},
             overlap_mask=self.args.get("overlap_mask", True),
+        )
+
+
+class _ClassifyCriterion:
+    """Adapter: cross-entropy over (logits, batch['cls']) with the uniform
+    criterion(preds, batch, imgsz) interface."""
+
+    def __call__(self, preds, batch, imgsz_hw):
+        import jax
+
+        logp = jax.nn.log_softmax(preds, axis=-1)
+        labels = batch["cls"].astype(jnp.int32)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+        return nll * preds.shape[0], {"cls": nll}
+
+
+class ClassificationTrainer(BaseTrainer):
+    """Classify-task trainer (reference models/yolo/classify/train.py:202)."""
+
+    def criterion(self):
+        return _ClassifyCriterion()
+
+    def put_batch(self, batch):
+        out = {}
+        for k in ("img", "cls"):
+            if k in batch and isinstance(batch[k], np.ndarray):
+                out[k] = jax.device_put(batch[k], self._data_sharding)
+        return out
+
+
+class PoseTrainer(BaseTrainer):
+    """Pose-task trainer (reference models/yolo/pose/train.py:116)."""
+
+    def criterion(self):
+        from ultralytics_pro_tpu.utils.loss import v8PoseLoss
+
+        head = self.model._head_spec()
+        kpt_shape = dict(head.kwargs).get("kpt_shape", (17, 3))
+        return v8PoseLoss(
+            nc=self.model.nc, reg_max=16, strides=self.model.stride,
+            hyp={"box": self.args.get("box", 7.5), "cls": self.args.get("cls", 0.5),
+                 "dfl": self.args.get("dfl", 1.5), "pose": self.args.get("pose", 12.0),
+                 "kobj": self.args.get("kobj", 1.0)},
+            kpt_shape=kpt_shape,
+        )
+
+
+class OBBTrainer(BaseTrainer):
+    """OBB-task trainer (reference models/yolo/obb/train.py:79)."""
+
+    def criterion(self):
+        from ultralytics_pro_tpu.utils.loss import v8OBBLoss
+
+        return v8OBBLoss(
+            nc=self.model.nc, reg_max=16, strides=self.model.stride,
+            hyp={"box": self.args.get("box", 7.5), "cls": self.args.get("cls", 0.5),
+                 "dfl": self.args.get("dfl", 1.5)},
         )

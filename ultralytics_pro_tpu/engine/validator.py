@@ -112,5 +112,258 @@ class DetectionValidator:
 
 
 class SegmentationValidator(DetectionValidator):
-    """Adds mask TP matching (reference models/yolo/segment/val.py) — lands
-    with the segment train path."""
+    """Box + mask TP matching (reference models/yolo/segment/val.py:249)."""
+
+    def _build_jit(self, model):
+        import jax
+        import jax.numpy as jnp
+
+        from ultralytics_pro_tpu.ops.nms import non_max_suppression
+
+        conf, iou, max_det = self.conf, self.iou, self.max_det
+        nc = model.nc
+
+        @jax.jit
+        def run(variables, img_u8):
+            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            y, aux = model.module.apply(variables, x, train=False)
+            boxes, rest = y[..., :4], y[..., 4:]
+            out = non_max_suppression(
+                boxes, rest[..., :nc], extra=rest[..., nc:], conf_thres=conf,
+                iou_thres=iou, max_det=max_det, multi_label=True,
+            )
+            out["protos"] = aux["protos"]
+            return out
+
+        return run
+
+    def __call__(self, model, dataloader, names=None):
+        from ultralytics_pro_tpu.utils.metrics import SegmentMetrics
+
+        names = names or model.names
+        metrics = SegmentMetrics(names)
+        confusion = ConfusionMatrix(nc=len(names))
+        run = self._build_jit(model)
+        for batch in TQDM(dataloader, total=len(dataloader), desc="val"):
+            out = run(model.variables, batch["img"])
+            out = {k: np.asarray(v) for k, v in out.items()}
+            self.update_metrics(out, batch, metrics, confusion)
+        metrics.process()
+        self.print_results(metrics, names)
+        return metrics
+
+    def update_metrics(self, out, batch, metrics, confusion):
+        import jax.numpy as jnp
+
+        from ultralytics_pro_tpu.ops.masks import process_mask
+        from ultralytics_pro_tpu.utils.metrics import mask_iou_np
+
+        b = out["boxes"].shape[0]
+        h, w = batch["img"].shape[1:3]
+        mask_ratio = h // batch["masks"].shape[2] if "masks" in batch else 4
+        for i in range(b):
+            valid = out["valid"][i]
+            n = int(valid.sum())
+            pred_boxes = out["boxes"][i][:n]
+            pred_conf = out["scores"][i][:n]
+            pred_cls = out["cls"][i][:n].astype(np.float32)
+
+            gmask = batch["mask_gt"][i]
+            gt_n = batch["bboxes"][i][gmask]
+            gt_cls = batch["cls"][i][gmask]
+            cx, cy, bw, bh = gt_n[:, 0] * w, gt_n[:, 1] * h, gt_n[:, 2] * w, gt_n[:, 3] * h
+            gt_boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1) if len(gt_n) else np.zeros((0, 4))
+
+            iou = box_iou_np(gt_boxes, pred_boxes) if n and len(gt_boxes) else np.zeros((len(gt_boxes), n))
+            tp = match_predictions(pred_cls, gt_cls, iou)
+
+            tp_m = np.zeros_like(tp)
+            if n and len(gt_boxes) and "masks" in batch:
+                pm = np.asarray(process_mask(
+                    jnp.asarray(out["protos"][i]), jnp.asarray(out["extra"][i][:n]),
+                    jnp.asarray(pred_boxes), (h, w),
+                )) > 0.5  # (n, mh, mw)
+                gm = batch["masks"][i][gmask] > 0.5  # (m, mh, mw)
+                miou = mask_iou_np(gm.reshape(len(gm), -1).astype(np.float32),
+                                   pm.reshape(n, -1).astype(np.float32))
+                tp_m = match_predictions(pred_cls, gt_cls, miou)
+            metrics.update_stats(tp, pred_conf, pred_cls, gt_cls, tp_m=tp_m)
+
+    def print_results(self, metrics, names):
+        mp, mr, map50, map5095 = metrics.box.mean_results()
+        sm = metrics.seg.mean_results()
+        LOGGER.info(f"{'all':>12}  box mAP50 {map50:.3f} mAP {map5095:.3f} | mask mAP50 {sm[2]:.3f} mAP {sm[3]:.3f}")
+
+
+class PoseValidator(DetectionValidator):
+    """Box + OKS keypoint matching (reference models/yolo/pose/val.py:259)."""
+
+    def _build_jit(self, model):
+        import jax
+        import jax.numpy as jnp
+
+        from ultralytics_pro_tpu.ops.nms import non_max_suppression
+
+        conf, iou, max_det = self.conf, self.iou, self.max_det
+        nc = model.nc
+
+        @jax.jit
+        def run(variables, img_u8):
+            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            y, aux = model.module.apply(variables, x, train=False)
+            boxes, rest = y[..., :4], y[..., 4:]
+            return non_max_suppression(
+                boxes, rest[..., :nc], extra=rest[..., nc:], conf_thres=conf,
+                iou_thres=iou, max_det=max_det, multi_label=True,
+            )
+
+        return run
+
+    def __call__(self, model, dataloader, names=None):
+        from ultralytics_pro_tpu.utils.metrics import PoseMetrics
+
+        names = names or model.names
+        metrics = PoseMetrics(names)
+        confusion = ConfusionMatrix(nc=len(names))
+        run = self._build_jit(model)
+        self.kpt_shape = None
+        for batch in TQDM(dataloader, total=len(dataloader), desc="val"):
+            out = run(model.variables, batch["img"])
+            out = {k: np.asarray(v) for k, v in out.items()}
+            self.update_metrics(out, batch, metrics, confusion)
+        metrics.process()
+        mp, mr, map50, map5095 = metrics.box.mean_results()
+        pm = metrics.pose.mean_results()
+        LOGGER.info(f"{'all':>12}  box mAP50 {map50:.3f} | pose mAP50 {pm[2]:.3f}")
+        return metrics
+
+    def update_metrics(self, out, batch, metrics, confusion):
+        import numpy as np
+
+        from ultralytics_pro_tpu.ops.iou import kpt_iou
+
+        OKS_SIGMA = np.array([26, 25, 25, 35, 35, 79, 79, 72, 72, 62, 62, 107,
+                              107, 87, 87, 89, 89], np.float32) / 1000.0
+        b = out["boxes"].shape[0]
+        h, w = batch["img"].shape[1:3]
+        for i in range(b):
+            valid = out["valid"][i]
+            n = int(valid.sum())
+            pred_boxes = out["boxes"][i][:n]
+            pred_conf = out["scores"][i][:n]
+            pred_cls = out["cls"][i][:n].astype(np.float32)
+            pred_kpts = out.get("extra")
+            gmask = batch["mask_gt"][i]
+            gt_n = batch["bboxes"][i][gmask]
+            gt_cls = batch["cls"][i][gmask]
+            cx, cy, bw, bh = gt_n[:, 0] * w, gt_n[:, 1] * h, gt_n[:, 2] * w, gt_n[:, 3] * h
+            gt_boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1) if len(gt_n) else np.zeros((0, 4))
+
+            iou = box_iou_np(gt_boxes, pred_boxes) if n and len(gt_boxes) else np.zeros((len(gt_boxes), n))
+            tp = match_predictions(pred_cls, gt_cls, iou)
+            tp_p = np.zeros_like(tp)
+            if n and len(gt_boxes) and pred_kpts is not None and "keypoints" in batch:
+                k3 = batch["keypoints"][i][gmask].copy()  # (m, K, 3) normalized
+                k3[..., 0] *= w
+                k3[..., 1] *= h
+                nk = k3.shape[1]
+                pk = pred_kpts[i][:n].reshape(n, nk, -1)
+                sigma = OKS_SIGMA if nk == 17 else np.ones(nk, np.float32) / nk
+                area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]) * 0.53
+                oks = np.asarray(kpt_iou(k3, pk[..., :2], area, sigma))
+                tp_p = match_predictions(pred_cls, gt_cls, oks)
+            metrics.update_stats(tp, pred_conf, pred_cls, gt_cls, tp_p=tp_p)
+
+
+class OBBValidator(DetectionValidator):
+    """Rotated-box validation via probiou matching + rotated NMS (reference
+    models/yolo/obb/val.py:291)."""
+
+    def _build_jit(self, model):
+        import jax
+        import jax.numpy as jnp
+
+        from ultralytics_pro_tpu.ops.nms import non_max_suppression_rotated
+
+        conf, iou, max_det = self.conf, self.iou, self.max_det
+        nc = model.nc
+
+        @jax.jit
+        def run(variables, img_u8):
+            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            y, aux = model.module.apply(variables, x, train=False)
+            # y = [xywh, cls..., angle]
+            rb = jnp.concatenate([y[..., :4], y[..., 4 + nc:5 + nc]], axis=-1)
+            return non_max_suppression_rotated(
+                rb, y[..., 4:4 + nc], conf_thres=conf, iou_thres=iou, max_det=max_det,
+            )
+
+        return run
+
+    def __call__(self, model, dataloader, names=None):
+        from ultralytics_pro_tpu.utils.metrics import OBBMetrics
+
+        names = names or model.names
+        metrics = OBBMetrics(names)
+        run = self._build_jit(model)
+        for batch in TQDM(dataloader, total=len(dataloader), desc="val"):
+            out = run(model.variables, batch["img"])
+            out = {k: np.asarray(v) for k, v in out.items()}
+            self.update_metrics_rotated(out, batch, metrics)
+        metrics.process()
+        self.print_results(metrics, names)
+        return metrics
+
+    def update_metrics_rotated(self, out, batch, metrics):
+        import jax.numpy as jnp
+
+        from ultralytics_pro_tpu.ops.iou import batch_probiou
+
+        b = out["rboxes"].shape[0]
+        h, w = batch["img"].shape[1:3]
+        for i in range(b):
+            valid = out["valid"][i]
+            n = int(valid.sum())
+            pred_rb = out["rboxes"][i][:n]
+            pred_conf = out["scores"][i][:n]
+            pred_cls = out["cls"][i][:n].astype(np.float32)
+            gmask = batch["mask_gt"][i]
+            gt_rb = batch["bboxes"][i][gmask].copy()  # (m, 5) normalized xywh + rad
+            gt_cls = batch["cls"][i][gmask]
+            if len(gt_rb):
+                gt_rb[:, 0] *= w
+                gt_rb[:, 1] *= h
+                gt_rb[:, 2] *= w
+                gt_rb[:, 3] *= h
+            iou = (np.asarray(batch_probiou(jnp.asarray(gt_rb), jnp.asarray(pred_rb)))
+                   if n and len(gt_rb) else np.zeros((len(gt_rb), n)))
+            tp = match_predictions(pred_cls, gt_cls, iou)
+            metrics.update_stats(tp, pred_conf, pred_cls, gt_cls)
+
+
+class ClassificationValidator:
+    """top1/top5 over a classification dataloader (reference
+    models/yolo/classify/val.py:222)."""
+
+    def __init__(self, args=None):
+        self.args = dict(args or {})
+
+    def __call__(self, model, dataloader, names=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ultralytics_pro_tpu.utils.metrics import ClassifyMetrics
+
+        @jax.jit
+        def run(variables, img_u8):
+            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            return model.module.apply(variables, x, train=False)
+
+        metrics = ClassifyMetrics()
+        for batch in dataloader:
+            probs = np.asarray(run(model.variables, batch["img"]))
+            top5 = probs.argsort(-1)[:, ::-1][:, :5]
+            metrics.update(batch["cls"], top5)
+        metrics.process()
+        LOGGER.info(f"top1 {metrics.top1:.3f}  top5 {metrics.top5:.3f}")
+        return metrics

@@ -1,9 +1,27 @@
 """Task bindings: per-task {trainer, validator, predictor} (reference
 ultralytics/models/yolo/model.py:90 task_map)."""
 
-from ultralytics_pro_tpu.engine.predictor import DetectionPredictor, SegmentationPredictor
-from ultralytics_pro_tpu.engine.trainer import DetectionTrainer, SegmentationTrainer
-from ultralytics_pro_tpu.engine.validator import DetectionValidator, SegmentationValidator
+from ultralytics_pro_tpu.engine.predictor import (
+    ClassificationPredictor,
+    DetectionPredictor,
+    OBBPredictor,
+    PosePredictor,
+    SegmentationPredictor,
+)
+from ultralytics_pro_tpu.engine.trainer import (
+    ClassificationTrainer,
+    DetectionTrainer,
+    OBBTrainer,
+    PoseTrainer,
+    SegmentationTrainer,
+)
+from ultralytics_pro_tpu.engine.validator import (
+    ClassificationValidator,
+    DetectionValidator,
+    OBBValidator,
+    PoseValidator,
+    SegmentationValidator,
+)
 
 task_map = {
     "detect": {
@@ -16,20 +34,19 @@ task_map = {
         "validator": SegmentationValidator,
         "predictor": SegmentationPredictor,
     },
-    # classify/pose/obb bindings land with their train/val paths
     "classify": {
-        "trainer": DetectionTrainer,
-        "validator": DetectionValidator,
-        "predictor": DetectionPredictor,
+        "trainer": ClassificationTrainer,
+        "validator": ClassificationValidator,
+        "predictor": ClassificationPredictor,
     },
     "pose": {
-        "trainer": DetectionTrainer,
-        "validator": DetectionValidator,
-        "predictor": DetectionPredictor,
+        "trainer": PoseTrainer,
+        "validator": PoseValidator,
+        "predictor": PosePredictor,
     },
     "obb": {
-        "trainer": DetectionTrainer,
-        "validator": DetectionValidator,
-        "predictor": DetectionPredictor,
+        "trainer": OBBTrainer,
+        "validator": OBBValidator,
+        "predictor": OBBPredictor,
     },
 }

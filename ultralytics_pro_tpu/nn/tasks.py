@@ -223,7 +223,7 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
     for i, (f, n, m_name, args) in enumerate(layers_yaml):
         ctx["i"] = i
         n = max(round(n * depth), 1) if n > 1 else n
-        if m_name in HEAD_TYPES:
+        if m_name in HEAD_TYPES or m_name == "Classify":
             args = [nc if a == "nc" else a for a in args]
             if not args:
                 args = [nc]
@@ -286,21 +286,24 @@ def yaml_model_load(path) -> dict:
     Reference: tasks.py:3147.
     """
     path = Path(path)
-    name = path.stem
     d = yaml_load(find_model_yaml(path))
-    scale = None
-    # yolov8n.yaml -> unified yolov8.yaml with scale=n
-    import re
-
-    m = re.match(r"(.*?)([nslmx])?$", name)
-    if m and m.group(2):
-        base = m.group(1)
-        d_scales = d.get("scales", {})
-        if m.group(2) in d_scales:
-            scale = m.group(2)
+    # yolov8n-cls.yaml -> unified yolov8-cls.yaml with scale=n: the scale char
+    # rides the FIRST dash-token (yolov8n), never task suffixes like -cls.
+    base, scale = split_scale(path.stem)
+    if scale and scale not in d.get("scales", {}):
+        scale = None
     d["scale"] = scale or d.get("scale")
     d["yaml_file"] = str(path)
     return d
+
+
+def split_scale(stem: str):
+    """'yolov8n-seg' -> ('yolov8-seg', 'n'); 'yolo11x' -> ('yolo11', 'x')."""
+    parts = stem.split("-")
+    head = parts[0]
+    if head and head[-1] in "nslmx" and len(head) > 1 and head[-2].isdigit():
+        return "-".join([head[:-1], *parts[1:]]), head[-1]
+    return stem, None
 
 
 def find_model_yaml(path) -> Path:
@@ -309,11 +312,9 @@ def find_model_yaml(path) -> Path:
     if path.exists():
         return path
     # yolov8n.yaml -> cfg/models/v8/yolov8.yaml (strip scale char)
-    import re
-
-    stem = re.sub(r"([nslmx])(?=[-.])|([nslmx])$", "", path.stem)
-    candidates = list((PKG_ROOT / "cfg" / "models").rglob(f"{stem}.yaml"))
-    candidates += list((PKG_ROOT / "cfg" / "models").rglob(f"{path.stem}.yaml"))
+    stem, _ = split_scale(path.stem)
+    candidates = list((PKG_ROOT / "cfg" / "models").rglob(f"{path.stem}.yaml"))
+    candidates += list((PKG_ROOT / "cfg" / "models").rglob(f"{stem}.yaml"))
     if not candidates:
         raise FileNotFoundError(f"model YAML '{path}' not found (searched {PKG_ROOT / 'cfg' / 'models'})")
     return candidates[0]

@@ -125,6 +125,52 @@ def non_max_suppression(
     return jax.vmap(single)(boxes, scores, extra)
 
 
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms"))
+def non_max_suppression_rotated(
+    rboxes,
+    scores,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_nms: int = 4096,
+):
+    """Batched rotated NMS: probiou-greedy suppression over (B, A, 5) xywhr
+    boxes (reference utils/nms.py rotated path + TorchNMS semantics on
+    batch_probiou). Class-agnostic within candidate set like the reference's
+    rotated branch (class offsets don't apply to rotated boxes)."""
+    from ultralytics_pro_tpu.ops.iou import probiou
+
+    def single(rb, sc):
+        conf = sc.max(axis=-1)
+        cls_all = sc.argmax(axis=-1).astype(jnp.int32)
+        masked = jnp.where(conf > conf_thres, conf, -1.0)
+        k = min(max_nms, rb.shape[0])
+        top_scores, anchor_idx = jax.lax.top_k(masked, k)
+        cand = rb[anchor_idx]  # (K, 5)
+        cls_idx = cls_all[anchor_idx]
+
+        def body(i, carry):
+            s, keep_idx, keep_valid = carry
+            j = jnp.argmax(s)
+            sj = s[j]
+            iou = probiou(cand[j][None, :], cand)  # (K,)
+            s = jnp.where(iou > iou_thres, -1.0, s)
+            keep_idx = keep_idx.at[i].set(j)
+            keep_valid = keep_valid.at[i].set(sj > 0)
+            return s, keep_idx, keep_valid
+
+        init = (top_scores, jnp.zeros((max_det,), jnp.int32), jnp.zeros((max_det,), bool))
+        _, keep_idx, keep_valid = jax.lax.fori_loop(0, max_det, body, init)
+        return {
+            "rboxes": cand[keep_idx],
+            "scores": jnp.where(keep_valid, top_scores[keep_idx], 0.0),
+            "cls": jnp.where(keep_valid, cls_idx[keep_idx], 0),
+            "valid": keep_valid,
+        }
+
+    return jax.vmap(single)(rboxes, scores)
+
+
 def nms_indices(boxes, scores, iou_thres: float = 0.45, max_det: int = 300):
     """Plain single-class NMS on (K,4) xyxy + (K,) scores -> (keep_idx, valid).
 

@@ -210,6 +210,104 @@ class v8SegmentationLoss(v8DetectionLoss):
         return total, parts
 
 
+OKS_SIGMA = (
+    jnp.array([26, 25, 25, 35, 35, 79, 79, 72, 72, 62, 62, 107, 107, 87, 87, 89, 89]) / 1000.0
+)
+
+
+class v8PoseLoss(v8DetectionLoss):
+    """Detection loss + OKS keypoint location loss + visibility BCE
+    (reference loss.py:712, KeypointLoss:396). Dense/masked instead of
+    boolean-indexed; batch carries padded keypoints (b, G, K, ndim)."""
+
+    def __init__(self, *args, kpt_shape=(17, 3), **kwargs):
+        super().__init__(*args, **kwargs)
+        hyp = kwargs.get("hyp") or {}
+        self.kpt_shape = tuple(kpt_shape)
+        self.pose_gain = hyp.get("pose", 12.0)
+        self.kobj_gain = hyp.get("kobj", 1.0)
+        k = kpt_shape[0]
+        self.sigmas = OKS_SIGMA if tuple(kpt_shape) == (17, 3) else jnp.ones(k) / k
+
+    @staticmethod
+    def kpts_decode(anchor_points, pred_kpts):
+        """(A, 2), (b, A, K, ndim) -> grid-unit keypoints (loss-side decode,
+        reference loss.py:793)."""
+        xy = pred_kpts[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)
+        return jnp.concatenate([xy, pred_kpts[..., 2:]], axis=-1)
+
+    def __call__(self, preds, batch, imgsz_hw):
+        feats, pred_kpt_flat = preds["feats"], preds["kpt"]  # (b, A, nk)
+        pred_distri, pred_scores = self.flatten_preds(feats)
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(feat_shapes, self.strides, 0.5)
+
+        gt_labels, gt_bboxes, mask_gt = self.gt_to_pixels(batch, imgsz_hw)
+        mask_gt = mask_gt & (gt_bboxes.sum(-1) > 0)
+
+        pred_bboxes = self.bbox_decode(anchor_points, pred_distri)
+        b, a = pred_scores.shape[:2]
+        pred_kpts = self.kpts_decode(
+            anchor_points, pred_kpt_flat.reshape(b, a, *self.kpt_shape)
+        )
+
+        assign = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor),
+            anchor_points * stride_tensor,
+            gt_labels, gt_bboxes, mask_gt,
+        )
+        target_bboxes = assign.target_bboxes / stride_tensor
+        target_scores = assign.target_scores
+        fg_mask = assign.fg_mask
+        target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+        loss_cls = bce_logits(pred_scores, target_scores).sum() / target_scores_sum
+        loss_box, loss_dfl = self.bbox_loss(
+            pred_distri, pred_bboxes, anchor_points, target_bboxes, target_scores,
+            target_scores_sum, fg_mask,
+        )
+
+        # keypoint losses (reference calculate_keypoints_loss, loss.py:806)
+        h, w = imgsz_hw
+        gt_kpts = batch["keypoints"]  # (b, G, K, ndim) normalized
+        scale = jnp.array([w, h], jnp.float32)
+        gt_kpts = jnp.concatenate([gt_kpts[..., :2] * scale, gt_kpts[..., 2:]], -1)
+        k, nd = self.kpt_shape
+        idx = jnp.broadcast_to(assign.target_gt_idx[..., None, None], (b, a, k, gt_kpts.shape[-1]))
+        sel = jnp.take_along_axis(gt_kpts, idx, axis=1)  # (b, A, K, nd)
+        sel = jnp.concatenate([sel[..., :2] / stride_tensor[None, :, None, :], sel[..., 2:]], -1)
+
+        area = (
+            (target_bboxes[..., 2] - target_bboxes[..., 0])
+            * (target_bboxes[..., 3] - target_bboxes[..., 1])
+        )[..., None]  # (b, A, 1) grid units
+        d = (pred_kpts[..., 0] - sel[..., 0]) ** 2 + (pred_kpts[..., 1] - sel[..., 1]) ** 2
+        kpt_mask = (sel[..., 2] != 0) if nd == 3 else jnp.ones_like(sel[..., 0], dtype=bool)
+        kpt_loss_factor = k / (kpt_mask.sum(-1, keepdims=True) + 1e-9)  # (b, A, 1)
+        e = d / ((2 * self.sigmas) ** 2) / (area + 1e-9) / 2
+        per_elem = kpt_loss_factor * (1 - jnp.exp(-e)) * kpt_mask
+        n_fg = jnp.maximum(fg_mask.sum(), 1.0)
+        loss_pose = (per_elem * fg_mask[..., None]).sum() / (n_fg * k)
+
+        if nd == 3:
+            kobj = bce_logits(pred_kpts[..., 2], kpt_mask.astype(jnp.float32))
+            loss_kobj = (kobj * fg_mask[..., None]).sum() / (n_fg * k)
+        else:
+            loss_kobj = jnp.zeros(())
+
+        batch_size = b
+        parts = {
+            "box": loss_box * self.box_gain,
+            "pose": loss_pose * self.pose_gain,
+            "kobj": loss_kobj * self.kobj_gain,
+            "cls": loss_cls * self.cls_gain,
+            "dfl": loss_dfl * self.dfl_gain,
+        }
+        total = sum(parts.values()) * batch_size
+        return total, parts
+
+
 class v8ClassificationLoss:
     """Cross-entropy classify criterion (reference loss.py:873)."""
 

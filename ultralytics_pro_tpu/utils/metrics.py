@@ -376,3 +376,10 @@ class ConfusionMatrix:
         tp = self.matrix.diagonal()
         fp = self.matrix.sum(1) - tp
         return tp[:-1], fp[:-1]
+
+
+def mask_iou_np(mask1: np.ndarray, mask2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Pairwise IoU of flattened binary masks (N,HW) x (M,HW) -> (N,M), numpy."""
+    inter = mask1 @ mask2.T
+    union = mask1.sum(-1)[:, None] + mask2.sum(-1)[None, :] - inter
+    return inter / (union + eps)

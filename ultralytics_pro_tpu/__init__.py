@@ -9,7 +9,7 @@ whole postprocess path, bf16 on the MXU, and Orbax checkpointing.
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "Model", "__version__"]
+__all__ = ["YOLO", "Model", "RTDETR", "__version__"]
 
 
 def __getattr__(name):
@@ -18,4 +18,8 @@ def __getattr__(name):
         from ultralytics_pro_tpu.engine import model as _model
 
         return getattr(_model, name)
+    if name == "RTDETR":
+        from ultralytics_pro_tpu.models.rtdetr import RTDETR
+
+        return RTDETR
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ultralytics_pro_tpu.utils import LOGGER, TQDM, colorstr, increment_path
+from ultralytics_pro_tpu.utils.callbacks import CallbackMixin, csv_logger_callbacks
 
 
 def param_group(path_tuple) -> int:
@@ -69,7 +70,7 @@ class EarlyStopping:
         return stop
 
 
-class BaseTrainer:
+class BaseTrainer(CallbackMixin):
     """Task-agnostic training loop; subclasses provide criterion + validator."""
 
     def __init__(self, model, args: Dict):
@@ -101,6 +102,9 @@ class BaseTrainer:
         self.weight_decay *= self.batch_size * self.accumulate / self.nbs
 
         self.stopper = EarlyStopping(patience=int(args.get("patience", 100)))
+        self.init_callbacks()
+        for event, cb in csv_logger_callbacks(self.save_dir).items():
+            self.add_callback(event, cb)
         self.best_fitness = 0.0
         self.start_epoch = 0
         self.mesh = self._make_mesh()
@@ -226,9 +230,12 @@ class BaseTrainer:
         last_opt_step = -1
 
         LOGGER.info(colorstr("green", "bold", f"Starting training for {self.epochs} epochs..."))
+        self.run_callbacks("on_train_start")
         t0 = time.time()
         ni = 0
         for epoch in range(self.start_epoch, self.epochs):
+            self._epoch = epoch
+            self.run_callbacks("on_train_epoch_start")
             if epoch == self.epochs - self.close_mosaic:
                 LOGGER.info("Closing dataloader mosaic")
                 train_loader.reset()
@@ -266,6 +273,8 @@ class BaseTrainer:
             params, batch_stats, mom_buf, ema, ema_updates = state
             self.model.variables = {"params": jax.device_get(ema), "batch_stats": jax.device_get(batch_stats)}
             fitness = val_fn(self.model) if val_fn is not None else None
+            self.last_fitness = fitness
+            self.run_callbacks("on_fit_epoch_end")
             nan_loss = any(not np.isfinite(v) for v in self.epoch_losses.values())
             if nan_loss:
                 LOGGER.info("warning: non-finite loss this epoch")
@@ -278,6 +287,7 @@ class BaseTrainer:
                 + (f" fitness={fitness:.4f}" if fitness is not None else "")
             )
 
+        self.run_callbacks("on_train_end")
         LOGGER.info(f"training complete in {(time.time() - t0) / 3600:.3f} hours; results in {self.save_dir}")
         # leave the EMA weights on the model
         params, batch_stats, mom_buf, ema, _ = state

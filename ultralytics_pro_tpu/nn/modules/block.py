@@ -500,3 +500,26 @@ class ResNetLayer(ConvBase):
         for i in range(1, self.n):
             x = ResNetBlock(c2=self.c2, s=1, e=self.e, dtype=self.dtype, name=f"b{i}")(x, train)
         return x
+
+
+class RepC3(ConvBase):
+    """C3 with RepConv inner blocks (reference block.py RepC3, used by RT-DETR
+    CCFF neck)."""
+
+    c2: int = 0
+    n: int = 3
+    e: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.conv import RepConv
+
+        c_ = int(self.c2 * self.e)
+        a = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = RepConv(c2=c_, k=3, dtype=self.dtype, name=f"m_{i}")(a, train)
+        y = a + b
+        if c_ != self.c2:
+            y = Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(y, train)
+        return y

@@ -311,3 +311,28 @@ class ZeroPad2d(ConvBase):
     def __call__(self, x, train: bool = False):
         l, r, t, b = self.padding
         return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
+class RepConv(ConvBase):
+    """RepVGG-style conv: train-time 3x3 + 1x1 (+identity BN) branches summed,
+    fusable to a single 3x3 at deploy (reference conv.py:587). The fusion is a
+    pure param transform; training keeps the multi-branch form."""
+
+    c2: int = 0
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    act: Any = True
+    bn_identity: bool = False  # identity-BN branch when c1==c2 and s==1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = (Conv(c2=self.c2, k=self.k, s=self.s, g=self.g, act=False, dtype=self.dtype,
+                  name="conv1")(x, train)
+             + Conv(c2=self.c2, k=1, s=self.s, p=0, g=self.g, act=False, dtype=self.dtype,
+                    name="conv2")(x, train))
+        if self.bn_identity and x.shape[-1] == self.c2 and self.s == 1:
+            y = y + nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                                 use_fast_variance=False, epsilon=BN_EPS,
+                                 dtype=self.dtype, name="bn")(x)
+        return apply_act(y, self.act)

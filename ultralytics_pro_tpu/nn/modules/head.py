@@ -203,3 +203,111 @@ class Classify(ConvBase):
         if train:
             return logits
         return jax.nn.softmax(logits, axis=-1)
+
+
+class RTDETRDecoder(ConvBase):
+    """RT-DETR decoder head (reference head.py:1905): flatten multiscale
+    features, pick top-nq encoder queries, refine through a deformable
+    transformer decoder with per-layer box/score heads.
+
+    Output boxes are normalized cxcywh (the RT-DETR convention; the validator
+    scales to pixels — no NMS anywhere).
+    """
+
+    nc: int = 80
+    hd: int = 256  # hidden dim
+    nq: int = 300  # queries
+    ndl: int = 6  # decoder layers
+    nh: int = 8
+    ndp: int = 4  # sampling points
+    d_ffn: int = 1024
+    strides: Tuple[int, ...] = (8, 16, 32)  # kept for BaseModel stride probing
+    legacy: bool = True  # unused; Detect-compat
+
+    def _anchors(self, shapes, grid_size: float = 0.05, eps: float = 1e-2):
+        """Grid anchors per level in logit space + validity mask (reference
+        head.py:2078)."""
+        anchors = []
+        for i, (h, w) in enumerate(shapes):
+            sy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            sx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            gy, gx = jnp.meshgrid(sy, sx, indexing="ij")
+            xy = jnp.stack([gx, gy], -1).reshape(h * w, 2)
+            wh = jnp.full((h * w, 2), grid_size * (2.0**i), jnp.float32)
+            anchors.append(jnp.concatenate([xy, wh], -1))
+        anchors = jnp.concatenate(anchors, 0)[None]  # (1, A, 4)
+        valid = ((anchors > eps) & (anchors < 1 - eps)).all(-1, keepdims=True)
+        anchors = jnp.log(anchors / (1 - anchors))
+        anchors = jnp.where(valid, anchors, jnp.inf)
+        return anchors, valid.astype(jnp.float32)
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.conv import Conv
+        from ultralytics_pro_tpu.nn.modules.transformer import (
+            DeformableTransformerDecoderLayer,
+            MLP,
+        )
+
+        b = feats[0].shape[0]
+        shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
+        # input projections (reference input_proj)
+        tokens = []
+        for i, f in enumerate(feats):
+            t = Conv(c2=self.hd, k=1, act=False, dtype=self.dtype, name=f"input_proj_{i}")(f, train)
+            tokens.append(t.reshape(b, -1, self.hd))
+        memory = jnp.concatenate(tokens, 1)  # (B, A, hd)
+
+        anchors, valid_mask = self._anchors(shapes)
+        enc = nn.LayerNorm(dtype=self.dtype, name="enc_output_norm")(
+            nn.Dense(self.hd, dtype=self.dtype, name="enc_output")(memory * valid_mask)
+        )
+        enc_scores = nn.Dense(self.nc, dtype=self.dtype, name="enc_score_head")(enc)  # (B, A, nc)
+
+        # top-nq query selection by max class logit (reference head.py:2143)
+        nq = min(self.nq, enc_scores.shape[1])  # tiny images have < nq anchors
+        topv, topi = jax.lax.top_k(enc_scores.max(-1), nq)  # (B, nq)
+        feat_sel = jnp.take_along_axis(enc, topi[..., None], axis=1)  # (B, nq, hd)
+        anc_sel = jnp.take_along_axis(jnp.broadcast_to(anchors, (b, anchors.shape[1], 4)),
+                                      topi[..., None], axis=1)
+        enc_box_delta = MLP(hidden_dim=self.hd, output_dim=4, num_layers=3,
+                            dtype=self.dtype, name="enc_bbox_head")(feat_sel)
+        refer_logit = enc_box_delta + anc_sel
+        refer_bbox = jax.nn.sigmoid(refer_logit)  # (B, nq, 4) cxcywh
+        enc_topk_scores = jnp.take_along_axis(enc_scores, topi[..., None], axis=1)
+
+        embed = jax.lax.stop_gradient(feat_sel)
+        bbox = refer_bbox
+
+        # query_pos_head is SHARED across decoder layers (reference head.py)
+        query_pos_head = MLP(hidden_dim=2 * self.hd, output_dim=self.hd, num_layers=2,
+                             dtype=self.dtype, name="query_pos_head")
+        dec_bboxes = []
+        dec_scores = []
+        for i in range(self.ndl):
+            qpos = query_pos_head(bbox)
+            embed = DeformableTransformerDecoderLayer(
+                d_model=self.hd, n_heads=self.nh, d_ffn=self.d_ffn,
+                n_levels=len(feats), n_points=self.ndp, dtype=self.dtype,
+                name=f"decoder_layer_{i}",
+            )(embed, jax.lax.stop_gradient(bbox), tokens, shapes, query_pos=qpos, train=train)
+            delta = MLP(hidden_dim=self.hd, output_dim=4, num_layers=3,
+                        dtype=self.dtype, name=f"dec_bbox_head_{i}")(embed)
+            logit_prev = jnp.log(bbox / (1 - bbox + 1e-9) + 1e-9)
+            bbox = jax.nn.sigmoid(delta + logit_prev)
+            score = nn.Dense(self.nc, dtype=self.dtype, name=f"dec_score_head_{i}")(embed)
+            dec_bboxes.append(bbox)
+            dec_scores.append(score)
+            if train:
+                bbox = jax.lax.stop_gradient(bbox)
+
+        aux = {
+            "dec_bboxes": jnp.stack(dec_bboxes),  # (ndl, B, nq, 4)
+            "dec_scores": jnp.stack(dec_scores),
+            "enc_bboxes": refer_bbox,
+            "enc_scores": enc_topk_scores,
+        }
+        if train:
+            return aux
+        y = jnp.concatenate([dec_bboxes[-1], jax.nn.sigmoid(dec_scores[-1])], -1)
+        return y, aux

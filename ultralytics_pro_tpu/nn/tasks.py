@@ -70,10 +70,18 @@ def _sc(c, width, max_ch):
 
 
 def _conv_like(cls):
+    # torch Conv signature order: (c1,) c2, k, s, p, g, d, act
     def build(args, n, w, d, mx, ctx):
         return cls, _kw(c2=_sc(args[0], w, mx), k=_a(args, 1, 1), s=_a(args, 2, 1),
-                       p=_a(args, 3, None), g=_a(args, 4, 1))
+                       p=_a(args, 3, None), g=_a(args, 4, 1), d=_a(args, 5, 1),
+                       act=_a(args, 6, True))
     return build
+
+
+def _build_dwconv(args, n, w, d, mx, ctx):
+    # torch DWConv signature order: (c1,) c2, k, s, d, act
+    return M.DWConv, _kw(c2=_sc(args[0], w, mx), k=_a(args, 1, 1), s=_a(args, 2, 1),
+                         d=_a(args, 3, 1), act=_a(args, 4, True))
 
 
 def _csp_like(cls, shortcut_default=True, has_g=True):
@@ -101,6 +109,14 @@ def _build_c2fcib(args, n, w, d, mx, ctx):
                          lk=_a(args, 2, False))
 
 
+def _build_rtdetr_decoder(args, n, w, d, mx, ctx):
+    from ultralytics_pro_tpu.nn.modules.head import RTDETRDecoder
+
+    ctx["head_index"] = ctx["i"]
+    return RTDETRDecoder, _kw(nc=args[0], hd=_a(args, 1, 256), nq=_a(args, 2, 300),
+                              ndl=_a(args, 3, 6))
+
+
 def _build_head(cls):
     def build(args, n, w, d, mx, ctx):
         kw = dict(nc=args[0], legacy=ctx.get("legacy", True))
@@ -118,9 +134,11 @@ def _build_head(cls):
 
 BUILDERS: Dict[str, Callable] = {
     "Conv": _conv_like(M.Conv),
-    "DWConv": _conv_like(M.DWConv),
-    "Focus": _conv_like(M.Focus),
-    "GhostConv": _conv_like(M.GhostConv),
+    "DWConv": _build_dwconv,
+    "Focus": lambda a, n, w, d, mx, ctx: (M.Focus, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1),
+                                                      s=_a(a, 2, 1), p=_a(a, 3, None), g=_a(a, 4, 1))),
+    "GhostConv": lambda a, n, w, d, mx, ctx: (M.GhostConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1),
+                                                               s=_a(a, 2, 1), g=_a(a, 3, 1))),
     "ConvTranspose": lambda a, n, w, d, mx, ctx: (
         M.ConvTranspose, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 2), s=_a(a, 2, 2), p=_a(a, 3, 0))),
     "LightConv": lambda a, n, w, d, mx, ctx: (M.LightConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1))),
@@ -160,6 +178,16 @@ BUILDERS: Dict[str, Callable] = {
     "nn.MaxPool2d": lambda a, n, w, d, mx, ctx: (
         M.MaxPool2d, _kw(k=a[0], s=_a(a, 1, None) or a[0], p=_a(a, 2, 0))),
     "nn.ZeroPad2d": lambda a, n, w, d, mx, ctx: (M.ZeroPad2d, _kw(padding=tuple(a[0]))),
+    "RepConv": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.conv", fromlist=["RepConv"]).RepConv,
+        _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "RepC3": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.block", fromlist=["RepC3"]).RepC3,
+        _kw(c2=_sc(a[0], w, mx), n=n, e=_a(a, 1, 1.0))),
+    "AIFI": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.transformer", fromlist=["AIFI"]).AIFI,
+        _kw(cm=_a(a, 0, 1024), num_heads=_a(a, 1, 8))),
+    "RTDETRDecoder": _build_rtdetr_decoder,
     "Detect": _build_head(M.Detect),
     "Segment": _build_head(M.Segment),
     "OBB": _build_head(M.OBB),
@@ -223,7 +251,12 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
     for i, (f, n, m_name, args) in enumerate(layers_yaml):
         ctx["i"] = i
         n = max(round(n * depth), 1) if n > 1 else n
-        if m_name in HEAD_TYPES or m_name == "Classify":
+        # YAML literals: 'None'/'True'/'False' arrive as strings (the reference
+        # eval()s them, tasks.py:2437); map them to python values.
+        _lit = {"None": None, "True": True, "False": False, "none": None,
+                "true": True, "false": False}
+        args = [_lit.get(a, a) if isinstance(a, str) else a for a in args]
+        if m_name in HEAD_TYPES or m_name in ("Classify", "RTDETRDecoder"):
             args = [nc if a == "nc" else a for a in args]
             if not args:
                 args = [nc]
@@ -434,6 +467,8 @@ def guess_model_task(cfg) -> str:
         return "pose"
     if "OBB" in names:
         return "obb"
+    if "RTDETRDecoder" in names:
+        return "detect"
     if "Classify" in names:
         return "classify"
     return "detect"

@@ -1,0 +1,77 @@
+"""Attention-zoo modules: deformable sampling correctness + module forwards +
+the yolov8-att model build (BASELINE config #5)."""
+
+import numpy as np
+import pytest
+
+
+def test_deform_conv2d_zero_offsets_equals_conv():
+    """With zero offsets and all-ones mask, deformable conv == standard conv."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.ops.deform import deform_conv2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 9, 9, 6)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 4)), jnp.float32)
+    offsets = jnp.zeros((2, 9, 9, 18))
+    mask = jnp.ones((2, 9, 9, 9))
+    got = jax.jit(lambda x, w: deform_conv2d(x, offsets, w, mask=mask, padding=1))(x, w)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_deform_conv2d_shift_offsets():
+    """A constant integer offset shifts the sampled field exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.ops.deform import deform_conv2d
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+    w = jnp.zeros((3, 3, 3, 3))
+    w = w.at[1, 1].set(jnp.eye(3))  # identity 1-tap kernel
+    # shift by (dy=0, dx=1): output(y, x) = input(y, x+1)
+    offsets = jnp.zeros((1, 8, 8, 18)).at[..., 2 * 4 + 1].set(1.0)  # tap 4 = center
+    got = deform_conv2d(x, offsets, w, padding=1)
+    want = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:, :]
+    np.testing.assert_allclose(np.asarray(got)[:, :, :-1], np.asarray(want)[:, :, :-1], atol=1e-5)
+
+
+@pytest.mark.parametrize("name", [
+    "MHSA", "BoT3", "CoordAtt", "DCNv2", "C2f_DCN", "C3_DCN", "deformable_LKA",
+    "deformable_LKA_Attention", "C2f_DLKA", "SEAttention", "ECAAttention", "SimAM", "EMA",
+])
+def test_attention_module_forward(name):
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.modules import attention as A
+
+    cls = getattr(A, name)
+    kwargs = {}
+    if hasattr(cls, "c2"):
+        kwargs["c2"] = 32
+    m = cls(**kwargs)
+    x = jnp.zeros((1, 16, 16, 32))
+    v = jax.jit(lambda x: m.init(jax.random.PRNGKey(0), x, train=False))(x)
+    y = m.apply(v, x, train=False)
+    assert y.shape[0] == 1 and y.shape[1] == 16 and y.shape[2] == 16
+
+
+def test_yolov8_att_model_builds():
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel("yolov8n-att.yaml")
+    assert tuple(m.stride) == (8, 16, 32)
+    v = m.init_params(imgsz=64)
+    x = jnp.zeros((1, 64, 64, 3))
+    y, aux = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
+    assert y.shape[-1] == 84

@@ -1,0 +1,47 @@
+"""Export round-trips: stablehlo serialize/deserialize and ckpt reload produce
+the same predictions as the live model."""
+
+import numpy as np
+import pytest
+
+
+def test_stablehlo_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu import YOLO
+    from ultralytics_pro_tpu.engine.exporter import AutoBackend
+
+    m = YOLO("yolov8n.yaml")
+    m.model.init_params(imgsz=64)
+    out = m.export(format="stablehlo", imgsz=64, batch=1, name=str(tmp_path / "m"))
+    assert out.endswith(".stablehlo")
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    backend = AutoBackend(out).warmup((1, 64, 64, 3))
+    y_exported = backend(img)
+
+    x = jnp.asarray(img)
+    y_live, _ = m.model.apply(m.model.variables, x[..., ::-1].astype(jnp.float32) / 255.0, train=False)
+    np.testing.assert_allclose(y_exported, np.asarray(y_live), atol=1e-4, rtol=1e-4)
+    assert backend.metadata["nc"] == 80
+
+
+def test_export_ckpt_and_reload(tmp_path):
+    from ultralytics_pro_tpu import YOLO
+    from ultralytics_pro_tpu.engine.exporter import AutoBackend
+
+    m = YOLO("yolov8n.yaml")
+    m.model.init_params(imgsz=64)
+    out = m.export(format="ckpt", imgsz=64, name=str(tmp_path / "m"))
+    backend = AutoBackend(out)
+    y = backend(np.zeros((1, 64, 64, 3), np.uint8))
+    assert y.shape[-1] == 84
+
+
+def test_unsupported_format_message():
+    from ultralytics_pro_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    with pytest.raises(NotImplementedError, match="stablehlo"):
+        m.export(format="onnx")

@@ -1,0 +1,72 @@
+"""Model-zoo build+forward smokes across families (v3/v5/v8/v9/v10/v11/v12,
+rtdetr, task variants)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("cfg,nc_extra", [
+    ("yolov3-tiny.yaml", 0),
+    ("yolov5n.yaml", 0),
+    ("yolov8n.yaml", 0),
+    ("yolov9c.yaml", 0),
+    ("yolo11n.yaml", 0),
+    ("yolo12n.yaml", 0),
+])
+def test_detect_family_forward(cfg, nc_extra):
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel(cfg)
+    v = m.init_params(imgsz=64)
+    y, aux = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, jnp.zeros((1, 64, 64, 3)))
+    assert y.shape[-1] == 84 + nc_extra
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_yolov10_end2end_forward_and_loss():
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.tasks import DetectionModel
+    from ultralytics_pro_tpu.utils.loss import E2EDetectLoss
+
+    m = DetectionModel("yolov10n.yaml")
+    v = m.init_params(imgsz=64)
+    x = jnp.zeros((2, 64, 64, 3))
+    # eval: NMS-free (B, max_det, 6)
+    y, aux = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
+    assert y.shape == (2, 84, 6) or y.shape[2] == 6  # max_det capped by anchors
+    # train: dual branches + E2E loss finite
+    preds, _ = jax.jit(lambda v, x: m.apply(v, x, train=True, mutable=["batch_stats"]))(v, x)
+    assert "one2one" in preds
+    batch = {
+        "bboxes": jnp.asarray([[[0.5, 0.5, 0.4, 0.4]]] * 2),
+        "cls": jnp.zeros((2, 1)),
+        "mask_gt": jnp.ones((2, 1), bool),
+    }
+    crit = E2EDetectLoss(nc=80, reg_max=16, strides=m.stride)
+    total, parts = jax.jit(lambda p, b: crit(p, b, (64, 64)))(preds, batch)
+    assert np.isfinite(float(total))
+    assert "o2m_box" in parts and "o2o_box" in parts
+
+
+def test_v9_elan_modules_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.modules.v9v10v12 import ADown, ELAN1, RepNCSPELAN4, SPPELAN
+
+    x = jnp.zeros((1, 16, 16, 32))
+    for mod, kw in [
+        (RepNCSPELAN4, dict(c2=64, c3=32, c4=16, n=1)),
+        (ELAN1, dict(c2=64, c3=32, c4=16)),
+        (SPPELAN, dict(c2=64, c3=16)),
+        (ADown, dict(c2=32)),
+    ]:
+        m = mod(**kw)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        y = m.apply(v, x, train=False)
+        assert y.shape[-1] == kw["c2"]

@@ -1,0 +1,145 @@
+"""Exporter: serialize the jitted inference graph + weights for deployment.
+
+The reference exports through 18 torch-ecosystem converters
+(ultralytics/engine/exporter.py:128-165). The TPU-native export surface is:
+
+- `stablehlo`: jax.export serialization of the FULL inference function
+  (on-device preprocess -> forward -> decode [-> NMS]) with the weights baked
+  in — loadable by any StableHLO-capable runtime (XLA CPU/GPU/TPU, IREE) and
+  by our AutoBackend via jax.export.deserialize;
+- `ckpt`: weights + model yaml (python-free format: pickled numpy pytree).
+
+Torch-ecosystem formats (onnx/tflite/coreml/...) need their packages, which
+are not in this hermetic environment; requesting one raises with the
+conversion route (export stablehlo, convert offline).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+
+from ultralytics_pro_tpu.utils import LOGGER, colorstr
+
+EXPORT_FORMATS = {
+    "stablehlo": ".stablehlo",
+    "ckpt": ".ckpt",
+}
+UNSUPPORTED = {
+    "onnx", "torchscript", "openvino", "engine", "coreml", "saved_model", "pb",
+    "tflite", "edgetpu", "tfjs", "paddle", "mnn", "ncnn", "imx", "rknn", "executorch",
+}
+
+
+class Exporter:
+    """Export a task model (reference Exporter, engine/exporter.py:301)."""
+
+    def __init__(self, model, args: Dict):
+        self.model = model
+        self.args = dict(args or {})
+
+    def __call__(self):
+        fmt = str(self.args.get("format", "stablehlo")).lower()
+        if fmt in UNSUPPORTED:
+            raise NotImplementedError(
+                f"format '{fmt}' requires its runtime package (not present in this "
+                f"environment). Export format='stablehlo' and convert offline; "
+                f"supported here: {sorted(EXPORT_FORMATS)}"
+            )
+        if fmt not in EXPORT_FORMATS:
+            raise ValueError(f"unknown export format '{fmt}'; supported: {sorted(EXPORT_FORMATS)}")
+        t0 = time.time()
+        imgsz = int(self.args.get("imgsz", 640))
+        batch = int(self.args.get("batch", 1))
+        name = Path(self.args.get("name") or "model")
+        out = getattr(self, f"export_{fmt}")(imgsz, batch, name)
+        LOGGER.info(colorstr("green", f"export complete ({time.time() - t0:.1f}s): {out}"))
+        return str(out)
+
+    def export_stablehlo(self, imgsz: int, batch: int, name: Path):
+        import jax
+        import jax.numpy as jnp
+        from jax import export as jexport
+
+        model = self.model
+        if model.variables is None:
+            model.init_params(imgsz=imgsz)
+        variables = model.variables
+        nc = model.nc
+
+        def infer(img_u8):
+            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            y, _ = model.module.apply(variables, x, train=False)
+            return y  # (B, A, no) decoded
+
+        spec = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.uint8)
+        exported = jexport.export(jax.jit(infer))(spec)
+        blob = exported.serialize()
+        out = Path(f"{name}.stablehlo")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_bytes(blob)
+        meta = {
+            "imgsz": imgsz, "batch": batch, "nc": nc,
+            "names": model.names, "stride": list(map(int, model.stride)),
+            "task": model.task, "format": "stablehlo",
+            "output": "(B, A, 4+nc[+extra]) decoded predictions, boxes xywh pixels",
+        }
+        Path(f"{name}.stablehlo.json").write_text(json.dumps(meta, indent=2))
+        return out
+
+    def export_ckpt(self, imgsz: int, batch: int, name: Path):
+        from ultralytics_pro_tpu.engine.trainer import save_pickle
+
+        if self.model.variables is None:
+            self.model.init_params(imgsz=imgsz)
+        out = Path(f"{name}.ckpt")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        save_pickle(out, {
+            "params": self.model.variables["params"],
+            "ema": None,
+            "batch_stats": self.model.variables["batch_stats"],
+            "model_yaml": self.model.yaml if isinstance(self.model.yaml, dict) else None,
+            "train_args": {},
+            "names": self.model.names,
+        })
+        return out
+
+
+class AutoBackend:
+    """Unified inference over exported artifacts (reference autobackend.py:71:
+    18 runtimes behind one forward; here: live flax model, ckpt, stablehlo)."""
+
+    def __init__(self, weights, task=None):
+        self.format = None
+        p = str(weights)
+        if p.endswith(".stablehlo"):
+            from jax import export as jexport
+
+            blob = Path(p).read_bytes()
+            self.exported = jexport.deserialize(blob)
+            meta_path = Path(p + ".json")
+            self.metadata = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+            self.names = {int(k): v for k, v in (self.metadata.get("names") or {}).items()}
+            self.format = "stablehlo"
+        elif p.endswith(".ckpt") or p.endswith(".pkl"):
+            from ultralytics_pro_tpu.engine.model import Model
+
+            self.model = Model(p, task=task)
+            self.names = self.model.names
+            self.format = "ckpt"
+        else:
+            raise ValueError(f"cannot infer backend for '{weights}'")
+
+    def __call__(self, img_u8: np.ndarray):
+        if self.format == "stablehlo":
+            return np.asarray(self.exported.call(img_u8))
+        y, _ = self.model.model(np.asarray(img_u8), train=False)
+        return np.asarray(y)
+
+    def warmup(self, imgsz=(1, 640, 640, 3)):
+        self(np.zeros(imgsz, np.uint8))
+        return self

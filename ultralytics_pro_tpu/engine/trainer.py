@@ -349,8 +349,15 @@ class DetectionTrainer(BaseTrainer):
     """Detect-task trainer (reference models/yolo/detect/train.py:24)."""
 
     def criterion(self):
-        from ultralytics_pro_tpu.utils.loss import v8DetectionLoss
+        from ultralytics_pro_tpu.utils.loss import E2EDetectLoss, v8DetectionLoss
 
+        head = self.model._head_spec()
+        if head is not None and head.type_name == "v10Detect":
+            return E2EDetectLoss(
+                nc=self.model.nc, reg_max=16, strides=self.model.stride,
+                hyp={"box": self.args.get("box", 7.5), "cls": self.args.get("cls", 0.5),
+                     "dfl": self.args.get("dfl", 1.5)},
+            )
         return v8DetectionLoss(
             nc=self.model.nc, reg_max=16, strides=self.model.stride,
             hyp={"box": self.args.get("box", 7.5), "cls": self.args.get("cls", 0.5),

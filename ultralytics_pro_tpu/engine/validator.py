@@ -37,15 +37,27 @@ class DetectionValidator:
         import jax
         import jax.numpy as jnp
 
+        from ultralytics_pro_tpu.ops.boxes import xywh2xyxy
         from ultralytics_pro_tpu.ops.nms import non_max_suppression
 
         conf, iou, max_det = self.conf, self.iou, self.max_det
         nc = model.nc
+        head = model._head_spec()
+        end2end = head is not None and head.type_name == "v10Detect"
 
         @jax.jit
         def run(variables, img_u8):
             x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
             y, aux = model.module.apply(variables, x, train=False)
+            if end2end:
+                # (B, max_det, 6): xywh, conf, cls — NMS-free (reference
+                # v10Detect inference path)
+                return {
+                    "boxes": xywh2xyxy(y[..., :4]),
+                    "scores": y[..., 4],
+                    "cls": y[..., 5].astype(jnp.int32),
+                    "valid": y[..., 4] > conf,
+                }
             boxes, rest = y[..., :4], y[..., 4:]
             scores = rest[..., :nc]
             return non_max_suppression(

@@ -311,3 +311,40 @@ class RTDETRDecoder(ConvBase):
             return aux
         y = jnp.concatenate([dec_bboxes[-1], jax.nn.sigmoid(dec_scores[-1])], -1)
         return y, aux
+
+
+class v10Detect(Detect):
+    """YOLOv10 end-to-end head (reference head.py:2227): dual one2many/one2one
+    branches; inference decodes the one2one branch and takes top-max_det — no
+    NMS anywhere."""
+
+    end2end: bool = True
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        # one2many (gradient path) + one2one (detached input) branches
+        raw_o2m = self._raw(feats, train)
+        detached = [jax.lax.stop_gradient(f) for f in feats]
+        raw_o2o = self._raw(detached, train, prefix="one2one_")
+        if train:
+            return {"feats": raw_o2m, "one2one": raw_o2o}
+        y = self._decode(raw_o2o, feats)  # (B, A, 4+nc) xywh pixels
+        y = self.postprocess_topk(y)
+        return y, {"feats": raw_o2m, "one2one": raw_o2o}
+
+    def postprocess_topk(self, y):
+        """Top-max_det selection over (anchor, class) pairs (reference
+        Detect.postprocess head.py:194). Returns (B, max_det, 4+nc)-compatible
+        layout: boxes repeated per selection with one-hot-ish scores kept."""
+        b, a, no = y.shape
+        nc = no - 4
+        boxes, scores = y[..., :4], y[..., 4:]
+        flat = scores.reshape(b, -1)  # (B, A*nc)
+        k = min(self.max_det, flat.shape[1])
+        topv, topi = jax.lax.top_k(flat, k)
+        anchor_idx = topi // nc
+        cls_idx = (topi % nc).astype(jnp.float32)
+        sel_boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
+        return jnp.concatenate(
+            [sel_boxes, topv[..., None], cls_idx[..., None]], axis=-1
+        )  # (B, max_det, 6): xywh, conf, cls

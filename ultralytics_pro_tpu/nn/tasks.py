@@ -109,6 +109,35 @@ def _build_c2fcib(args, n, w, d, mx, ctx):
                          lk=_a(args, 2, False))
 
 
+def _att():
+    from ultralytics_pro_tpu.nn.modules import attention
+
+    return attention
+
+
+def _v9():
+    from ultralytics_pro_tpu.nn.modules import v9v10v12
+
+    return v9v10v12
+
+
+def _build_a2c2f(args, n, w, d, mx, ctx):
+    ctx["legacy"] = False
+    kw = dict(c2=_sc(args[0], w, mx), n=n, a2=_a(args, 1, True), area=_a(args, 2, 1),
+              residual=_a(args, 3, False), mlp_ratio=_a(args, 4, 2.0))
+    if ctx.get("scale") in "lx":  # reference appends (True, 1.2) for l/x
+        kw["residual"] = True
+        kw["mlp_ratio"] = 1.2
+    return _v9().A2C2f, tuple(kw.items())
+
+
+def _build_head_v10(args, n, w, d, mx, ctx):
+    from ultralytics_pro_tpu.nn.modules.head import v10Detect
+
+    ctx["head_index"] = ctx["i"]
+    return v10Detect, _kw(nc=args[0], legacy=False)
+
+
 def _build_rtdetr_decoder(args, n, w, d, mx, ctx):
     from ultralytics_pro_tpu.nn.modules.head import RTDETRDecoder
 
@@ -178,6 +207,32 @@ BUILDERS: Dict[str, Callable] = {
     "nn.MaxPool2d": lambda a, n, w, d, mx, ctx: (
         M.MaxPool2d, _kw(k=a[0], s=_a(a, 1, None) or a[0], p=_a(a, 2, 0))),
     "nn.ZeroPad2d": lambda a, n, w, d, mx, ctx: (M.ZeroPad2d, _kw(padding=tuple(a[0]))),
+    "BoT3": lambda a, n, w, d, mx, ctx: (_att().BoT3, _kw(c2=_sc(a[0], w, mx), n=n, e=_a(a, 1, 0.5))),
+    "MHSA": lambda a, n, w, d, mx, ctx: (_att().MHSA, _kw(heads=_a(a, 0, 4))),
+    "CoordAtt": lambda a, n, w, d, mx, ctx: (_att().CoordAtt, _kw(reduction=_a(a, 1, 32))),
+    "DCNv2": lambda a, n, w, d, mx, ctx: (_att().DCNv2, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "C2f_DCN": lambda a, n, w, d, mx, ctx: (_att().C2f_DCN, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False))),
+    "C3_DCN": lambda a, n, w, d, mx, ctx: (_att().C3_DCN, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, True))),
+    "deformable_LKA": lambda a, n, w, d, mx, ctx: (_att().deformable_LKA, _kw()),
+    "deformable_LKA_Attention": lambda a, n, w, d, mx, ctx: (_att().deformable_LKA_Attention, _kw()),
+    "C2f_DLKA": lambda a, n, w, d, mx, ctx: (_att().C2f_DLKA, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False))),
+    "SEAttention": lambda a, n, w, d, mx, ctx: (_att().SEAttention, _kw(reduction=_a(a, 1, 16))),
+    "ECAAttention": lambda a, n, w, d, mx, ctx: (_att().ECAAttention, _kw(kernel_size=_a(a, 1, 3))),
+    "SimAM": lambda a, n, w, d, mx, ctx: (_att().SimAM, _kw()),
+    "EMA": lambda a, n, w, d, mx, ctx: (_att().EMA, _kw(factor=_a(a, 1, 8))),
+    "RepNCSPELAN4": lambda a, n, w, d, mx, ctx: (
+        _v9().RepNCSPELAN4, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
+                                c4=_sc(a[2], w, mx), n=_a(a, 3, 1))),
+    "ELAN1": lambda a, n, w, d, mx, ctx: (
+        _v9().ELAN1, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx), c4=_sc(a[2], w, mx))),
+    "ADown": lambda a, n, w, d, mx, ctx: (_v9().ADown, _kw(c2=_sc(a[0], w, mx))),
+    "SPPELAN": lambda a, n, w, d, mx, ctx: (
+        _v9().SPPELAN, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx))),
+    "CBLinear": lambda a, n, w, d, mx, ctx: (
+        _v9().CBLinear, _kw(c2s=tuple(_sc(c, w, mx) for c in a[0]), k=_a(a, 1, 1), s=_a(a, 2, 1))),
+    "CBFuse": lambda a, n, w, d, mx, ctx: (_v9().CBFuse, _kw(idx=tuple(a[0]))),
+    "A2C2f": _build_a2c2f,
+    "v10Detect": _build_head_v10,
     "RepConv": lambda a, n, w, d, mx, ctx: (
         __import__("ultralytics_pro_tpu.nn.modules.conv", fromlist=["RepConv"]).RepConv,
         _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
@@ -197,13 +252,13 @@ BUILDERS: Dict[str, Callable] = {
 
 # Modules that flip Detect heads off the legacy branch layout (reference
 # tasks.py:2862-2870: C3k2 family, A2C2f, C2fCIB).
-HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose")
+HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect")
 
 # Modules whose repeats column is consumed internally (depth-gained n); all
 # others with n>1 get stacked via Repeat (reference repeat_modules frozenset).
 REPEAT_MODULES = {
     "C1", "C2", "C2f", "C3", "C3k", "C3k2", "C3Ghost", "C2PSA", "C2fCIB",
-    "BottleneckCSP", "HGBlock", "ResNetLayer",
+    "BottleneckCSP", "HGBlock", "ResNetLayer", "BoT3", "C2f_DCN", "C3_DCN", "C2f_DLKA", "RepC3",
 }
 
 
@@ -243,7 +298,7 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
 
     # Pre-scan for legacy flip (reference decides legacy before head build).
     for _, _, m_name, _ in layers_yaml:
-        if m_name in {"C3k2", "A2C2f", "C2fCIB", "PST", "HyperACE"}:
+        if m_name in {"C3k2", "A2C2f", "C2fCIB", "PST", "HyperACE", "v10Detect"}:
             ctx["legacy"] = False
 
     specs: List[LayerSpec] = []

@@ -1,0 +1,102 @@
+"""Deformable convolution sampling — the XLA replacement for
+torchvision.ops.deform_conv2d (reference call sites: nn/modules/block.py:2753
+DCNv2, :5011 DeformConv for D-LKA; SURVEY.md §2.9).
+
+Formulation: bilinear-gather the K*K sampling taps per output pixel into an
+im2col tensor, apply the modulation mask, then contract with the kernel as ONE
+matmul — the irregular memory access becomes 4 vectorized gathers and the
+FLOPs land on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def deform_conv2d(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    weight: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Deformable conv v1/v2.
+
+    Args:
+        x: (B, H, W, C) input.
+        offsets: (B, Ho, Wo, 2*K*K) sampling offsets, torch layout: per tap
+            (dy, dx) interleaved as [dy0, dx0, dy1, dx1, ...].
+        weight: (kh, kw, C // groups, Co) kernel (HWIO).
+        mask: optional (B, Ho, Wo, K*K) modulation (post-sigmoid) — DCNv2.
+        bias: optional (Co,).
+
+    Returns (B, Ho, Wo, Co).
+    """
+    b, h, w, c = x.shape
+    kh, kw, cin_g, co = weight.shape
+    k = kh * kw
+    ho, wo = offsets.shape[1], offsets.shape[2]
+
+    # base sampling grid: output pixel * stride - padding + dilation * tap
+    oy = jnp.arange(ho, dtype=jnp.float32) * stride - padding
+    ox = jnp.arange(wo, dtype=jnp.float32) * stride - padding
+    ty = jnp.arange(kh, dtype=jnp.float32) * dilation
+    tx = jnp.arange(kw, dtype=jnp.float32) * dilation
+    base_y = oy[:, None, None, None] + ty[None, None, :, None]  # (Ho,1,kh,1)
+    base_x = ox[None, :, None, None] + tx[None, None, None, :]  # (1,Wo,1,kw)
+    base_y = jnp.broadcast_to(base_y, (ho, wo, kh, kw)).reshape(ho, wo, k)
+    base_x = jnp.broadcast_to(base_x, (ho, wo, kh, kw)).reshape(ho, wo, k)
+
+    off = offsets.reshape(b, ho, wo, k, 2)
+    sy = base_y[None] + off[..., 0]  # (B, Ho, Wo, K)
+    sx = base_x[None] + off[..., 1]
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    dy = sy - y0
+    dx = sx - x0
+
+    def gather(ix, iy):
+        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+        ok = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+        flat = (iyc * w + ixc).reshape(b, -1)  # (B, Ho*Wo*K)
+        v = jnp.take_along_axis(x.reshape(b, h * w, c), flat[..., None], axis=1)
+        return v.reshape(b, ho, wo, k, c) * ok[..., None]
+
+    v00 = gather(x0, y0)
+    v01 = gather(x0 + 1, y0)
+    v10 = gather(x0, y0 + 1)
+    v11 = gather(x0 + 1, y0 + 1)
+    wx0, wx1 = (1 - dx)[..., None], dx[..., None]
+    wy0, wy1 = (1 - dy)[..., None], dy[..., None]
+    cols = v00 * wx0 * wy0 + v01 * wx1 * wy0 + v10 * wx0 * wy1 + v11 * wx1 * wy1
+    if mask is not None:
+        cols = cols * mask.reshape(b, ho, wo, k, 1)
+
+    if groups == 1:
+        out = jnp.einsum("bhwkc,kco->bhwo", cols,
+                         weight.reshape(k, c, co), precision="default")
+    elif groups == c and cin_g == 1:
+        # depthwise: weight (kh,kw,1,C) -> (k, C)
+        wdw = weight.reshape(k, co)
+        out = (cols * wdw[None, None, None, :, :c]).sum(3) if co == c else None
+        if out is None:
+            raise ValueError("depthwise deform conv requires co == c")
+    else:
+        cg = c // groups
+        og = co // groups
+        cols_g = cols.reshape(b, ho, wo, k, groups, cg)
+        w_g = weight.reshape(k, cin_g, groups, og)  # cin_g == cg
+        out = jnp.einsum("bhwkgc,kcgo->bhwgo", cols_g, w_g.transpose(0, 1, 2, 3))
+        out = out.reshape(b, ho, wo, co)
+    if bias is not None:
+        out = out + bias
+    return out

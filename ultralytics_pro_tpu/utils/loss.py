@@ -381,3 +381,20 @@ class v8OBBLoss(v8DetectionLoss):
         }
         total = sum(parts.values()) * batch_size
         return total, parts
+
+
+class E2EDetectLoss:
+    """YOLOv10 dual-assignment loss: one2many (topk=10) + one2one (topk=1)
+    (reference loss.py:1000)."""
+
+    def __init__(self, nc: int, reg_max: int, strides, hyp=None):
+        self.one2many = v8DetectionLoss(nc=nc, reg_max=reg_max, strides=strides,
+                                        hyp=hyp, tal_topk=10)
+        self.one2one = v8DetectionLoss(nc=nc, reg_max=reg_max, strides=strides,
+                                       hyp=hyp, tal_topk=1)
+
+    def __call__(self, preds, batch, imgsz_hw):
+        t1, p1 = self.one2many({"feats": preds["feats"]}, batch, imgsz_hw)
+        t2, p2 = self.one2one({"feats": preds["one2one"]}, batch, imgsz_hw)
+        parts = {f"o2m_{k}": v for k, v in p1.items()} | {f"o2o_{k}": v for k, v in p2.items()}
+        return t1 + t2, parts

@@ -93,28 +93,11 @@ class BasePredictor:
         return gen if stream else list(gen)
 
     def load_images(self, source) -> Iterator:
-        """Accept ndarray, list of ndarrays, path(s), directory."""
-        import cv2
+        """Dispatch to the inference loaders (images/videos/streams/arrays)."""
+        from ultralytics_pro_tpu.data.loaders import load_inference_source
 
-        if isinstance(source, np.ndarray):
-            yield None, source
-            return
-        sources = source if isinstance(source, (list, tuple)) else [source]
-        for s in sources:
-            if isinstance(s, np.ndarray):
-                yield None, s
-            else:
-                p = Path(s)
-                if p.is_dir():
-                    for f in sorted(p.glob("*.*")):
-                        im = cv2.imread(str(f))
-                        if im is not None:
-                            yield str(f), im
-                else:
-                    im = cv2.imread(str(p))
-                    if im is None:
-                        raise FileNotFoundError(f"cannot read image {s}")
-                    yield str(p), im
+        loader = load_inference_source(source, vid_stride=int(self.args.get("vid_stride", 1) or 1))
+        yield from loader
 
     def stream_inference(self, source) -> Iterator[Results]:
         if self._jitted is None:

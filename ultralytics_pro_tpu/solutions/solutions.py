@@ -1,0 +1,352 @@
+"""Video-analytics solutions built on predict+track.
+
+Behavioral parity with the reference solutions package (ultralytics/solutions/:
+BaseSolution solutions.py:20 and the app zoo, __init__.py:3-19 — ObjectCounter,
+RegionCounter, Heatmap, SpeedEstimator, QueueManager, TrackZone,
+DistanceCalculation, AIGym, ObjectCropper, ObjectBlurrer, VisionEye,
+InstanceSegmentation, Analytics). All host-side: the device produces tracked
+detections; the apps are geometry + bookkeeping per frame.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from ultralytics_pro_tpu.utils import LOGGER
+from ultralytics_pro_tpu.utils.plotting import Annotator, colors
+
+
+def _point_in_polygon(pt, poly) -> bool:
+    return cv2.pointPolygonTest(np.asarray(poly, np.float32), (float(pt[0]), float(pt[1])), False) >= 0
+
+
+class BaseSolution:
+    """Wraps a YOLO model + tracker + region parsing (reference solutions.py:20)."""
+
+    def __init__(self, model="yolov8n.yaml", region=None, classes=None, conf: float = 0.25,
+                 tracker: str = "bytetrack.yaml", show: bool = False, **kwargs):
+        from ultralytics_pro_tpu.engine.model import Model
+        from ultralytics_pro_tpu.trackers.track import make_tracker
+
+        self.model = model if not isinstance(model, (str, Path)) else Model(model)
+        if self.model.model.variables is None:
+            self.model.model.init_params(imgsz=int(kwargs.get("imgsz", 640)))
+        self.conf = conf
+        self.classes = classes
+        self.region = region  # list of (x, y) points or None
+        self.tracker = make_tracker(tracker)
+        self.names = self.model.names
+        self.track_history: Dict[int, deque] = defaultdict(lambda: deque(maxlen=30))
+        self.kwargs = kwargs
+
+    def extract_tracks(self, im0) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Run predict + tracker; returns (boxes xyxy, ids, confs, clss)."""
+        r = self.model.predict(im0, conf=self.conf, imgsz=int(self.kwargs.get("imgsz", 640)),
+                               classes=self.classes)[0]
+        if r.boxes is None or len(r.boxes) == 0:
+            return (np.zeros((0, 4)), np.zeros((0,), int), np.zeros((0,)), np.zeros((0,), int))
+        det = r.boxes.data
+        tracks = self.tracker.update(det[:, :4], det[:, 4], det[:, 5], img=im0)
+        if not len(tracks):
+            return (np.zeros((0, 4)), np.zeros((0,), int), np.zeros((0,)), np.zeros((0,), int))
+        idx = tracks[:, 7].astype(int)
+        for tid, box in zip(tracks[:, 4].astype(int), tracks[:, :4]):
+            cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+            self.track_history[tid].append((cx, cy))
+        return tracks[:, :4], tracks[:, 4].astype(int), det[idx, 4], det[idx, 5].astype(int)
+
+
+class ObjectCounter(BaseSolution):
+    """In/out counting across a region or line (reference object_counter.py)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.in_count = 0
+        self.out_count = 0
+        self.counted_ids: set = set()
+        self.classwise: Dict[str, Dict[str, int]] = defaultdict(lambda: {"IN": 0, "OUT": 0})
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        ann = Annotator(im0.copy())
+        region = self.region or [(0, im0.shape[0] // 2), (im0.shape[1], im0.shape[0] // 2)]
+        for box, tid, cls in zip(boxes, ids, clss):
+            ann.box_label(box, f"{self.names.get(int(cls), cls)} #{tid}", colors(int(cls)))
+            hist = self.track_history[tid]
+            if tid in self.counted_ids or len(hist) < 2:
+                continue
+            (px, py), (cx, cy) = hist[-2], hist[-1]
+            if len(region) == 2:  # line crossing
+                (x1, y1), (x2, y2) = region
+                side = lambda x, y: np.sign((x2 - x1) * (y - y1) - (y2 - y1) * (x - x1))
+                s0, s1 = side(px, py), side(cx, cy)
+                if s0 != s1 and s0 != 0:
+                    direction = "IN" if s1 > 0 else "OUT"
+                    self.counted_ids.add(tid)
+                    self.classwise[self.names.get(int(cls), str(cls))][direction] += 1
+                    if direction == "IN":
+                        self.in_count += 1
+                    else:
+                        self.out_count += 1
+            else:  # polygon entry
+                if _point_in_polygon((cx, cy), region) and not _point_in_polygon((px, py), region):
+                    self.in_count += 1
+                    self.counted_ids.add(tid)
+        ann.text((10, 30), f"IN {self.in_count} OUT {self.out_count}")
+        return ann.result()
+
+
+class RegionCounter(BaseSolution):
+    """Live per-region object counts (reference region_counter.py)."""
+
+    def __init__(self, *args, regions: Optional[Dict[str, List]] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.regions = regions or ({"region_1": self.region} if self.region else {})
+        self.region_counts: Dict[str, int] = {}
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        ann = Annotator(im0.copy())
+        self.region_counts = {name: 0 for name in self.regions}
+        for box in boxes:
+            c = ((box[0] + box[2]) / 2, (box[1] + box[3]) / 2)
+            for name, poly in self.regions.items():
+                if _point_in_polygon(c, poly):
+                    self.region_counts[name] += 1
+        for i, (name, cnt) in enumerate(self.region_counts.items()):
+            ann.text((10, 30 + 25 * i), f"{name}: {cnt}")
+        return ann.result()
+
+
+class Heatmap(BaseSolution):
+    """Cumulative presence heatmap (reference heatmap.py)."""
+
+    def __init__(self, *args, colormap=cv2.COLORMAP_JET, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.colormap = colormap
+        self.heat = None
+
+    def __call__(self, im0):
+        if self.heat is None:
+            self.heat = np.zeros(im0.shape[:2], np.float32)
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        for box in boxes:
+            x1, y1, x2, y2 = map(int, box)
+            self.heat[max(y1, 0):y2, max(x1, 0):x2] += 1
+        norm = cv2.normalize(self.heat, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
+        colored = cv2.applyColorMap(norm, self.colormap)
+        return cv2.addWeighted(im0, 0.5, colored, 0.5, 0)
+
+
+class SpeedEstimator(BaseSolution):
+    """Pixel-displacement speed estimate per track (reference speed_estimation.py).
+    `meters_per_pixel` and `fps` calibrate to km/h."""
+
+    def __init__(self, *args, fps: float = 30.0, meters_per_pixel: float = 0.05, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.fps = fps
+        self.mpp = meters_per_pixel
+        self.speeds: Dict[int, float] = {}
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        ann = Annotator(im0.copy())
+        for box, tid in zip(boxes, ids):
+            hist = self.track_history[tid]
+            if len(hist) >= 2:
+                (px, py), (cx, cy) = hist[-2], hist[-1]
+                dist_m = np.hypot(cx - px, cy - py) * self.mpp
+                self.speeds[tid] = dist_m * self.fps * 3.6  # km/h
+            label = f"#{tid} {self.speeds.get(tid, 0):.1f} km/h"
+            ann.box_label(box, label, colors(int(tid)))
+        return ann.result()
+
+
+class QueueManager(BaseSolution):
+    """Queue-length monitoring inside a region (reference queue_management.py)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.queue_count = 0
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        region = self.region or [(0, 0), (im0.shape[1], 0), (im0.shape[1], im0.shape[0]), (0, im0.shape[0])]
+        self.queue_count = sum(
+            _point_in_polygon(((b[0] + b[2]) / 2, (b[1] + b[3]) / 2), region) for b in boxes
+        )
+        ann = Annotator(im0.copy())
+        ann.text((10, 30), f"Queue: {self.queue_count}")
+        return ann.result()
+
+
+class TrackZone(BaseSolution):
+    """Track only inside a zone (reference trackzone.py)."""
+
+    def __call__(self, im0):
+        region = self.region or [(0, 0), (im0.shape[1], 0), (im0.shape[1], im0.shape[0]), (0, im0.shape[0])]
+        mask = np.zeros(im0.shape[:2], np.uint8)
+        cv2.fillPoly(mask, [np.asarray(region, np.int32)], 255)
+        masked = cv2.bitwise_and(im0, im0, mask=mask)
+        boxes, ids, confs, clss = self.extract_tracks(masked)
+        ann = Annotator(im0.copy())
+        for box, tid, cls in zip(boxes, ids, clss):
+            ann.box_label(box, f"#{tid}", colors(int(cls)))
+        return ann.result()
+
+
+class DistanceCalculation(BaseSolution):
+    """Centroid distance between two selected track ids (reference
+    distance_calculation.py)."""
+
+    def __init__(self, *args, selected_ids: Tuple[int, int] = (1, 2),
+                 meters_per_pixel: float = 0.05, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.selected = selected_ids
+        self.mpp = meters_per_pixel
+        self.distance_m: Optional[float] = None
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        ann = Annotator(im0.copy())
+        cents = {tid: ((b[0] + b[2]) / 2, (b[1] + b[3]) / 2) for b, tid in zip(boxes, ids)}
+        a, b = self.selected
+        if a in cents and b in cents:
+            self.distance_m = float(np.hypot(cents[a][0] - cents[b][0], cents[a][1] - cents[b][1]) * self.mpp)
+            ann.text((10, 30), f"dist({a},{b}) = {self.distance_m:.2f} m")
+        return ann.result()
+
+
+class AIGym(BaseSolution):
+    """Rep counting from pose keypoints (reference ai_gym.py). Expects a pose
+    model; angle between three keypoints drives the up/down state machine."""
+
+    def __init__(self, *args, kpts: Tuple[int, int, int] = (6, 8, 10),
+                 up_angle: float = 145.0, down_angle: float = 90.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.kpts = kpts
+        self.up_angle = up_angle
+        self.down_angle = down_angle
+        self.count: Dict[int, int] = defaultdict(int)
+        self.stage: Dict[int, str] = defaultdict(lambda: "-")
+
+    @staticmethod
+    def angle(a, b, c) -> float:
+        ba = np.asarray(a) - np.asarray(b)
+        bc = np.asarray(c) - np.asarray(b)
+        cos = np.dot(ba, bc) / (np.linalg.norm(ba) * np.linalg.norm(bc) + 1e-9)
+        return float(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+
+    def __call__(self, im0):
+        r = self.model.predict(im0, conf=self.conf, imgsz=int(self.kwargs.get("imgsz", 640)))[0]
+        ann = Annotator(im0.copy())
+        if r.keypoints is not None:
+            for i, inst in enumerate(r.keypoints.xy):
+                if max(self.kpts) < len(inst):
+                    ang = self.angle(inst[self.kpts[0]], inst[self.kpts[1]], inst[self.kpts[2]])
+                    if ang > self.up_angle:
+                        if self.stage[i] == "down":
+                            self.count[i] += 1
+                        self.stage[i] = "up"
+                    elif ang < self.down_angle:
+                        self.stage[i] = "down"
+                    ann.text((10, 30 + 25 * i), f"#{i} {self.stage[i]} reps={self.count[i]} ang={ang:.0f}")
+                ann.kpts(np.concatenate([inst, np.ones((len(inst), 1))], 1))
+        return ann.result()
+
+
+class ObjectCropper(BaseSolution):
+    """Save detected object crops (reference object_cropper.py)."""
+
+    def __init__(self, *args, crop_dir="crops", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.crop_dir = Path(crop_dir)
+        self.crop_dir.mkdir(parents=True, exist_ok=True)
+        self.crop_idx = 0
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        for box, cls in zip(boxes, clss):
+            x1, y1, x2, y2 = map(int, box)
+            crop = im0[max(y1, 0):y2, max(x1, 0):x2]
+            if crop.size:
+                self.crop_idx += 1
+                cv2.imwrite(str(self.crop_dir / f"crop_{self.crop_idx}_{self.names.get(int(cls), cls)}.jpg"), crop)
+        return im0
+
+
+class ObjectBlurrer(BaseSolution):
+    """Blur detected objects (reference object_blurrer.py)."""
+
+    def __init__(self, *args, blur_ratio: float = 0.5, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.k = max(3, int(blur_ratio * 50) | 1)
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        out = im0.copy()
+        for box in boxes:
+            x1, y1, x2, y2 = map(int, box)
+            roi = out[max(y1, 0):y2, max(x1, 0):x2]
+            if roi.size:
+                out[max(y1, 0):y2, max(x1, 0):x2] = cv2.blur(roi, (self.k, self.k))
+        return out
+
+
+class VisionEye(BaseSolution):
+    """Vision-eye mapping: draw sightlines from a vantage point to objects
+    (reference vision_eye.py)."""
+
+    def __init__(self, *args, vision_point: Tuple[int, int] = (20, 20), **kwargs):
+        super().__init__(*args, **kwargs)
+        self.vision_point = vision_point
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        ann = Annotator(im0.copy())
+        for box, tid, cls in zip(boxes, ids, clss):
+            c = (int((box[0] + box[2]) / 2), int((box[1] + box[3]) / 2))
+            ann.box_label(box, f"#{tid}", colors(int(cls)))
+            cv2.line(ann.im, self.vision_point, c, (0, 255, 0), 2)
+            cv2.circle(ann.im, c, 4, (0, 255, 0), -1)
+        return ann.result()
+
+
+class InstanceSegmentation(BaseSolution):
+    """Draw instance masks (reference instance_segmentation.py); expects a
+    -seg model."""
+
+    def __call__(self, im0):
+        r = self.model.predict(im0, conf=self.conf, imgsz=int(self.kwargs.get("imgsz", 640)))[0]
+        ann = Annotator(im0.copy())
+        if r.masks is not None and len(r.masks):
+            ann.masks(r.masks.data, color_ids=r.boxes.cls.astype(int) if r.boxes is not None else None)
+        if r.boxes is not None:
+            for row in r.boxes.data:
+                ann.box_label(row[:4], f"{self.names.get(int(row[5]), '')}", colors(int(row[5])))
+        return ann.result()
+
+
+class Analytics(BaseSolution):
+    """Per-frame class-count analytics series (reference analytics.py); the
+    reference renders matplotlib charts — here the series is kept and a line
+    overlay is drawn."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.series: List[Dict[str, int]] = []
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        counts = defaultdict(int)
+        for c in clss:
+            counts[self.names.get(int(c), str(int(c)))] += 1
+        self.series.append(dict(counts))
+        ann = Annotator(im0.copy())
+        ann.text((10, 30), " ".join(f"{k}:{v}" for k, v in counts.items()) or "no objects")
+        return ann.result()

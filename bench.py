@@ -46,7 +46,7 @@ def main():
         y, _ = model.module.apply(variables, x, train=False)
         out = non_max_suppression(
             y[..., :4], y[..., 4:4 + nc], conf_thres=0.25, iou_thres=0.45, max_det=300,
-            max_nms=4096,
+            max_nms=1024,
         )
         return out
 

@@ -1,0 +1,65 @@
+"""Persistent user settings (reference SettingsManager, ultralytics/utils/
+__init__.py:1236): JSON at the user config dir with datasets/weights/runs
+directories and integration toggles; version-migrated."""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from ultralytics_pro_tpu.utils import LOGGER
+
+SETTINGS_VERSION = "0.1.0"
+
+
+def _config_dir() -> Path:
+    env = os.getenv("UPT_CONFIG_DIR") or os.getenv("YOLO_CONFIG_DIR")
+    if env:
+        return Path(env)
+    return Path.home() / ".config" / "ultralytics_pro_tpu"
+
+
+class SettingsManager(dict):
+    """Dict-backed settings persisted to settings.json."""
+
+    def __init__(self, file=None):
+        super().__init__()
+        self.file = Path(file) if file else _config_dir() / "settings.json"
+        root = Path.cwd()
+        self.defaults = {
+            "settings_version": SETTINGS_VERSION,
+            "datasets_dir": str(root / "datasets"),
+            "weights_dir": str(root / "weights"),
+            "runs_dir": str(root / "runs"),
+            "sync": False,  # telemetry off by default in this build
+            "tensorboard": True,
+        }
+        self.update(self.defaults)
+        if self.file.exists():
+            try:
+                loaded = json.loads(self.file.read_text())
+                if loaded.get("settings_version") != SETTINGS_VERSION:
+                    LOGGER.info("settings version changed; migrating to defaults where missing")
+                self.update({k: loaded[k] for k in loaded if k in self.defaults})
+            except json.JSONDecodeError:
+                LOGGER.info(f"corrupt settings at {self.file}; resetting")
+                self.save()
+        else:
+            self.save()
+
+    def save(self):
+        self.file.parent.mkdir(parents=True, exist_ok=True)
+        self.file.write_text(json.dumps(dict(self), indent=2))
+
+    def update_and_save(self, **kwargs):
+        unknown = set(kwargs) - set(self.defaults)
+        if unknown:
+            raise KeyError(f"unknown settings: {sorted(unknown)}; valid: {sorted(self.defaults)}")
+        self.update(kwargs)
+        self.save()
+
+    def reset(self):
+        self.clear()
+        self.update(self.defaults)
+        self.save()

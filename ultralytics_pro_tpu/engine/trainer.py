@@ -154,7 +154,9 @@ class BaseTrainer(CallbackMixin):
                 {"params": params, "batch_stats": batch_stats}, x, train=True,
                 mutable=["batch_stats"],
             )
-            total, parts = criterion(preds, batch, imgsz)
+            # imgsz from the batch: multi-scale resizes on device, and each
+            # distinct size is its own jit specialization (a small fixed set)
+            total, parts = criterion(preds, batch, (x.shape[1], x.shape[2]))
             return total, (parts, updates["batch_stats"])
 
         def step(state, batch, lr_tree, momentum):
@@ -214,12 +216,34 @@ class BaseTrainer(CallbackMixin):
         self.wdir.mkdir(parents=True, exist_ok=True)
         if self.model.variables is None:
             self.model.init_params(imgsz=self.imgsz)
+        # resume (reference check_resume trainer.py:788 / resume_training:863)
+        resume_ckpt = None
+        if self.args.get("resume"):
+            from ultralytics_pro_tpu.utils.files import get_latest_run
+
+            path = self.args["resume"] if isinstance(self.args["resume"], str) else (
+                str(self.wdir / "last.ckpt") if (self.wdir / "last.ckpt").exists()
+                else get_latest_run(str(self.save_dir.parent))
+            )
+            if path:
+                resume_ckpt = load_pickle(path)
+                self.start_epoch = resume_ckpt["epoch"] + 1
+                self.best_fitness = resume_ckpt.get("best_fitness") or 0.0
+                LOGGER.info(f"resuming from {path} at epoch {self.start_epoch + 1}")
         variables = self.model.variables
-        params = variables["params"]
-        batch_stats = variables["batch_stats"]
-        mom_buf = jax.tree.map(jnp.zeros_like, params)
-        ema = jax.tree.map(jnp.copy, params)  # real copies: donation rejects aliased buffers
-        state = (params, batch_stats, mom_buf, ema, jnp.zeros((), jnp.int32))
+        if resume_ckpt is not None:
+            params = resume_ckpt["params"]
+            batch_stats = resume_ckpt["batch_stats"]
+            mom_buf = resume_ckpt.get("momentum_buffer") or jax.tree.map(jnp.zeros_like, params)
+            ema = resume_ckpt.get("ema") or jax.tree.map(jnp.copy, params)
+            ema_updates = jnp.asarray(resume_ckpt.get("ema_updates", 0), jnp.int32)
+        else:
+            params = variables["params"]
+            batch_stats = variables["batch_stats"]
+            mom_buf = jax.tree.map(jnp.zeros_like, params)
+            ema = jax.tree.map(jnp.copy, params)  # real copies: donation rejects aliased buffers
+            ema_updates = jnp.zeros((), jnp.int32)
+        state = (params, batch_stats, mom_buf, ema, ema_updates)
 
         step_fn = self.build_train_step()
         # replicate state over the mesh so the sharded step has consistent
@@ -259,7 +283,11 @@ class BaseTrainer(CallbackMixin):
                     lr_by_group = [lr, lr, lr]
                     momentum = self.momentum
 
+                # multi-scale: random imgsz in [0.5, 1.5]x rounded to stride,
+                # resized ON DEVICE after transfer (reference detect/train.py:120)
                 device_batch = self.put_batch(batch)
+                if self.args.get("multi_scale"):
+                    device_batch = self._multi_scale(device_batch, ni)
                 lr_tree = self._lr_tree(state[0], lr_by_group)
                 state, total, parts = step_fn(state, device_batch, lr_tree, jnp.float32(momentum))
                 for k, v in parts.items():
@@ -269,18 +297,38 @@ class BaseTrainer(CallbackMixin):
                     pbar.set_description(f"epoch {epoch + 1}/{self.epochs} {desc}")
 
             self.epoch_losses = {k: v / nb for k, v in losses_sum.items()}
+
+            # NaN recovery (reference _handle_nan_recovery trainer.py:832):
+            # reload last good checkpoint, up to 3 attempts
+            if any(not np.isfinite(v) for v in self.epoch_losses.values()):
+                self._nan_attempts = getattr(self, "_nan_attempts", 0) + 1
+                ckpt_path = self.wdir / "last.ckpt"
+                if self._nan_attempts > 3 or not ckpt_path.exists():
+                    raise FloatingPointError(
+                        f"non-finite loss {self.epoch_losses} (attempt {self._nan_attempts}); aborting"
+                    )
+                LOGGER.info(f"non-finite loss; restoring {ckpt_path} (attempt {self._nan_attempts}/3)")
+                ck = load_pickle(ckpt_path)
+                state = jax.device_put(
+                    (ck["params"], ck["batch_stats"], ck["momentum_buffer"], ck["ema"],
+                     jnp.asarray(ck.get("ema_updates", 0), jnp.int32)),
+                    self._repl_sharding,
+                )
+                continue
+
             # validation with EMA weights
             params, batch_stats, mom_buf, ema, ema_updates = state
             self.model.variables = {"params": jax.device_get(ema), "batch_stats": jax.device_get(batch_stats)}
             fitness = val_fn(self.model) if val_fn is not None else None
             self.last_fitness = fitness
             self.run_callbacks("on_fit_epoch_end")
-            nan_loss = any(not np.isfinite(v) for v in self.epoch_losses.values())
-            if nan_loss:
-                LOGGER.info("warning: non-finite loss this epoch")
 
             self.save_checkpoint(state, epoch, fitness)
             if self.stopper(epoch, fitness):
+                break
+            # timed stop (reference trainer.py:434: `time` arg in hours)
+            if self.args.get("time") and (time.time() - t0) / 3600 > float(self.args["time"]):
+                LOGGER.info(f"time limit {self.args['time']}h reached; stopping")
                 break
             LOGGER.info(
                 f"epoch {epoch + 1}: " + " ".join(f"{k}={v:.4f}" for k, v in self.epoch_losses.items())
@@ -293,6 +341,21 @@ class BaseTrainer(CallbackMixin):
         params, batch_stats, mom_buf, ema, _ = state
         self.model.variables = {"params": jax.device_get(ema), "batch_stats": jax.device_get(batch_stats)}
         return self.model
+
+    def _multi_scale(self, device_batch: Dict, ni: int) -> Dict:
+        """Random-size resize ON DEVICE from a small fixed ladder (reference
+        multi_scale resizes per batch, detect/train.py:120; a fixed ladder
+        bounds jit specializations to 3)."""
+        import random
+
+        ladder = [round(self.imgsz * f / 32) * 32 for f in (0.75, 1.0, 1.25)]
+        sz = random.Random(ni).choice(ladder)
+        img = device_batch["img"]
+        if sz != img.shape[1]:
+            b, h, w, c = img.shape
+            img = jax.image.resize(img.astype(jnp.float32), (b, sz, sz, c), method="bilinear")
+            device_batch = {**device_batch, "img": img.astype(jnp.uint8)}
+        return device_batch
 
     def put_batch(self, batch: Dict) -> Dict:
         """Host batch -> device arrays sharded over the data axis."""
@@ -322,6 +385,9 @@ class BaseTrainer(CallbackMixin):
         if fitness is not None and fitness >= self.best_fitness:
             self.best_fitness = fitness
             save_pickle(self.wdir / "best.ckpt", ckpt)
+        sp = int(self.args.get("save_period") or -1)
+        if sp > 0 and (epoch + 1) % sp == 0:
+            save_pickle(self.wdir / f"epoch{epoch + 1}.ckpt", ckpt)
 
     def resume_from(self, ckpt_path):
         ckpt = load_pickle(ckpt_path)

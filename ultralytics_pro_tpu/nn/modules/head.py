@@ -348,3 +348,44 @@ class v10Detect(Detect):
         return jnp.concatenate(
             [sel_boxes, topv[..., None], cls_idx[..., None]], axis=-1
         )  # (B, max_det, 6): xywh, conf, cls
+
+
+class WorldDetect(Detect):
+    """Open-vocabulary detect head: box branch + contrastive region-text
+    classification (reference head.py:1534). The class count is the number of
+    text embeddings passed at call time."""
+
+    embed: int = 512
+    with_bn: bool = False
+
+    @nn.compact
+    def __call__(self, feats, text=None, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.world import BNContrastiveHead, ContrastiveHead
+
+        if text is None:  # fall back: random-normal guide of nc texts
+            text = jnp.zeros((feats[0].shape[0], self.nc, self.embed), jnp.float32)
+        b = feats[0].shape[0]
+        nc = text.shape[1]
+        ch0 = feats[0].shape[-1]
+        c2 = max(16, ch0 // 4, self.reg_max * 4)
+        c3 = max(ch0, min(nc, 100))
+        head_cls = BNContrastiveHead if self.with_bn else ContrastiveHead
+        raw = []
+        for i, x in enumerate(feats):
+            box = _branch(self, x, f"cv2_{i}", c2, 4 * self.reg_max, True, train,
+                          final_bias_init=nn.initializers.constant(1.0))
+            emb = _branch(self, x, f"cv3_{i}", c3, self.embed, True, train)
+            cls = head_cls(dtype=self.dtype, name=f"cv4_{i}")(emb, text, train)
+            raw.append(jnp.concatenate([box, cls], axis=-1))
+        if train:
+            return {"feats": raw}
+        # decode with dynamic nc
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors, stride_t = make_anchors(shapes, self.strides, 0.5, dtype=jnp.float32)
+        no = 4 * self.reg_max + nc
+        flat = jnp.concatenate([r.reshape(b, -1, no) for r in raw], axis=1)
+        box, cls = jnp.split(flat, [4 * self.reg_max], axis=-1)
+        dist = DFL(reg_max=self.reg_max, name="dfl")(box.astype(jnp.float32))
+        dbox = dist2bbox(dist, anchors[None], xywh=True) * stride_t[None]
+        y = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1)
+        return y, {"feats": raw}

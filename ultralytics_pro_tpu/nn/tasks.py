@@ -131,6 +131,22 @@ def _build_a2c2f(args, n, w, d, mx, ctx):
     return _v9().A2C2f, tuple(kw.items())
 
 
+def _world():
+    from ultralytics_pro_tpu.nn.modules import world
+
+    return world
+
+
+def _build_world_detect(args, n, w, d, mx, ctx):
+    from ultralytics_pro_tpu.nn.modules.head import WorldDetect
+
+    ctx["head_index"] = ctx["i"]
+    # embed stays the TEXT dim (512 for CLIP) — not width-scaled, since the
+    # contrastive head compares region embeddings against text embeddings
+    return WorldDetect, _kw(nc=args[0], embed=_a(args, 1, 512),
+                            with_bn=_a(args, 2, False))
+
+
 def _build_head_v10(args, n, w, d, mx, ctx):
     from ultralytics_pro_tpu.nn.modules.head import v10Detect
 
@@ -220,6 +236,12 @@ BUILDERS: Dict[str, Callable] = {
     "ECAAttention": lambda a, n, w, d, mx, ctx: (_att().ECAAttention, _kw(kernel_size=_a(a, 1, 3))),
     "SimAM": lambda a, n, w, d, mx, ctx: (_att().SimAM, _kw()),
     "EMA": lambda a, n, w, d, mx, ctx: (_att().EMA, _kw(factor=_a(a, 1, 8))),
+    "C2fAttn": lambda a, n, w, d, mx, ctx: (
+        _world().C2fAttn, _kw(c2=_sc(a[0], w, mx), n=n, ec=make_divisible(_a(a, 1, 128) * w, 8),
+                              nh=max(1, int(_a(a, 2, 1) * w)), gc=512)),
+    "ImagePoolingAttn": lambda a, n, w, d, mx, ctx: (
+        _world().ImagePoolingAttn, _kw(ec=_a(a, 0, 256), ct=512, nh=8)),
+    "WorldDetect": _build_world_detect,
     "RepNCSPELAN4": lambda a, n, w, d, mx, ctx: (
         _v9().RepNCSPELAN4, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
                                 c4=_sc(a[2], w, mx), n=_a(a, 3, 1))),
@@ -252,7 +274,7 @@ BUILDERS: Dict[str, Callable] = {
 
 # Modules that flip Detect heads off the legacy branch layout (reference
 # tasks.py:2862-2870: C3k2 family, A2C2f, C2fCIB).
-HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect")
+HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect", "WorldDetect")
 
 # Modules whose repeats column is consumed internally (depth-gained n); all
 # others with n>1 get stacked via Repeat (reference repeat_modules frozenset).
@@ -351,9 +373,19 @@ class YOLOModule(nn.Module):
     def setup(self):
         self.layers = [s.build() for s in self.specs]
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, txt_feats=None):
+        from ultralytics_pro_tpu.nn.modules.world import C2fAttn, ImagePoolingAttn
+        from ultralytics_pro_tpu.nn.modules.head import WorldDetect
+
         y = {}
         out = x
+        txt = txt_feats
+        if txt is None and any(s.type_name in ("C2fAttn", "WorldDetect", "ImagePoolingAttn")
+                               for s in self.specs):
+            # zero guide for shape probing / text-free calls
+            nc = next((dict(s.kwargs).get("nc", 80) for s in self.specs
+                       if s.type_name == "WorldDetect"), 80)
+            txt = jnp.zeros((x.shape[0], nc, 512), jnp.float32)
         for spec, layer in zip(self.specs, self.layers):
             f = spec.f
             if isinstance(f, tuple):
@@ -362,7 +394,14 @@ class YOLOModule(nn.Module):
                 inp = y[f]
             else:
                 inp = out
-            out = layer(inp, train=train)
+            # text-guided layers consume/update the text embedding stream
+            if isinstance(layer, ImagePoolingAttn):
+                txt = layer(inp, txt, train=train)
+                out = txt
+            elif isinstance(layer, (C2fAttn, WorldDetect)):
+                out = layer(inp, txt, train=train)
+            else:
+                out = layer(inp, train=train)
             if spec.i in self.save:
                 y[spec.i] = out
         return out
@@ -511,6 +550,44 @@ class ClassificationModel(BaseModel):
     task = "classify"
 
 
+class WorldModel(DetectionModel):
+    """Open-vocabulary detection model (reference tasks.py:1744). Classes are
+    set as text via set_classes -> CLIP embeddings flow through C2fAttn/
+    ImagePoolingAttn/WorldDetect as the guide stream."""
+
+    task = "detect"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.txt_feats = None
+
+    def set_classes(self, names, cache_clip_model: bool = True):
+        from ultralytics_pro_tpu.nn.modules.world import encode_text
+
+        e = encode_text(list(names))  # (T, 512)
+        self.txt_feats = jnp.asarray(e)[None]  # (1, T, 512)
+        self.names = dict(enumerate(names))
+        self.nc = len(names)
+
+    def apply(self, variables, x, train: bool = False, mutable=False):
+        txt = self.txt_feats
+        if txt is not None and txt.shape[0] != x.shape[0]:
+            txt = jnp.broadcast_to(txt, (x.shape[0], *txt.shape[1:]))
+        return self.module.apply(variables, x, train=train, mutable=mutable, txt_feats=txt)
+
+    def init_params(self, rng=None, imgsz: int = 640):
+        from functools import partial
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
+        if self.txt_feats is None:
+            self.set_classes([f"class{i}" for i in range(self.nc)])
+        self.variables = jax.jit(partial(self.module.init, train=True))(
+            rng, x, txt_feats=self.txt_feats
+        )
+        return self.variables
+
+
 def guess_model_task(cfg) -> str:
     """Infer task from the head module in a model YAML (reference tasks.py:3185)."""
     d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
@@ -522,7 +599,7 @@ def guess_model_task(cfg) -> str:
         return "pose"
     if "OBB" in names:
         return "obb"
-    if "RTDETRDecoder" in names:
+    if "RTDETRDecoder" in names or "WorldDetect" in names:
         return "detect"
     if "Classify" in names:
         return "classify"

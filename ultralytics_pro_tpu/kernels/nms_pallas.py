@@ -1,0 +1,90 @@
+"""Pallas TPU kernel: greedy NMS suppression loop, batch-vectorized.
+
+The XLA formulation (ops/nms.py) runs max_det fori_loop iterations, each a
+handful of small HLO ops. This kernel keeps ALL candidates resident in VMEM
+as (B, K) planes and runs the full argmax+suppress loop in one Pallas program,
+vectorized across the batch (sublanes) and candidates (lanes) — no
+per-iteration HLO dispatch and no HBM traffic inside the loop.
+
+No dynamic indexing anywhere (the TC lowering has no dynamic_slice): scalar
+picks are one-hot masked reductions; output slots are one-hot selects.
+
+Semantics match ops/nms.py `_greedy_nms_scores` exactly (verified 100% keep
+agreement): invalid candidates carry score -1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nms_kernel(data_ref, keep_ref, valid_ref, *, max_det: int, iou_thres: float):
+    x1 = data_ref[0]  # (B, K)
+    y1 = data_ref[1]
+    x2 = data_ref[2]
+    y2 = data_ref[3]
+    area = data_ref[4]
+    scores0 = data_ref[5]
+
+    b, k = x1.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    md_lane = jax.lax.broadcasted_iota(jnp.int32, (b, max_det), 1)
+
+    def body(i, carry):
+        s, keep_row, valid_row = carry
+        sj = jnp.max(s, axis=1, keepdims=True)  # (B, 1)
+        j = jnp.argmax(s, axis=1).astype(jnp.int32)[:, None]  # (B, 1)
+        one = (lane == j).astype(s.dtype)  # (B, K) one-hot winners
+
+        def pick(row):
+            return jnp.sum(row * one, axis=1, keepdims=True)  # (B, 1)
+
+        x1j, y1j, x2j, y2j, aj = pick(x1), pick(y1), pick(x2), pick(y2), pick(area)
+        inter = jnp.maximum(jnp.minimum(x2j, x2) - jnp.maximum(x1j, x1), 0.0) * jnp.maximum(
+            jnp.minimum(y2j, y2) - jnp.maximum(y1j, y1), 0.0
+        )
+        iou = inter / (aj + area - inter + 1e-7)
+        s = jnp.where(iou > iou_thres, -1.0, s)
+        slot = md_lane == i  # (B, max_det)
+        keep_row = jnp.where(slot, j, keep_row)
+        valid_row = jnp.where(slot, (sj > 0).astype(jnp.int32), valid_row)
+        return s, keep_row, valid_row
+
+    init = (scores0, jnp.zeros((b, max_det), jnp.int32), jnp.zeros((b, max_det), jnp.int32))
+    _, keep_row, valid_row = jax.lax.fori_loop(0, max_det, body, init)
+    keep_ref[:] = keep_row
+    valid_ref[:] = valid_row
+
+
+@partial(jax.jit, static_argnames=("max_det", "iou_thres", "interpret"))
+def pallas_greedy_nms(boxes, scores, max_det: int = 300, iou_thres: float = 0.45,
+                      interpret: bool = False):
+    """boxes (B, K, 4) xyxy (class-offset applied), scores (B, K) with invalid
+    candidates < 0. Returns (keep_idx (B, max_det) int32, keep_valid (B, max_det) bool).
+    """
+    b, k, _ = boxes.shape
+    area = (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+    data = jnp.stack(
+        [boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3], area, scores],
+        axis=0,
+    )  # (6, B, K) planes, each a (B, K) sublane x lane tile set
+
+    keep, valid = pl.pallas_call(
+        partial(_nms_kernel, max_det=max_det, iou_thres=iou_thres),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, max_det), jnp.int32),
+            jax.ShapeDtypeStruct((b, max_det), jnp.int32),
+        ),
+        interpret=interpret,
+    )(data)
+    return keep, valid.astype(bool)

@@ -58,6 +58,7 @@ def _greedy_nms_scores(boxes, scores, iou_thres: float, max_det: int):
     jax.jit,
     static_argnames=(
         "conf_thres", "iou_thres", "max_det", "max_nms", "max_wh", "agnostic", "multi_label",
+        "use_pallas",
     ),
 )
 def non_max_suppression(
@@ -72,6 +73,7 @@ def non_max_suppression(
     agnostic: bool = False,
     multi_label: bool = False,
     classes=None,
+    use_pallas: bool = None,
 ):
     """Batched class-aware NMS with fixed output shapes.
 
@@ -91,7 +93,8 @@ def non_max_suppression(
     if classes is not None:
         scores = jnp.where(jnp.asarray(classes)[None, None, :], scores, 0.0)
 
-    def single(boxes_i, scores_i, extra_i):
+    def select(boxes_i, scores_i):
+        """Per-image candidate selection (vmapped)."""
         if multi_label and nc > 1:
             # Every (anchor, class) pair is a candidate.
             flat = scores_i.reshape(-1)  # (A*nc,)
@@ -107,22 +110,41 @@ def non_max_suppression(
             k = min(max_nms, a)
             top_scores, anchor_idx = jax.lax.top_k(masked, k)
             cls_idx = cls_all[anchor_idx]
-
         cand_boxes = xywh2xyxy(boxes_i[anchor_idx])  # (K, 4)
-        offset = jnp.where(agnostic, 0.0, 1.0) * cls_idx.astype(cand_boxes.dtype)[:, None] * max_wh
-        keep_idx, keep_valid = _greedy_nms_scores(cand_boxes + offset, top_scores, iou_thres, max_det)
+        return cand_boxes, top_scores, cls_idx, anchor_idx
 
-        out_boxes = cand_boxes[keep_idx]
-        out_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)
-        out_cls = jnp.where(keep_valid, cls_idx[keep_idx], 0)
-        out = {"boxes": out_boxes, "scores": out_scores, "cls": out_cls, "valid": keep_valid}
+    cand_boxes, top_scores, cls_idx, anchor_idx = jax.vmap(select)(boxes, scores)
+    offset = jnp.where(agnostic, 0.0, 1.0) * cls_idx.astype(cand_boxes.dtype)[..., None] * max_wh
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ultralytics_pro_tpu.kernels.nms_pallas import pallas_greedy_nms
+
+        keep_idx, keep_valid = pallas_greedy_nms(
+            cand_boxes + offset, top_scores, max_det=max_det, iou_thres=iou_thres
+        )
+    else:
+        keep_idx, keep_valid = jax.vmap(
+            lambda b, s: _greedy_nms_scores(b, s, iou_thres, max_det)
+        )(cand_boxes + offset, top_scores)
+
+    def gather(cand_boxes_i, top_scores_i, cls_i, anchor_i, keep_i, valid_i, extra_i):
+        out = {
+            "boxes": cand_boxes_i[keep_i],
+            "scores": jnp.where(valid_i, top_scores_i[keep_i], 0.0),
+            "cls": jnp.where(valid_i, cls_i[keep_i], 0),
+            "valid": valid_i,
+        }
         if extra_i is not None:
-            out["extra"] = extra_i[anchor_idx][keep_idx]
+            out["extra"] = extra_i[anchor_i][keep_i]
         return out
 
     if extra is None:
-        return jax.vmap(lambda b, s: single(b, s, None))(boxes, scores)
-    return jax.vmap(single)(boxes, scores, extra)
+        return jax.vmap(lambda *a: gather(*a, None))(
+            cand_boxes, top_scores, cls_idx, anchor_idx, keep_idx, keep_valid
+        )
+    return jax.vmap(gather)(cand_boxes, top_scores, cls_idx, anchor_idx, keep_idx, keep_valid, extra)
 
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms"))

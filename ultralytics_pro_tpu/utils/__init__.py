@@ -194,3 +194,120 @@ def increment_path(path, exist_ok: bool = False, sep: str = "", mkdir: bool = Fa
     if mkdir:
         path.mkdir(parents=True, exist_ok=True)
     return path
+
+
+class TryExcept:
+    """Context manager/decorator that logs instead of raising (reference
+    utils/__init__.py:959)."""
+
+    def __init__(self, msg: str = "", verbose: bool = True):
+        self.msg = msg
+        self.verbose = verbose
+
+    def __call__(self, func):
+        import functools
+
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            with self:
+                return func(*args, **kwargs)
+
+        return wrapper
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, value, tb):
+        if self.verbose and value:
+            LOGGER.info(f"{self.msg}{': ' if self.msg else ''}{value}")
+        return True
+
+
+class Retry:
+    """Retry decorator with exponential backoff (reference utils/__init__.py:998)."""
+
+    def __init__(self, times: int = 3, delay: float = 2.0):
+        self.times = times
+        self.delay = delay
+
+    def __call__(self, func):
+        import functools
+
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            attempt = 0
+            while True:
+                try:
+                    return func(*args, **kwargs)
+                except Exception as e:
+                    attempt += 1
+                    if attempt > self.times:
+                        raise
+                    LOGGER.info(f"Retry {attempt}/{self.times}: {e}")
+                    time.sleep(self.delay * (2 ** (attempt - 1)))
+
+        return wrapper
+
+
+def threaded(func):
+    """Run in a daemon thread when threaded=True kwarg (reference :1042)."""
+    import functools
+    import threading
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        if kwargs.pop("threaded", True):
+            t = threading.Thread(target=func, args=args, kwargs=kwargs, daemon=True)
+            t.start()
+            return t
+        return func(*args, **kwargs)
+
+    return wrapper
+
+
+class ThreadingLocked:
+    """Decorator serializing calls with a lock (reference :463)."""
+
+    def __init__(self):
+        import threading
+
+        self.lock = threading.Lock()
+
+    def __call__(self, f):
+        import functools
+
+        @functools.wraps(f)
+        def decorated(*args, **kwargs):
+            with self.lock:
+                return f(*args, **kwargs)
+
+        return decorated
+
+
+# environment sniffers (reference utils/__init__.py:632-793)
+def is_colab() -> bool:
+    return "COLAB_RELEASE_TAG" in os.environ or "COLAB_BACKEND_VERSION" in os.environ
+
+
+def is_kaggle() -> bool:
+    return os.environ.get("PWD") == "/kaggle/working"
+
+
+def is_docker() -> bool:
+    try:
+        return Path("/.dockerenv").exists() or "docker" in Path("/proc/self/cgroup").read_text()
+    except Exception:
+        return False
+
+
+def is_pytest_running() -> bool:
+    return "PYTEST_CURRENT_TEST" in os.environ or "pytest" in sys.modules
+
+
+def is_tpu_vm() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -9,7 +9,7 @@ whole postprocess path, bf16 on the MXU, and Orbax checkpointing.
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "Model", "RTDETR", "__version__"]
+__all__ = ["YOLO", "Model", "RTDETR", "FastSAM", "NAS", "__version__"]
 
 
 def __getattr__(name):
@@ -22,4 +22,12 @@ def __getattr__(name):
         from ultralytics_pro_tpu.models.rtdetr import RTDETR
 
         return RTDETR
+    if name == "FastSAM":
+        from ultralytics_pro_tpu.models.fastsam import FastSAM
+
+        return FastSAM
+    if name == "NAS":
+        from ultralytics_pro_tpu.models.nas import NAS
+
+        return NAS
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

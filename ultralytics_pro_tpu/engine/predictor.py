@@ -57,12 +57,44 @@ class BasePredictor:
             classes_mask[np.array(self.classes, int)] = True
 
         nc = model.nc
+        augment = bool(self.args.get("augment", False))
+
+        def forward(variables, x):
+            y, aux = model.module.apply(variables, x, train=False)
+            return y, aux
+
+        def tta_forward(variables, x):
+            """Test-time augmentation (reference _predict_augment tasks.py:1342):
+            scales (1, 0.83, 0.67) x flips (none, lr, none), decoded preds
+            descaled and concatenated along the anchor axis before NMS."""
+            b, h, w, c = x.shape
+            ys = []
+            aux0 = None
+            for scale, flip in ((1.0, False), (0.83, True), (0.67, False)):
+                import math
+
+                sh = math.ceil(h * scale / 32) * 32 if scale != 1.0 else h
+                sw = math.ceil(w * scale / 32) * 32 if scale != 1.0 else w
+                xi = x
+                if flip:
+                    xi = xi[:, :, ::-1, :]
+                if (sh, sw) != (h, w):
+                    xi = jax.image.resize(xi, (b, sh, sw, c), method="bilinear")
+                yi, aux_i = forward(variables, xi)
+                if aux0 is None:
+                    aux0 = aux_i
+                # descale xywh boxes back to the base frame
+                bx = yi[..., :4] / jnp.array([sw / w, sh / h, sw / w, sh / h], yi.dtype)
+                if flip:
+                    bx = bx.at[..., 0].set(w - bx[..., 0])
+                ys.append(jnp.concatenate([bx, yi[..., 4:]], -1))
+            return jnp.concatenate(ys, axis=1), aux0
 
         @jax.jit
         def run(variables, img_u8):
             # on-device preprocess: uint8 BGR HWC -> float RGB /255
             x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
-            y, aux = model.module.apply(variables, x, train=False)
+            y, aux = (tta_forward if augment else forward)(variables, x)
             boxes, rest = y[..., :4], y[..., 4:]
             scores = rest[..., :nc]
             extra = rest[..., nc:] if rest.shape[-1] > nc else None

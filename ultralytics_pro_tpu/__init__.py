@@ -9,7 +9,7 @@ whole postprocess path, bf16 on the MXU, and Orbax checkpointing.
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "Model", "RTDETR", "FastSAM", "NAS", "__version__"]
+__all__ = ["YOLO", "Model", "RTDETR", "FastSAM", "SAM", "NAS", "__version__"]
 
 
 def __getattr__(name):
@@ -26,6 +26,10 @@ def __getattr__(name):
         from ultralytics_pro_tpu.models.fastsam import FastSAM
 
         return FastSAM
+    if name == "SAM":
+        from ultralytics_pro_tpu.models.sam import SAM
+
+        return SAM
     if name == "NAS":
         from ultralytics_pro_tpu.models.nas import NAS
 

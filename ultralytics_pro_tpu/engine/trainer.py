@@ -381,6 +381,11 @@ class BaseTrainer(CallbackMixin):
             "model_yaml": self.model.yaml if isinstance(self.model.yaml, dict) else None,
             "date": time.strftime("%Y-%m-%d %H:%M:%S"),
         }
+        # provenance (reference trainer.py:599-604 embeds the package repo's
+        # git state, not the caller's cwd)
+        from ultralytics_pro_tpu.utils.git import GIT
+
+        ckpt.update(GIT(Path(__file__).parent).as_dict())
         save_pickle(self.wdir / "last.ckpt", ckpt)
         if fitness is not None and fitness >= self.best_fitness:
             self.best_fitness = fitness

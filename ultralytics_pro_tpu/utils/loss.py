@@ -28,6 +28,50 @@ def bce_logits(logits, targets):
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def varifocal_loss(pred_logits, gt_score, label, gamma: float = 2.0, alpha: float = 0.75):
+    """Varifocal loss (reference loss.py:241 VarifocalLoss, Zhang et al.):
+    IoU-aware BCE where negatives are focally down-weighted and positives are
+    weighted by their quality target. Returns mean-over-classes summed scalar."""
+    p = jax.nn.sigmoid(pred_logits)
+    weight = alpha * p**gamma * (1.0 - label) + gt_score * label
+    return (bce_logits(pred_logits, gt_score) * weight).mean(1).sum()
+
+
+def focal_loss(pred_logits, label, gamma: float = 1.5, alpha: float = 0.25):
+    """Focal BCE (reference loss.py:273 FocalLoss, TF-addons formulation)."""
+    loss = bce_logits(pred_logits, label)
+    p = jax.nn.sigmoid(pred_logits)
+    p_t = label * p + (1.0 - label) * (1.0 - p)
+    loss = loss * (1.0 - p_t) ** gamma
+    if alpha > 0:
+        loss = loss * (label * alpha + (1.0 - label) * (1.0 - alpha))
+    return loss.mean(1).sum()
+
+
+def slide_loss(pred_logits, true, auto_iou: float = 0.5):
+    """IoU-adaptive sample reweighting of elementwise BCE (fork-added
+    reference loss.py:21 SlideLoss): weight 1 below the IoU knee, exp bump in
+    the transition band, exp(-(t-1)) above. Returns elementwise loss."""
+    auto_iou = jnp.maximum(auto_iou, 0.2)
+    loss = bce_logits(pred_logits, true)
+    w = jnp.where(
+        true <= auto_iou - 0.1, 1.0,
+        jnp.where(true < auto_iou, jnp.exp(1.0 - auto_iou), jnp.exp(-(true - 1.0))),
+    )
+    return loss * w
+
+
+def vari_focal_loss(pred_logits, target, alpha: float = 0.75, gamma: float = 2.0,
+                    iou_weighted: bool = True):
+    """Fork-added Vari_focalLoss (reference loss.py:167): sum-reduced
+    sigmoid varifocal with optional IoU weighting of positives."""
+    p = jax.nn.sigmoid(pred_logits)
+    pos = (target > 0.0).astype(p.dtype)
+    pos_w = target if iou_weighted else 1.0
+    focal_weight = pos_w * pos + alpha * jnp.abs(p - target) ** gamma * (1.0 - pos)
+    return (bce_logits(pred_logits, target) * focal_weight).sum()
+
+
 def df_loss(pred_dist, target, reg_max: int):
     """Distribution Focal Loss (reference loss.py:308): CE to the two adjacent
     integer bins, linearly weighted. pred_dist (N, 4, reg_max) logits,

@@ -8,6 +8,7 @@ import pytest
 @pytest.mark.parametrize("cfg,nc_extra", [
     ("yolov3-tiny.yaml", 0),
     ("yolov5n.yaml", 0),
+    ("yolov6n.yaml", 0),
     ("yolov8n.yaml", 0),
     ("yolov9c.yaml", 0),
     ("yolo11n.yaml", 0),
@@ -70,3 +71,19 @@ def test_v9_elan_modules_forward():
         v = m.init(jax.random.PRNGKey(0), x, train=False)
         y = m.apply(v, x, train=False)
         assert y.shape[-1] == kw["c2"]
+
+
+def test_activation_override_pinned_per_model():
+    """YAML `activation:` key (reference tasks.py:2436): v6 uses ReLU and keeps
+    it even after another model without the key is parsed."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.tasks import DetectionModel
+
+    m6 = DetectionModel("yolov6n.yaml")
+    assert m6.meta["activation"] == "nn.ReLU()"
+    v = m6.init_params(imgsz=64)
+    DetectionModel("yolov8n.yaml")  # parses without the key -> resets global
+    y, _ = jax.jit(lambda v, x: m6.apply(v, x, train=False))(v, jnp.zeros((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(y)).all()

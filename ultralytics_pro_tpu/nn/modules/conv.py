@@ -91,9 +91,30 @@ class Conv(ConvBase):
         return conv_bn_act(self, x, self.c2, self.k, self.s, self.p, self.g, self.d, self.act, train)
 
 
+# Model-wide default activation, overridable by the YAML `activation:` key
+# (reference tasks.py:2436 sets Conv.default_act via eval(act); same
+# last-parse-wins global semantics here). None = SiLU.
+DEFAULT_ACT = [None]
+
+_ACT_NAMES = {
+    "silu": jax.nn.silu, "relu": jax.nn.relu, "relu6": jax.nn.relu6,
+    "leakyrelu": lambda x: jax.nn.leaky_relu(x, 0.01), "gelu": jax.nn.gelu,
+    "hardswish": jax.nn.hard_swish, "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "sigmoid": jax.nn.sigmoid, "tanh": jnp.tanh, "identity": lambda x: x,
+}
+
+
+def resolve_act(spec):
+    """'torch.nn.ReLU()' / 'nn.SiLU()' / 'ReLU' -> jax activation fn."""
+    name = str(spec).split("(")[0].split(".")[-1].lower()
+    if name not in _ACT_NAMES:
+        raise ValueError(f"unsupported activation {spec!r}; known: {sorted(_ACT_NAMES)}")
+    return _ACT_NAMES[name]
+
+
 def apply_act(x, act):
     if act is True:
-        return jax.nn.silu(x)
+        return DEFAULT_ACT[0](x) if DEFAULT_ACT[0] is not None else jax.nn.silu(x)
     if callable(act):
         return act(x)
     return x

@@ -220,6 +220,10 @@ BUILDERS: Dict[str, Callable] = {
         M.Upsample, _kw(scale=int(_a(a, 1, 2)), mode=_a(a, 2, "nearest"))),
     "Upsample": lambda a, n, w, d, mx, ctx: (
         M.Upsample, _kw(scale=int(_a(a, 1, 2)), mode=_a(a, 2, "nearest"))),
+    "nn.ConvTranspose2d": lambda a, n, w, d, mx, ctx: (
+        # plain torch ConvTranspose2d: no BN, no activation
+        M.ConvTranspose, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 2), s=_a(a, 2, 2),
+                             p=_a(a, 3, 0), bn=False, act=False)),
     "nn.MaxPool2d": lambda a, n, w, d, mx, ctx: (
         M.MaxPool2d, _kw(k=a[0], s=_a(a, 1, None) or a[0], p=_a(a, 2, 0))),
     "nn.ZeroPad2d": lambda a, n, w, d, mx, ctx: (M.ZeroPad2d, _kw(padding=tuple(a[0]))),
@@ -315,6 +319,13 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
         depth, width, max_channels = d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0), float("inf")
     nc = nc or d.get("nc", 80)
 
+    # model-wide activation override (reference tasks.py:2436 `Conv.default_act
+    # = eval(act)`): same global semantics — the last parsed model wins.
+    from ultralytics_pro_tpu.nn.modules.conv import DEFAULT_ACT, resolve_act
+
+    act_spec = d.get("activation")
+    DEFAULT_ACT[0] = resolve_act(act_spec) if act_spec else None
+
     ctx = {"legacy": True, "scale": scale, "head_index": None, "i": 0}
     layers_yaml = list(d.get("backbone", [])) + list(d.get("head", []))
 
@@ -360,7 +371,8 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
         if verbose:
             LOGGER.info(f"{i:>3} {str(f):>10} {n:>3} {m_name:<20} {list(args)}")
     return specs, sorted(set(save)), {"scale": scale, "nc": nc, "legacy": ctx["legacy"],
-                                      "head_index": ctx["head_index"]}
+                                      "head_index": ctx["head_index"],
+                                      "activation": act_spec}
 
 
 class YOLOModule(nn.Module):
@@ -369,6 +381,7 @@ class YOLOModule(nn.Module):
 
     specs: Tuple[LayerSpec, ...]
     save: Tuple[int, ...]
+    act_name: Optional[str] = None  # YAML `activation:` override, e.g. "nn.ReLU()"
 
     def setup(self):
         self.layers = [s.build() for s in self.specs]
@@ -376,6 +389,11 @@ class YOLOModule(nn.Module):
     def __call__(self, x, train: bool = False, txt_feats=None):
         from ultralytics_pro_tpu.nn.modules.world import C2fAttn, ImagePoolingAttn
         from ultralytics_pro_tpu.nn.modules.head import WorldDetect
+        from ultralytics_pro_tpu.nn.modules.conv import DEFAULT_ACT, resolve_act
+
+        # Pin this model's activation during trace so interleaved builds of
+        # models with different `activation:` keys can't cross-contaminate.
+        DEFAULT_ACT[0] = resolve_act(self.act_name) if self.act_name else None
 
         y = {}
         out = x
@@ -468,7 +486,8 @@ class BaseModel:
         )
         self.nc = self.meta["nc"]
         self.stride = self._infer_strides()
-        self.module = YOLOModule(specs=tuple(self.specs), save=tuple(self.save))
+        self.module = YOLOModule(specs=tuple(self.specs), save=tuple(self.save),
+                                 act_name=self.meta.get("activation"))
         self.variables = None  # set by init_params or loaded from checkpoint
         self.names = {i: f"class{i}" for i in range(self.nc)}
 
@@ -485,7 +504,8 @@ class BaseModel:
         head = self._head_spec()
         if head is None:
             return (32,)
-        module = YOLOModule(specs=tuple(self.specs), save=tuple(self.save))
+        module = YOLOModule(specs=tuple(self.specs), save=tuple(self.save),
+                            act_name=self.meta.get("activation"))
         x = jax.ShapeDtypeStruct((1, 256, 256, self.ch), jnp.float32)
         from functools import partial
 

@@ -9,6 +9,8 @@ import pytest
     ("yolov3-tiny.yaml", 0),
     ("yolov5n.yaml", 0),
     ("yolov6n.yaml", 0),
+    ("yolov4-csp.yaml", 0),
+    ("yoloX.yaml", 0),  # fork formulation: decoupled towers -> 6-map Detect
     ("yolov8n.yaml", 0),
     ("yolov9c.yaml", 0),
     ("yolo11n.yaml", 0),

@@ -244,7 +244,7 @@ class BottleneckCSP(ConvBase):
         y = jnp.concatenate([a, b], -1)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, use_fast_variance=False,
                          dtype=self.dtype, name="bn")(y)
-        y = jax.nn.leaky_relu(y, negative_slope=0.1)
+        y = jax.nn.silu(y)  # the fork's variant uses SiLU (block.py:710)
         return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv4")(y, train)
 
 
@@ -523,3 +523,84 @@ class RepC3(ConvBase):
         if c_ != self.c2:
             y = Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(y, train)
         return y
+
+
+def _bn(name: str, dtype, x, train: bool):
+    from ultralytics_pro_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM
+
+    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS, use_fast_variance=False, dtype=dtype,
+                        name=name)(x)
+
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class BottleneckCSP2(ConvBase):
+    """CSPNet v2 variant with Mish merge (fork reference block.py:720):
+    hidden = c2 (no expansion), both branches from cv1."""
+
+    c2: int = 0
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2)
+        x1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = x1
+        for i in range(self.n):
+            y1 = Bottleneck(c2=c_, shortcut=self.shortcut, g=self.g, e=1.0,
+                            dtype=self.dtype, name=f"m_{i}")(y1, train)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv2")(x1)
+        y = _mish(_bn("bn", self.dtype, jnp.concatenate([y1, y2], -1), train))
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class SPPCSPC(ConvBase):
+    """CSP-wrapped SPP, YOLOv7/v4 neck centerpiece (fork reference
+    block.py:2366)."""
+
+    c2: int = 0
+    e: float = 0.5
+    k: Any = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(2 * self.c2 * self.e)
+        x1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(x, train)
+        x1 = Conv(c2=c_, k=3, dtype=self.dtype, name="cv3")(x1, train)
+        x1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv4")(x1, train)
+        pools = [max_pool_same(x1, kk) for kk in self.k]
+        y1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv5")(
+            jnp.concatenate([x1, *pools], -1), train)
+        y1 = Conv(c2=c_, k=3, dtype=self.dtype, name="cv6")(y1, train)
+        y2 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv7")(
+            jnp.concatenate([y1, y2], -1), train)
+
+
+class SPPFCSPC(ConvBase):
+    """SPPCSPC with cascaded single-k pooling (fork reference block.py:2387)."""
+
+    c2: int = 0
+    e: float = 0.5
+    k: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(2 * self.c2 * self.e)
+        x1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(x, train)
+        x1 = Conv(c2=c_, k=3, dtype=self.dtype, name="cv3")(x1, train)
+        x1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv4")(x1, train)
+        p1 = max_pool_same(x1, self.k)
+        p2 = max_pool_same(p1, self.k)
+        p3 = max_pool_same(p2, self.k)
+        y1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv5")(
+            jnp.concatenate([x1, p1, p2, p3], -1), train)
+        y1 = Conv(c2=c_, k=3, dtype=self.dtype, name="cv6")(y1, train)
+        y2 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv7")(
+            jnp.concatenate([y1, y2], -1), train)

@@ -200,6 +200,14 @@ BUILDERS: Dict[str, Callable] = {
     "C3Ghost": _csp_like(M.C3Ghost),
     "C3k2": _build_c3k2,
     "BottleneckCSP": _csp_like(M.BottleneckCSP),
+    "BottleneckCSP2": lambda a, n, w, d, mx, ctx: (
+        M.BottleneckCSP2, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False))),
+    "SPPCSP": lambda a, n, w, d, mx, ctx: (  # fork yamls use both spellings
+        M.SPPCSPC, _kw(c2=_sc(a[0], w, mx), e=_a(a, 1, 0.5))),
+    "SPPCSPC": lambda a, n, w, d, mx, ctx: (
+        M.SPPCSPC, _kw(c2=_sc(a[0], w, mx), e=_a(a, 1, 0.5))),
+    "SPPFCSPC": lambda a, n, w, d, mx, ctx: (
+        M.SPPFCSPC, _kw(c2=_sc(a[0], w, mx), e=_a(a, 1, 0.5), k=_a(a, 2, 5))),
     "C2fCIB": _build_c2fcib,
     "SPP": lambda a, n, w, d, mx, ctx: (M.SPP, _kw(c2=_sc(a[0], w, mx), k=tuple(_a(a, 1, (5, 9, 13))))),
     "SPPF": lambda a, n, w, d, mx, ctx: (M.SPPF, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 5))),

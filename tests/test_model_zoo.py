@@ -10,6 +10,7 @@ import pytest
     ("yolov5n.yaml", 0),
     ("yolov6n.yaml", 0),
     ("yolov4-csp.yaml", 0),
+    ("yolov7.yaml", 0),  # anchor-free af variant; E-ELAN inline stages
     ("yoloX.yaml", 0),  # fork formulation: decoupled towers -> 6-map Detect
     ("yolov8n.yaml", 0),
     ("yolov9c.yaml", 0),

@@ -232,6 +232,10 @@ BUILDERS: Dict[str, Callable] = {
         # plain torch ConvTranspose2d: no BN, no activation
         M.ConvTranspose, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 2), s=_a(a, 2, 2),
                              p=_a(a, 3, 0), bn=False, act=False)),
+    "MP": lambda a, n, w, d, mx, ctx: (  # v7 k=s=2 maxpool (reference block.py:214)
+        M.MaxPool2d, _kw(k=_a(a, 0, 2), s=_a(a, 0, 2))),
+    "SP": lambda a, n, w, d, mx, ctx: (  # stride-1 'same' maxpool (block.py:223)
+        M.MaxPool2d, _kw(k=_a(a, 0, 3), s=_a(a, 1, 1), p=_a(a, 0, 3) // 2)),
     "nn.MaxPool2d": lambda a, n, w, d, mx, ctx: (
         M.MaxPool2d, _kw(k=a[0], s=_a(a, 1, None) or a[0], p=_a(a, 2, 0))),
     "nn.ZeroPad2d": lambda a, n, w, d, mx, ctx: (M.ZeroPad2d, _kw(padding=tuple(a[0]))),

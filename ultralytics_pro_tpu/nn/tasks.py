@@ -645,3 +645,50 @@ TASK2MODEL = {
     "obb": OBBModel,
     "classify": ClassificationModel,
 }
+
+
+class Ensemble:
+    """Multi-model NMS-ensemble: each member's decoded (B, A, no) predictions
+    are concatenated on the anchor axis before one shared NMS pass (reference
+    tasks.py:2158 Ensemble.forward, `torch.cat(y, 2)` on (B, C, HW)).
+
+    Members must share nc. Usage:
+        ens = Ensemble([DetectionModel("yolov8n.yaml"), DetectionModel("yolov8s.yaml")])
+        y, aux = ens(x)   # y: (B, sum(A_i), 4 + nc)
+    """
+
+    def __init__(self, models=()):
+        self.models = list(models)
+        for m in self.models:
+            if m.variables is None:
+                m.init_params()
+
+    def append(self, model):
+        if model.variables is None:
+            model.init_params()
+        self.models.append(model)
+
+    @property
+    def nc(self):
+        return self.models[0].nc
+
+    @property
+    def names(self):
+        return self.models[0].names
+
+    @property
+    def stride(self):
+        return max(self.models, key=lambda m: max(m.stride)).stride
+
+    def __iter__(self):
+        return iter(self.models)
+
+    def __len__(self):
+        return len(self.models)
+
+    def __call__(self, x, train: bool = False):
+        assert not train, "Ensemble is inference-only (reference tasks.py:2194)"
+        ncs = {m.nc for m in self.models}
+        assert len(ncs) == 1, f"ensemble members disagree on nc: {ncs}"
+        ys = [m.apply(m.variables, x, train=False)[0] for m in self.models]
+        return jnp.concatenate(ys, axis=1), None

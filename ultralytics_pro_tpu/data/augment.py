@@ -428,3 +428,143 @@ def v8_transforms(dataset, imgsz: int, hyp: Dict, stretch: bool = False):
         RandomFlip(p=hyp.get("flipud", 0.0), direction="vertical"),
         RandomFlip(p=hyp.get("fliplr", 0.5), direction="horizontal", flip_idx=flip_idx),
     ])
+
+
+# ---------------------------------------------------------------------------
+# Classification augmentations (reference augment.py:2531 classify_transforms,
+# :2581 classify_augmentations — torchvision RandAugment/RandomErasing there;
+# lean cv2/numpy equivalents here, same knob names).
+# ---------------------------------------------------------------------------
+
+def _ra_autocontrast(im, _):
+    lo, hi = im.min(axis=(0, 1), keepdims=True), im.max(axis=(0, 1), keepdims=True)
+    span = np.maximum(hi - lo, 1)
+    return ((im.astype(np.float32) - lo) * (255.0 / span)).clip(0, 255).astype(np.uint8)
+
+
+def _ra_equalize(im, _):
+    ycc = cv2.cvtColor(im, cv2.COLOR_BGR2YCrCb)
+    ycc[..., 0] = cv2.equalizeHist(ycc[..., 0])
+    return cv2.cvtColor(ycc, cv2.COLOR_YCrCb2BGR)
+
+
+def _ra_rotate(im, mag):
+    h, w = im.shape[:2]
+    deg = (mag / 10.0) * 30.0 * random.choice((-1, 1))
+    mat = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0)
+    return cv2.warpAffine(im, mat, (w, h), borderValue=(128, 128, 128))
+
+
+def _ra_posterize(im, mag):
+    bits = max(8 - int(mag / 10.0 * 4), 4)
+    return (im >> (8 - bits)) << (8 - bits)
+
+
+def _ra_solarize(im, mag):
+    thr = 255 - int(mag / 10.0 * 110)
+    return np.where(im < thr, im, 255 - im).astype(np.uint8)
+
+
+def _ra_contrast(im, mag):
+    f = 1.0 + (mag / 10.0) * 0.9 * random.choice((-1, 1))
+    mean = im.mean()
+    return (mean + (im.astype(np.float32) - mean) * f).clip(0, 255).astype(np.uint8)
+
+
+def _ra_brightness(im, mag):
+    f = 1.0 + (mag / 10.0) * 0.9 * random.choice((-1, 1))
+    return (im.astype(np.float32) * f).clip(0, 255).astype(np.uint8)
+
+
+def _ra_sharpness(im, mag):
+    f = (mag / 10.0) * 0.9 * random.choice((-1, 1))
+    blur = cv2.GaussianBlur(im, (3, 3), 0)
+    return (im.astype(np.float32) * (1 + f) - blur.astype(np.float32) * f).clip(0, 255).astype(np.uint8)
+
+
+_RANDAUG_OPS = (_ra_autocontrast, _ra_equalize, _ra_rotate, _ra_posterize,
+                _ra_solarize, _ra_contrast, _ra_brightness, _ra_sharpness)
+
+
+class RandAugment:
+    """N random ops at shared magnitude (reference uses torchvision's; same
+    policy shape: num_ops=2, magnitude=9)."""
+
+    def __init__(self, num_ops: int = 2, magnitude: int = 9):
+        self.num_ops = num_ops
+        self.magnitude = magnitude
+
+    def __call__(self, im):
+        for op in random.choices(_RANDAUG_OPS, k=self.num_ops):
+            im = op(im, self.magnitude)
+        return im
+
+
+class RandomErasing:
+    """Erase a random rectangle with noise (reference torchvision
+    RandomErasing, p=erasing)."""
+
+    def __init__(self, p: float = 0.4, scale=(0.02, 0.33), ratio=(0.3, 3.3)):
+        self.p, self.scale, self.ratio = p, scale, ratio
+
+    def __call__(self, im):
+        if random.random() >= self.p:
+            return im
+        h, w = im.shape[:2]
+        for _ in range(10):
+            area = random.uniform(*self.scale) * h * w
+            ar = math.exp(random.uniform(math.log(self.ratio[0]), math.log(self.ratio[1])))
+            eh, ew = int(round(math.sqrt(area * ar))), int(round(math.sqrt(area / ar)))
+            if eh < h and ew < w:
+                y0, x0 = random.randint(0, h - eh), random.randint(0, w - ew)
+                im = im.copy()
+                im[y0:y0 + eh, x0:x0 + ew] = np.random.randint(
+                    0, 256, (eh, ew, im.shape[2]), np.uint8)
+                return im
+        return im
+
+
+def classify_transforms(size: int = 224):
+    """Val/center-crop pipeline (reference augment.py:2531): resize short side
+    then center crop."""
+
+    def tf(im):
+        h, w = im.shape[:2]
+        r = size / min(h, w)
+        im = cv2.resize(im, (round(w * r), round(h * r)), interpolation=cv2.INTER_LINEAR)
+        h, w = im.shape[:2]
+        y0, x0 = (h - size) // 2, (w - size) // 2
+        return im[y0:y0 + size, x0:x0 + size]
+
+    return tf
+
+
+def classify_augmentations(size: int = 224, scale=(0.08, 1.0), hflip: float = 0.5,
+                           auto_augment: str = "randaugment", erasing: float = 0.0):
+    """Train pipeline (reference augment.py:2581): RandomResizedCrop + flip +
+    optional RandAugment + RandomErasing."""
+    ra = RandAugment() if auto_augment == "randaugment" else None
+    re_ = RandomErasing(erasing) if erasing > 0 else None
+
+    def tf(im):
+        h, w = im.shape[:2]
+        for _ in range(10):
+            area = random.uniform(*scale) * h * w
+            ar = math.exp(random.uniform(math.log(3 / 4), math.log(4 / 3)))
+            ch, cw = int(round(math.sqrt(area / ar))), int(round(math.sqrt(area * ar)))
+            if ch <= h and cw <= w:
+                y0, x0 = random.randint(0, h - ch), random.randint(0, w - cw)
+                im2 = im[y0:y0 + ch, x0:x0 + cw]
+                break
+        else:
+            im2 = im
+        im2 = cv2.resize(im2, (size, size), interpolation=cv2.INTER_LINEAR)
+        if random.random() < hflip:
+            im2 = np.fliplr(im2).copy()
+        if ra is not None:
+            im2 = ra(im2)
+        if re_ is not None:
+            im2 = re_(im2)
+        return im2
+
+    return tf

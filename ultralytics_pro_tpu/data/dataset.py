@@ -38,7 +38,7 @@ class YOLODataset:
                  hyp: Optional[Dict] = None, rect: bool = False, batch_size: int = 16,
                  stride: int = 32, pad: float = 0.5, single_cls: bool = False,
                  classes=None, fraction: float = 1.0, data: Optional[Dict] = None,
-                 task: str = "detect"):
+                 task: str = "detect", cache=None):
         self.img_path = img_path
         self.imgsz = imgsz
         self.augment = augment
@@ -51,7 +51,49 @@ class YOLODataset:
         if classes is not None:
             self.update_labels(classes)
         self.ni = len(self.labels)
+        # image cache (reference base.py:261 cache_images / :318 check_cache_ram):
+        # "ram" keeps resized images resident; "disk" persists resized .npy files
+        self.cache = str(cache).lower() if cache not in (None, False) else None
+        self.ims = [None] * self.ni
+        if self.cache == "ram" and not self._check_cache_ram():
+            self.cache = None
+        if self.cache:
+            self._cache_images()
         self.transforms = self.build_transforms()
+
+    # -- caching ----------------------------------------------------------------
+    def _npy_path(self, i: int) -> Path:
+        return Path(self.im_files[i]).with_suffix(".npz")
+
+    def _check_cache_ram(self, safety_margin: float = 0.5) -> bool:
+        """Sample a few images, extrapolate, require headroom (base.py:318)."""
+        import psutil
+
+        n = min(self.ni, 30)
+        b = 0
+        for i in random.sample(range(self.ni), n):
+            im = cv2.imread(self.im_files[i])
+            if im is None:
+                continue
+            r = self.imgsz / max(im.shape[:2])
+            b += im.nbytes * min(r, 1) ** 2
+        need = b * self.ni / max(n, 1) * (1 + safety_margin)
+        ok = need < psutil.virtual_memory().available
+        if not ok:
+            LOGGER.warning(
+                f"cache=ram needs ~{need / 1e9:.1f}GB but only "
+                f"{psutil.virtual_memory().available / 1e9:.1f}GB free; caching disabled")
+        return ok
+
+    def _cache_images(self):
+        for i in range(self.ni):
+            if self.cache == "disk":
+                p = self._npy_path(i)
+                if not p.exists():
+                    im, (h0, w0), _ = self._read_resized(i)
+                    np.savez(str(p), im=im, shape=np.array((h0, w0)))
+            else:
+                self.ims[i] = self._read_resized(i)
 
     # -- files / labels -------------------------------------------------------
     def get_img_files(self, img_path, fraction: float = 1.0) -> List[str]:
@@ -158,7 +200,7 @@ class YOLODataset:
             lb["bboxes_n"] = lb["bboxes_n"][j]
 
     # -- loading --------------------------------------------------------------
-    def load_image(self, i: int):
+    def _read_resized(self, i: int):
         """Read + long-side resize to imgsz (reference base.py:208)."""
         im = cv2.imread(self.im_files[i])
         if im is None:
@@ -170,6 +212,18 @@ class YOLODataset:
             im = cv2.resize(im, (min(round(w0 * r), self.imgsz), min(round(h0 * r), self.imgsz)),
                             interpolation=interp)
         return im, (h0, w0), im.shape[:2]
+
+    def load_image(self, i: int):
+        """Cached read: RAM list, disk .npz (image + original dims), or file."""
+        if self.ims[i] is not None:  # ram
+            return self.ims[i]
+        if self.cache == "disk":
+            p = self._npy_path(i)
+            if p.exists():
+                z = np.load(str(p))
+                im = z["im"]
+                return im, tuple(z["shape"]), im.shape[:2]
+        return self._read_resized(i)
 
     def get_image_and_label(self, i: int) -> Dict:
         """Label dict with pixel-space annotations for the (resized) image."""
@@ -247,10 +301,19 @@ class YOLODataset:
 class ClassificationDataset:
     """Folder-per-class classification dataset (reference dataset.py:690)."""
 
-    def __init__(self, root, imgsz: int = 224, augment: bool = False):
+    def __init__(self, root, imgsz: int = 224, augment: bool = False,
+                 auto_augment: str = "randaugment", erasing: float = 0.4,
+                 hflip: float = 0.5, scale=(0.08, 1.0)):
+        from ultralytics_pro_tpu.data.augment import classify_augmentations, classify_transforms
+
         self.root = Path(root)
         self.imgsz = imgsz
         self.augment = augment
+        self.tf = (
+            classify_augmentations(imgsz, scale=scale, hflip=hflip,
+                                   auto_augment=auto_augment, erasing=erasing)
+            if augment else classify_transforms(imgsz)
+        )
         classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
         self.class_to_idx = {c: i for i, c in enumerate(classes)}
         self.samples = [
@@ -268,15 +331,5 @@ class ClassificationDataset:
     def __getitem__(self, i: int):
         path, cls = self.samples[i]
         im = cv2.imread(path)
-        if self.augment:
-            # RandomResizedCrop-style: random scale crop then resize
-            h, w = im.shape[:2]
-            scale = random.uniform(0.5, 1.0)
-            ch, cw = int(h * scale), int(w * scale)
-            y0 = random.randint(0, h - ch)
-            x0 = random.randint(0, w - cw)
-            im = im[y0:y0 + ch, x0:x0 + cw]
-            if random.random() < 0.5:
-                im = np.fliplr(im)
-        im = cv2.resize(im, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+        im = self.tf(im)
         return {"img": np.ascontiguousarray(im), "cls": cls}

@@ -145,7 +145,8 @@ class Model:
                                     "translate", "scale", "shear", "perspective", "hsv_h",
                                     "hsv_s", "hsv_v", "flipud", "fliplr") if k in args}
         train_set = YOLODataset(d["train"], imgsz=imgsz, augment=bool(args.get("augment", True)),
-                                hyp=hyp, data=d, task=self.task)
+                                hyp=hyp, data=d, task=self.task,
+                                cache=args.get("cache") or None)
         train_loader = DataLoader(train_set, batch_size=int(args.get("batch", 16)), shuffle=True,
                                   drop_last=True, max_gt=int(args.get("max_gt", 128)),
                                   workers=int(args.get("workers", 8)))

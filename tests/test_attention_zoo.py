@@ -45,6 +45,8 @@ def test_deform_conv2d_shift_offsets():
 @pytest.mark.parametrize("name", [
     "MHSA", "BoT3", "CoordAtt", "DCNv2", "C2f_DCN", "C3_DCN", "deformable_LKA",
     "deformable_LKA_Attention", "C2f_DLKA", "SEAttention", "ECAAttention", "SimAM", "EMA",
+    "GAMAttention", "CrissCrossAttention", "SKAttention", "TripletAttention",
+    "ShuffleAttention", "LSKblock", "ASPP",
 ])
 def test_attention_module_forward(name):
     import jax
@@ -75,3 +77,16 @@ def test_yolov8_att_model_builds():
     x = jnp.zeros((1, 64, 64, 3))
     y, aux = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
     assert y.shape[-1] == 84
+
+
+def test_carafe_upsamples_2x():
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.modules.attention import CARAFE
+
+    m = CARAFE()
+    x = jnp.zeros((1, 16, 16, 32))
+    v = jax.jit(lambda x: m.init(jax.random.PRNGKey(0), x, train=False))(x)
+    y = m.apply(v, x, train=False)
+    assert y.shape == (1, 32, 32, 32)

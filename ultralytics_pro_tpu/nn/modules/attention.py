@@ -309,3 +309,196 @@ class EMA(ConvBase):
         weights = (jnp.einsum("boc,bnc->bn", x11, x12) + jnp.einsum("boc,bnc->bn", x21, x22))
         weights = jax.nn.sigmoid(weights.reshape(b * g, h, w, 1))
         return (xg * weights).reshape(b, h, w, c)
+
+
+class GAMAttention(ConvBase):
+    """Global attention mechanism: MLP channel gate + grouped-conv spatial gate
+    with a final channel shuffle (reference block.py:3659)."""
+
+    c2: int = 0
+    rate: int = 4
+    group: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.rate if self.group else 1
+        att = nn.Dense(c // self.rate, dtype=self.dtype, name="channel_attention_0")(x)
+        att = nn.Dense(c, dtype=self.dtype, name="channel_attention_2")(jax.nn.relu(att))
+        x = x * att
+        s = nn.Conv(c // self.rate, (7, 7), padding=3, feature_group_count=g,
+                    dtype=self.dtype, name="spatial_attention_0")(x)
+        s = jax.nn.relu(_bn(self, s, "spatial_attention_1", train))
+        s = nn.Conv(self.c2 or c, (7, 7), padding=3, feature_group_count=g,
+                    dtype=self.dtype, name="spatial_attention_3")(s)
+        s = jax.nn.sigmoid(_bn(self, s, "spatial_attention_4", train))
+        # channel shuffle over 4 groups (reference channel_shuffle(x, 4))
+        cc = s.shape[-1]
+        s = s.reshape(b, h, w, 4, cc // 4).swapaxes(-1, -2).reshape(b, h, w, cc)
+        return x * s
+
+
+class CrissCrossAttention(ConvBase):
+    """Criss-cross (row+column) attention with -inf self-row masking
+    (reference block.py:4713)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        q = nn.Conv(c // 8, (1, 1), dtype=self.dtype, name="query_conv")(x)
+        k = nn.Conv(c // 8, (1, 1), dtype=self.dtype, name="key_conv")(x)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="value_conv")(x)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        # column (H) attention: for each (b, w) slice, HxH energies, diag=-inf
+        e_h = jnp.einsum("bhwc,bkwc->bwhk", q, k)
+        e_h = e_h - jnp.where(jnp.eye(h, dtype=bool), jnp.inf, 0.0)
+        e_h = jnp.moveaxis(e_h, 1, 2)  # (b, h, w, h)
+        # row (W) attention
+        e_w = jnp.einsum("bhwc,bhkc->bhwk", q, k)  # (b, h, w, w)
+        att = jax.nn.softmax(jnp.concatenate([e_h, e_w], -1), axis=-1)
+        a_h, a_w = att[..., :h], att[..., h:]
+        out_h = jnp.einsum("bhwk,bkwc->bhwc", a_h, v)
+        out_w = jnp.einsum("bhwk,bhkc->bhwc", a_w, v)
+        return gamma * (out_h + out_w) + x
+
+
+class SKAttention(ConvBase):
+    """Selective-kernel: multi-scale conv branches fused by softmax channel
+    weights (reference block.py:4784)."""
+
+    kernels: Any = (1, 3, 5, 7)
+    reduction: int = 16
+    L: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        d = max(self.L, c // self.reduction)
+        feats = []
+        for i, k in enumerate(self.kernels):
+            f = nn.Conv(c, (k, k), padding=k // 2, dtype=self.dtype, name=f"convs_{i}_conv")(x)
+            feats.append(jax.nn.relu(_bn(self, f, f"convs_{i}_bn", train)))
+        u = sum(feats)
+        z = nn.Dense(d, dtype=self.dtype, name="fc")(u.mean(axis=(1, 2)))
+        ws = jnp.stack([nn.Dense(c, dtype=self.dtype, name=f"fcs_{i}")(z)
+                        for i in range(len(self.kernels))], 0)  # (K, B, C)
+        ws = jax.nn.softmax(ws, axis=0)[:, :, None, None, :]
+        return (ws * jnp.stack(feats, 0)).sum(0)
+
+
+class _ZPoolGate(ConvBase):
+    """AttentionGate: cat(max,mean over channel) -> 7x7 conv+BN -> sigmoid."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        z = jnp.concatenate([x.max(-1, keepdims=True), x.mean(-1, keepdims=True)], -1)
+        a = nn.Conv(1, (7, 7), padding=3, use_bias=False, dtype=self.dtype, name="conv")(z)
+        return x * jax.nn.sigmoid(_bn(self, a, "bn", train))
+
+
+class TripletAttention(ConvBase):
+    """Rotate-and-gate over the three axis pairings (reference block.py:4911)."""
+
+    no_spatial: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # NHWC: gate over (C,W) plane -> transpose H<->C; over (H,C) -> W<->C
+        x1 = _ZPoolGate(dtype=self.dtype, name="cw")(jnp.swapaxes(x, 1, 3), train)
+        x1 = jnp.swapaxes(x1, 1, 3)
+        x2 = _ZPoolGate(dtype=self.dtype, name="hc")(jnp.swapaxes(x, 2, 3), train)
+        x2 = jnp.swapaxes(x2, 2, 3)
+        if self.no_spatial:
+            return 0.5 * (x1 + x2)
+        x3 = _ZPoolGate(dtype=self.dtype, name="hw")(x, train)
+        return (x1 + x2 + x3) / 3.0
+
+
+class ShuffleAttention(ConvBase):
+    """Split channel/spatial gates per group, then shuffle (reference
+    block.py:4020)."""
+
+    G: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        cg = c // self.G // 2
+        x = x.reshape(b * self.G, h, w, 2 * cg)
+        x0, x1 = x[..., :cg], x[..., cg:]
+        cw = self.param("cweight", nn.initializers.zeros, (1, 1, 1, cg))
+        cb = self.param("cbias", nn.initializers.ones, (1, 1, 1, cg))
+        sw = self.param("sweight", nn.initializers.zeros, (1, 1, 1, cg))
+        sb = self.param("sbias", nn.initializers.ones, (1, 1, 1, cg))
+        xc = x0 * jax.nn.sigmoid(cw * x0.mean((1, 2), keepdims=True) + cb)
+        xs = x1 * jax.nn.sigmoid(sw * nn.GroupNorm(num_groups=cg, dtype=self.dtype,
+                                                   name="gn")(x1) + sb)
+        y = jnp.concatenate([xc, xs], -1).reshape(b, h, w, c)
+        # channel shuffle with 2 groups
+        y = y.reshape(b, h, w, 2, c // 2).swapaxes(-1, -2).reshape(b, h, w, c)
+        return y
+
+
+class LSKblock(ConvBase):
+    """Large-selective-kernel spatial gating (reference block.py:6243)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        a1 = nn.Conv(c, (5, 5), padding=2, feature_group_count=c, dtype=self.dtype, name="conv0")(x)
+        a2 = nn.Conv(c, (7, 7), padding=9, kernel_dilation=3, feature_group_count=c,
+                     dtype=self.dtype, name="conv_spatial")(a1)
+        a1 = nn.Conv(c // 2, (1, 1), dtype=self.dtype, name="conv1")(a1)
+        a2 = nn.Conv(c // 2, (1, 1), dtype=self.dtype, name="conv2")(a2)
+        att = jnp.concatenate([a1, a2], -1)
+        agg = jnp.concatenate([att.mean(-1, keepdims=True), att.max(-1, keepdims=True)], -1)
+        sig = jax.nn.sigmoid(nn.Conv(2, (7, 7), padding=3, dtype=self.dtype, name="conv_squeeze")(agg))
+        att = a1 * sig[..., :1] + a2 * sig[..., 1:]
+        return x * nn.Conv(c, (1, 1), dtype=self.dtype, name="conv")(att)
+
+
+class ASPP(ConvBase):
+    """Atrous spatial pyramid pooling (reference block.py:6431)."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, _ = x.shape
+        g = nn.Conv(self.c2, (1, 1), dtype=self.dtype, name="conv")(x.mean((1, 2), keepdims=True))
+        g = jax.image.resize(g, (b, h, w, self.c2), "bilinear")
+        a1 = nn.Conv(self.c2, (1, 1), dtype=self.dtype, name="atrous_block1")(x)
+        a6 = nn.Conv(self.c2, (3, 3), padding=6, kernel_dilation=6, dtype=self.dtype, name="atrous_block6")(x)
+        a12 = nn.Conv(self.c2, (3, 3), padding=12, kernel_dilation=12, dtype=self.dtype, name="atrous_block12")(x)
+        a18 = nn.Conv(self.c2, (3, 3), padding=18, kernel_dilation=18, dtype=self.dtype, name="atrous_block18")(x)
+        return nn.Conv(self.c2, (1, 1), dtype=self.dtype, name="conv_1x1_output")(
+            jnp.concatenate([g, a1, a6, a12, a18], -1))
+
+
+class CARAFE(ConvBase):
+    """Content-aware upsampling: predicted k x k reassembly kernels applied to
+    the 2x-upsampled neighborhood (reference block.py:6170). Formulated as a
+    one-hot-free gather: unfold via conv patches, weight, and sum on the MXU."""
+
+    c2: int = 0
+    kernel_size: int = 3
+    up_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        k, up = self.kernel_size, self.up_factor
+        comp = nn.Conv(c // 4, (1, 1), dtype=self.dtype, name="down")(x)
+        wgt = nn.Conv((up * k) ** 0 * k * k * up * up, (k, k), padding=k // 2,
+                      dtype=self.dtype, name="encoder")(comp)  # (b,h,w,k*k*up*up)
+        wgt = wgt.reshape(b, h, w, up * up, k * k)
+        wgt = jax.nn.softmax(wgt, axis=-1)
+        # extract kxk patches of x: (b, h, w, k*k, c)
+        pads = k // 2
+        xp = jnp.pad(x, ((0, 0), (pads, pads), (pads, pads), (0, 0)))
+        patches = jnp.stack([
+            xp[:, i:i + h, j:j + w] for i in range(k) for j in range(k)
+        ], 3)
+        y = jnp.einsum("bhwuk,bhwkc->bhwuc", wgt, patches)  # (b,h,w,up*up,c)
+        y = y.reshape(b, h, w, up, up, c).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, h * up, w * up, c)

@@ -251,6 +251,20 @@ BUILDERS: Dict[str, Callable] = {
     "SEAttention": lambda a, n, w, d, mx, ctx: (_att().SEAttention, _kw(reduction=_a(a, 1, 16))),
     "ECAAttention": lambda a, n, w, d, mx, ctx: (_att().ECAAttention, _kw(kernel_size=_a(a, 1, 3))),
     "SimAM": lambda a, n, w, d, mx, ctx: (_att().SimAM, _kw()),
+    "GAMAttention": lambda a, n, w, d, mx, ctx: (
+        _att().GAMAttention, _kw(c2=_sc(a[0], w, mx) if a else 0, rate=_a(a, 1, 4))),
+    "CrissCrossAttention": lambda a, n, w, d, mx, ctx: (_att().CrissCrossAttention, _kw()),
+    "SKAttention": lambda a, n, w, d, mx, ctx: (
+        _att().SKAttention, _kw(reduction=_a(a, 1, 16))),
+    "TripletAttention": lambda a, n, w, d, mx, ctx: (
+        _att().TripletAttention, _kw(no_spatial=_a(a, 0, False))),
+    "ShuffleAttention": lambda a, n, w, d, mx, ctx: (
+        _att().ShuffleAttention, _kw(G=_a(a, 1, 8))),
+    "LSKblock": lambda a, n, w, d, mx, ctx: (_att().LSKblock, _kw()),
+    "ASPP": lambda a, n, w, d, mx, ctx: (_att().ASPP, _kw(c2=_sc(a[0], w, mx))),
+    "CARAFE": lambda a, n, w, d, mx, ctx: (
+        _att().CARAFE, _kw(c2=_sc(a[0], w, mx) if a else 0,
+                           kernel_size=_a(a, 1, 3), up_factor=_a(a, 2, 2))),
     "EMA": lambda a, n, w, d, mx, ctx: (_att().EMA, _kw(factor=_a(a, 1, 8))),
     "C2fAttn": lambda a, n, w, d, mx, ctx: (
         _world().C2fAttn, _kw(c2=_sc(a[0], w, mx), n=n, ec=make_divisible(_a(a, 1, 128) * w, 8),

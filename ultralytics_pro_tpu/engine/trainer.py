@@ -152,7 +152,7 @@ class BaseTrainer(CallbackMixin):
             x = batch["img"][..., ::-1].astype(jnp.float32) / 255.0
             preds, updates = module.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=True,
-                mutable=["batch_stats"],
+                mutable=["batch_stats"], dn=batch.get("dn"),
             )
             # imgsz from the batch: multi-scale resizes on device, and each
             # distinct size is its own jit specialization (a small fixed set)
@@ -357,12 +357,20 @@ class BaseTrainer(CallbackMixin):
             device_batch = {**device_batch, "img": img.astype(jnp.uint8)}
         return device_batch
 
+    def host_preprocess_batch(self, batch: Dict) -> Dict:
+        """Per-step host-side batch hook (e.g. RT-DETR CDN query synthesis)."""
+        return batch
+
     def put_batch(self, batch: Dict) -> Dict:
         """Host batch -> device arrays sharded over the data axis."""
+        batch = self.host_preprocess_batch(batch)
         out = {}
         for k in ("img", "cls", "bboxes", "mask_gt", "masks", "keypoints"):
             if k in batch and isinstance(batch[k], np.ndarray):
                 out[k] = jax.device_put(batch[k], self._data_sharding)
+        if "dn" in batch:
+            out["dn"] = {k: jax.device_put(v, self._data_sharding)
+                         for k, v in batch["dn"].items()}
         return out
 
     # -- checkpointing (reference save_model trainer.py:579) -------------------

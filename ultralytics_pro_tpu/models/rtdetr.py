@@ -27,6 +27,21 @@ class RTDETRTrainer(BaseTrainer):
 
         return RTDETRDetectionLoss(nc=self.model.nc)
 
+    def host_preprocess_batch(self, batch):
+        """Attach CDN denoising queries (reference RTDETRDetectionModel.loss
+        builds them via get_cdn_group, tasks.py:1663). Host-side noise keeps
+        the jitted step pure; shapes are static (G and group count fixed)."""
+        from ultralytics_pro_tpu.utils.detr_loss import make_cdn_batch
+
+        if not self.args.get("dn_train", True):
+            return batch
+        batch = dict(batch)
+        batch["dn"] = make_cdn_batch(
+            batch["cls"], batch["bboxes"], batch["mask_gt"], nc=self.model.nc,
+            num_dn=int(self.args.get("num_dn", 100)),
+        )
+        return batch
+
 
 class RTDETRValidator(DetectionValidator):
     """No-NMS validation: scores already query-sparse; top-300 + conf filter

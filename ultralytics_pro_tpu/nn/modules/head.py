@@ -242,7 +242,10 @@ class RTDETRDecoder(ConvBase):
         return anchors, valid.astype(jnp.float32)
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False, dn=None):
+        """dn (train only): contrastive-denoising queries from make_cdn_batch —
+        {"cls": (b, ng, 2G) int32, "bbox_logit": (b, ng, 2G, 4)} (reference
+        get_cdn_group, models/utils/ops.py)."""
         from ultralytics_pro_tpu.nn.modules.conv import Conv
         from ultralytics_pro_tpu.nn.modules.transformer import (
             DeformableTransformerDecoderLayer,
@@ -279,6 +282,32 @@ class RTDETRDecoder(ConvBase):
         embed = jax.lax.stop_gradient(feat_sel)
         bbox = refer_bbox
 
+        # CDN denoising queries prepended at train time (reference
+        # RTDETRDetectionModel.loss via get_cdn_group): per-group block
+        # attention so dn groups see neither each other nor the matched set.
+        t_dn = 0
+        attn_mask = None
+        # created unconditionally so init (which runs without dn) and train
+        # apply share one param tree
+        emb_table = self.param(
+            "denoising_class_embed",
+            nn.initializers.normal(1.0), (self.nc + 1, self.hd))
+        if train and dn is not None:
+            ng, two_g = dn["cls"].shape[1], dn["cls"].shape[2]
+            t_dn = ng * two_g
+            dn_embed = emb_table[dn["cls"].reshape(b, t_dn)]
+            dn_bbox = jax.nn.sigmoid(dn["bbox_logit"].reshape(b, t_dn, 4))
+            embed = jnp.concatenate([dn_embed.astype(embed.dtype), embed], 1)
+            bbox = jnp.concatenate([dn_bbox, bbox], 1)
+            t = t_dn + nq
+            allowed = jnp.zeros((t, t), bool)
+            allowed = allowed.at[t_dn:, t_dn:].set(True)  # matched <-> matched
+            gi = jnp.arange(t_dn) // two_g
+            same_group = gi[:, None] == gi[None, :]
+            allowed = allowed.at[:t_dn, :t_dn].set(same_group)  # dn intra-group
+            allowed = allowed.at[:t_dn, t_dn:].set(True)  # dn may read matched
+            attn_mask = allowed[None, None]  # (1, 1, t, t), flax True=attend
+
         # query_pos_head is SHARED across decoder layers (reference head.py)
         query_pos_head = MLP(hidden_dim=2 * self.hd, output_dim=self.hd, num_layers=2,
                              dtype=self.dtype, name="query_pos_head")
@@ -290,7 +319,8 @@ class RTDETRDecoder(ConvBase):
                 d_model=self.hd, n_heads=self.nh, d_ffn=self.d_ffn,
                 n_levels=len(feats), n_points=self.ndp, dtype=self.dtype,
                 name=f"decoder_layer_{i}",
-            )(embed, jax.lax.stop_gradient(bbox), tokens, shapes, query_pos=qpos, train=train)
+            )(embed, jax.lax.stop_gradient(bbox), tokens, shapes, query_pos=qpos,
+              attn_mask=attn_mask, train=train)
             delta = MLP(hidden_dim=self.hd, output_dim=4, num_layers=3,
                         dtype=self.dtype, name=f"dec_bbox_head_{i}")(embed)
             logit_prev = jnp.log(bbox / (1 - bbox + 1e-9) + 1e-9)
@@ -301,12 +331,17 @@ class RTDETRDecoder(ConvBase):
             if train:
                 bbox = jax.lax.stop_gradient(bbox)
 
+        dec_bboxes = jnp.stack(dec_bboxes)  # (ndl, B, t_dn + nq, 4)
+        dec_scores = jnp.stack(dec_scores)
         aux = {
-            "dec_bboxes": jnp.stack(dec_bboxes),  # (ndl, B, nq, 4)
-            "dec_scores": jnp.stack(dec_scores),
+            "dec_bboxes": dec_bboxes[:, :, t_dn:],
+            "dec_scores": dec_scores[:, :, t_dn:],
             "enc_bboxes": refer_bbox,
             "enc_scores": enc_topk_scores,
         }
+        if t_dn:
+            aux["dn_bboxes"] = dec_bboxes[:, :, :t_dn]
+            aux["dn_scores"] = dec_scores[:, :, :t_dn]
         if train:
             return aux
         y = jnp.concatenate([dec_bboxes[-1], jax.nn.sigmoid(dec_scores[-1])], -1)

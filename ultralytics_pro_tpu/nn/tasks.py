@@ -412,9 +412,9 @@ class YOLOModule(nn.Module):
     def setup(self):
         self.layers = [s.build() for s in self.specs]
 
-    def __call__(self, x, train: bool = False, txt_feats=None):
+    def __call__(self, x, train: bool = False, txt_feats=None, dn=None):
         from ultralytics_pro_tpu.nn.modules.world import C2fAttn, ImagePoolingAttn
-        from ultralytics_pro_tpu.nn.modules.head import WorldDetect
+        from ultralytics_pro_tpu.nn.modules.head import RTDETRDecoder, WorldDetect
         from ultralytics_pro_tpu.nn.modules.conv import DEFAULT_ACT, resolve_act
 
         # Pin this model's activation during trace so interleaved builds of
@@ -444,6 +444,8 @@ class YOLOModule(nn.Module):
                 out = txt
             elif isinstance(layer, (C2fAttn, WorldDetect)):
                 out = layer(inp, txt, train=train)
+            elif isinstance(layer, RTDETRDecoder):
+                out = layer(inp, train=train, dn=dn)
             else:
                 out = layer(inp, train=train)
             if spec.i in self.save:

@@ -14,6 +14,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from optax import assignment
 
 from ultralytics_pro_tpu.ops.boxes import xywh2xyxy
@@ -130,8 +131,8 @@ class DETRLoss:
 
 class RTDETRDetectionLoss:
     """RT-DETR criterion over padded batches, uniform (preds, batch, imgsz)
-    interface (reference models/utils/loss.py:393; CDN denoising groups land
-    in a later round)."""
+    interface (reference models/utils/loss.py:393), including the CDN
+    denoising branch when the decoder emitted dn splits."""
 
     def __init__(self, nc: int = 80):
         self.nc = nc
@@ -146,6 +147,76 @@ class RTDETRDetectionLoss:
             preds["dec_bboxes"], preds["dec_scores"], gt_bboxes, gt_cls, mask_gt,
             enc_bboxes=preds.get("enc_bboxes"), enc_scores=preds.get("enc_scores"),
         )
+        if "dn_bboxes" in preds:
+            dn_parts = self._denoising_loss(preds, gt_bboxes, gt_cls, mask_gt)
+            for k, v in dn_parts.items():
+                parts[f"dn_{k}"] = v
         batch_size = gt_bboxes.shape[0]
         total = sum(parts.values()) * batch_size
         return total, parts
+
+    def _denoising_loss(self, preds, gt_bboxes, gt_cls, mask_gt):
+        """CDN loss with KNOWN matching (reference get_dn_match_indices,
+        models/utils/loss.py:441): group g's positive slot j <-> gt j, so the
+        Hungarian matcher is skipped. Negative halves receive background
+        through the zero class targets. Layout from make_cdn_batch:
+        per group [pos G | neg G]."""
+        b, G = gt_cls.shape
+        t_dn = preds["dn_bboxes"].shape[2]
+        n_group = t_dn // (2 * G)
+        # tile gts once per group; gt (g, j) matches dn slot g*2G + j
+        gt_b = jnp.tile(gt_bboxes, (1, n_group, 1))
+        gt_c = jnp.tile(gt_cls, (1, n_group))
+        m = jnp.tile(mask_gt, (1, n_group))
+        rows = (jnp.arange(n_group)[:, None] * 2 * G + jnp.arange(G)[None, :]).reshape(-1)
+        rows = jnp.broadcast_to(rows[None], (b, n_group * G))
+        total = {"cls": 0.0, "bbox": 0.0, "giou": 0.0}
+        for li in range(preds["dn_bboxes"].shape[0]):
+            parts = self._single_layer_dn(preds["dn_bboxes"][li], preds["dn_scores"][li],
+                                          gt_b, gt_c, m, rows)
+            for k, v in parts.items():
+                total[k] = total[k] + v
+        return total
+
+    def _single_layer_dn(self, *args):
+        return self.detr._single_layer(*args)
+
+
+def make_cdn_batch(cls_np, bboxes_np, mask_np, nc: int, num_dn: int = 100,
+                   cls_noise_ratio: float = 0.5, box_noise_scale: float = 1.0,
+                   rng=None):
+    """Contrastive-denoising query construction (reference models/utils/ops.py
+    get_cdn_group), HOST-side on the padded batch so the jitted step stays
+    pure. Layout: (b, n_group, 2*G) — pos half then neg half per group; class
+    nc = the no-object embedding row (used for padding slots too).
+
+    Returns {"cls": (b, n_group, 2G) int32, "bbox_logit": (b, n_group, 2G, 4)}.
+    """
+    rng = rng or np.random.default_rng()
+    b, G = cls_np.shape
+    n_group = max(1, num_dn // max(G, 1))
+    cls = np.tile(cls_np[:, None, :], (1, n_group, 2)).astype(np.int64)  # (b, ng, 2G)
+    box = np.tile(bboxes_np[:, None, :, :], (1, n_group, 2, 1)).astype(np.float32)
+    mask = np.tile(mask_np[:, None, :].astype(bool), (1, n_group, 2))
+
+    # class noise: flip half*ratio of real slots to a random class
+    flip = (rng.random(cls.shape) < cls_noise_ratio * 0.5) & mask
+    cls = np.where(flip, rng.integers(0, nc, cls.shape), cls)
+    cls = np.where(mask, cls, nc)  # padding slots -> no-object row
+
+    # box noise: pos half inside the box, neg half pushed outside (scale 2)
+    known = np.concatenate([box[..., :2] - box[..., 2:] / 2,
+                            box[..., :2] + box[..., 2:] / 2], -1)  # xyxy
+    diff = np.tile(box[..., 2:] / 2, (1, 1, 1, 2)) * box_noise_scale
+    sign = rng.integers(0, 2, known.shape) * 2 - 1
+    part = rng.random(known.shape)
+    neg = np.zeros_like(part, bool)
+    neg[:, :, G:] = True  # second half of each group = negatives
+    part = np.where(neg, part + 1.0, part)
+    known = np.clip(known + sign * part * diff, 0.0, 1.0)
+    cxcy = (known[..., :2] + known[..., 2:]) / 2
+    wh = np.maximum(known[..., 2:] - known[..., :2], 1e-4)
+    noised = np.concatenate([cxcy, wh], -1)
+    logit = np.log(noised / (1 - noised + 1e-6) + 1e-6)
+    logit = np.where(mask[..., None], logit, 0.0)
+    return {"cls": cls.astype(np.int32), "bbox_logit": logit.astype(np.float32)}

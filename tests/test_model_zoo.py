@@ -90,3 +90,49 @@ def test_activation_override_pinned_per_model():
     DetectionModel("yolov8n.yaml")  # parses without the key -> resets global
     y, _ = jax.jit(lambda v, x: m6.apply(v, x, train=False))(v, jnp.zeros((1, 64, 64, 3)))
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_repconv_and_convbn_fusion_exact():
+    """Deploy re-parameterization (reference RepConv.fuse_convs conv.py:587,
+    fuse_conv_and_bn torch_utils.py:236): fused single conv reproduces the
+    multi-branch eval forward to float32 precision."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.fuse import apply_fused_conv, fuse_conv_bn, repconv_fuse
+    from ultralytics_pro_tpu.nn.modules.conv import Conv, RepConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 8)).astype(np.float32))
+
+    def perturb(d):
+        for k, val in d.items():
+            if isinstance(val, dict):
+                perturb(val)
+            elif k == "mean":
+                d[k] = jnp.asarray(rng.normal(0, 0.3, val.shape), jnp.float32)
+            elif k == "var":
+                d[k] = jnp.asarray(rng.uniform(0.5, 2.0, val.shape), jnp.float32)
+            elif k == "scale":
+                d[k] = jnp.asarray(rng.uniform(0.5, 1.5, val.shape), jnp.float32)
+            elif k == "bias":
+                d[k] = jnp.asarray(rng.normal(0, 0.2, val.shape), jnp.float32)
+
+    m = RepConv(c2=8, bn_identity=True)
+    v = dict(m.init(jax.random.PRNGKey(0), x, train=True))
+    perturb(v["batch_stats"])
+    perturb({"p": v["params"]})
+    y_ref = m.apply(v, x, train=False)
+    k, b = repconv_fuse(v["params"], v["batch_stats"])
+    y_fused = apply_fused_conv(x, k, b, act=jax.nn.silu)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused), atol=1e-4)
+
+    cm = Conv(c2=16, k=3)
+    cv = dict(cm.init(jax.random.PRNGKey(1), x, train=True))
+    perturb(cv["batch_stats"])
+    perturb({"p": cv["params"]})
+    y2 = cm.apply(cv, x, train=False)
+    k2, b2 = fuse_conv_bn(cv["params"]["conv"]["kernel"], cv["params"]["bn"],
+                          cv["batch_stats"]["bn"])
+    y2f = apply_fused_conv(x, k2, b2, act=jax.nn.silu)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y2f), atol=1e-4)

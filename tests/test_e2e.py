@@ -77,3 +77,30 @@ def test_checkpoint_roundtrip(synth_data, tmp_path):
     n1 = sum(x.size for x in jax.tree.leaves(model.model.variables["params"]))
     n2 = sum(x.size for x in jax.tree.leaves(model2.model.variables["params"]))
     assert n1 == n2
+
+
+def test_rect_val_buckets(synth_data, tmp_path):
+    """rect=True (reference base.py set_rectangle): aspect-sorted batches get
+    per-bucket stride-multiple shapes; one jit specialization per bucket."""
+    import cv2
+    from pathlib import Path
+
+    from ultralytics_pro_tpu.data.dataset import YOLODataset
+    from ultralytics_pro_tpu.data.utils import check_det_dataset
+
+    d = check_det_dataset(synth_data)
+    # clone train images with diverse aspect ratios
+    src = sorted(Path(d["train"]).glob("*.jpg"))
+    root = tmp_path / "rect"; root.mkdir()
+    for i, f in enumerate(src[:8]):
+        im = cv2.imread(str(f))
+        im = cv2.resize(im, (320, 128) if i % 2 == 0 else (120, 288))
+        cv2.imwrite(str(root / f.name), im)
+        lbl = Path(str(f).replace("images", "labels")).with_suffix(".txt")
+        if lbl.exists():
+            (root / lbl.name).write_text(lbl.read_text())
+
+    ds = YOLODataset(str(root), imgsz=128, data=d, rect=True, batch_size=4)
+    assert len({ds[i]["img"].shape for i in range(4)}) == 1  # intra-batch uniform
+    assert ds[0]["img"].shape != ds[7]["img"].shape  # buckets differ
+    assert all(s % 32 == 0 for s in ds[0]["img"].shape[:2])  # stride multiples

@@ -59,7 +59,48 @@ class YOLODataset:
             self.cache = None
         if self.cache:
             self._cache_images()
+        # rect batching (reference base.py set_rectangle): sort by aspect
+        # ratio, one stride-multiple shape per batch. On TPU each distinct
+        # shape is its own jit specialization — a small bucket set, compiled
+        # once each, in exchange for far less padding compute.
+        self.rect = bool(rect)
+        self.batch_size = batch_size
+        self.stride = stride
+        self.pad = pad
+        if self.rect:
+            self.set_rectangle()
         self.transforms = self.build_transforms()
+
+    def set_rectangle(self):
+        from PIL import Image
+
+        shapes = []
+        for f in self.im_files:
+            try:
+                with Image.open(f) as im:
+                    w, h = im.size
+            except Exception:
+                h = w = self.imgsz
+            shapes.append((h, w))
+        ar = np.array([h / w for h, w in shapes], np.float64)
+        order = np.argsort(ar).tolist()
+        self.im_files = [self.im_files[i] for i in order]
+        self.labels = [self.labels[i] for i in order]
+        self.ims = [self.ims[i] for i in order]
+        ar = ar[order]
+        nb = int(np.ceil(self.ni / self.batch_size))
+        self.batch_index = (np.arange(self.ni) // self.batch_size).astype(int)
+        out = np.ones((nb, 2), np.float64)
+        for b in range(nb):
+            ari = ar[self.batch_index == b]
+            mini, maxi = ari.min(), ari.max()
+            if maxi < 1:
+                out[b] = [maxi, 1]
+            elif mini > 1:
+                out[b] = [1, 1 / mini]
+        self.batch_shapes = (
+            np.ceil(out * self.imgsz / self.stride + self.pad).astype(int) * self.stride
+        )
 
     # -- caching ----------------------------------------------------------------
     def _npy_path(self, i: int) -> Path:
@@ -294,6 +335,8 @@ class YOLODataset:
 
     def __getitem__(self, i: int) -> Dict:
         labels = self.get_image_and_label(i)
+        if self.rect:
+            labels["rect_shape"] = tuple(self.batch_shapes[self.batch_index[i]])
         labels = self.transforms(labels)
         return labels
 

@@ -106,7 +106,9 @@ class Model:
             d = check_det_dataset(data or args.get("data") or TASK2DATA[self.task])
             self.model.names = d["names"]
             dataset = YOLODataset(d[args.get("split", "val")], imgsz=imgsz,
-                                  augment=False, data=d, task=self.task)
+                                  augment=False, data=d, task=self.task,
+                                  rect=bool(args.get("rect", False)),
+                                  batch_size=int(args.get("batch", 16)))
             loader = DataLoader(dataset, batch_size=int(args.get("batch", 16)), shuffle=False,
                                 drop_last=False, max_gt=int(args.get("max_gt", 128)))
         validator_cls = task_map[self.task]["validator"]
@@ -214,7 +216,8 @@ class Model:
         from ultralytics_pro_tpu.models import task_map
 
         dataset = YOLODataset(d["val"], imgsz=int(args.get("imgsz", 640)), augment=False,
-                              data=d, task=task)
+                              data=d, task=task, rect=bool(args.get("rect", False)),
+                              batch_size=int(args.get("batch", 16)))
         loader = DataLoader(dataset, batch_size=int(args.get("batch", 16)), shuffle=False,
                             drop_last=False, max_gt=int(args.get("max_gt", 128)))
         validator = task_map[task]["validator"](args)

@@ -418,8 +418,18 @@ class YOLOModule(nn.Module):
         from ultralytics_pro_tpu.nn.modules.conv import DEFAULT_ACT, resolve_act
 
         # Pin this model's activation during trace so interleaved builds of
-        # models with different `activation:` keys can't cross-contaminate.
+        # models with different `activation:` keys can't cross-contaminate;
+        # restored on exit so standalone module use keeps the SiLU default.
+        prev_act = DEFAULT_ACT[0]
         DEFAULT_ACT[0] = resolve_act(self.act_name) if self.act_name else None
+        try:
+            return self._forward(x, train, txt_feats, dn)
+        finally:
+            DEFAULT_ACT[0] = prev_act
+
+    def _forward(self, x, train, txt_feats, dn):
+        from ultralytics_pro_tpu.nn.modules.world import C2fAttn, ImagePoolingAttn
+        from ultralytics_pro_tpu.nn.modules.head import RTDETRDecoder, WorldDetect
 
         y = {}
         out = x

@@ -46,7 +46,7 @@ def test_deform_conv2d_shift_offsets():
     "MHSA", "BoT3", "CoordAtt", "DCNv2", "C2f_DCN", "C3_DCN", "deformable_LKA",
     "deformable_LKA_Attention", "C2f_DLKA", "SEAttention", "ECAAttention", "SimAM", "EMA",
     "GAMAttention", "CrissCrossAttention", "SKAttention", "TripletAttention",
-    "ShuffleAttention", "LSKblock", "ASPP",
+    "ShuffleAttention", "LSKblock", "ASPP", "EffectiveSE", "CoordConv", "DSConv",
 ])
 def test_attention_module_forward(name):
     import jax

@@ -502,3 +502,77 @@ class CARAFE(ConvBase):
         y = jnp.einsum("bhwuk,bhwkc->bhwuc", wgt, patches)  # (b,h,w,up*up,c)
         y = y.reshape(b, h, w, up, up, c).transpose(0, 1, 3, 2, 4, 5)
         return y.reshape(b, h * up, w * up, c)
+
+
+class EffectiveSE(ConvBase):
+    """VoVNet effective squeeze-excite: single 1x1 + hard-sigmoid gate
+    (reference block.py:4857)."""
+
+    add_maxpool: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        se = x.mean(axis=(1, 2), keepdims=True)
+        if self.add_maxpool:
+            se = 0.5 * se + 0.5 * x.max(axis=(1, 2), keepdims=True)
+        se = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="fc")(se)
+        return x * jnp.clip(se / 6.0 + 0.5, 0.0, 1.0)  # hard sigmoid
+
+
+class SPDConv(ConvBase):
+    """Space-to-depth then Conv-BN-SiLU: stride-free downsampling that keeps
+    all pixels (reference conv.py:1774, SPD-Conv paper)."""
+
+    c2: int = 0
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.conv import Conv
+
+        x = jnp.concatenate([x[:, ::2, ::2], x[:, 1::2, ::2],
+                             x[:, ::2, 1::2], x[:, 1::2, 1::2]], -1)
+        return Conv(c2=self.c2, k=self.k, s=self.s, dtype=self.dtype, name="conv")(x, train)
+
+
+class CoordConv(ConvBase):
+    """Conv over features + normalized coordinate channels
+    (reference conv.py:1608, Liu et al. CoordConv)."""
+
+    c2: int = 0
+    k: int = 1
+    s: int = 1
+    with_r: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.conv import Conv
+
+        b, h, w, _ = x.shape
+        ys = jnp.linspace(-1.0, 1.0, h, dtype=x.dtype)
+        xs = jnp.linspace(-1.0, 1.0, w, dtype=x.dtype)
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        coords = [jnp.broadcast_to(gx[None, ..., None], (b, h, w, 1)),
+                  jnp.broadcast_to(gy[None, ..., None], (b, h, w, 1))]
+        if self.with_r:
+            coords.append(jnp.sqrt(coords[0] ** 2 + coords[1] ** 2))
+        x = jnp.concatenate([x, *coords], -1)
+        return Conv(c2=self.c2, k=self.k, s=self.s, dtype=self.dtype, name="conv")(x, train)
+
+
+class DSConv(ConvBase):
+    """Depthwise-separable conv: k-depthwise then 1x1 pointwise, each Conv-BN
+    with SiLU (reference conv.py:2110)."""
+
+    c2: int = 0
+    k: int = 3
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.conv import Conv
+
+        c1 = x.shape[-1]
+        x = Conv(c2=c1, k=self.k, s=self.s, g=c1, dtype=self.dtype, name="dwconv")(x, train)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="pwconv")(x, train)

@@ -262,6 +262,13 @@ BUILDERS: Dict[str, Callable] = {
         _att().ShuffleAttention, _kw(G=_a(a, 1, 8))),
     "LSKblock": lambda a, n, w, d, mx, ctx: (_att().LSKblock, _kw()),
     "ASPP": lambda a, n, w, d, mx, ctx: (_att().ASPP, _kw(c2=_sc(a[0], w, mx))),
+    "EffectiveSE": lambda a, n, w, d, mx, ctx: (_att().EffectiveSE, _kw()),
+    "SPDConv": lambda a, n, w, d, mx, ctx: (
+        _att().SPDConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1), s=_a(a, 2, 1))),
+    "CoordConv": lambda a, n, w, d, mx, ctx: (
+        _att().CoordConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1), s=_a(a, 2, 1))),
+    "DSConv": lambda a, n, w, d, mx, ctx: (
+        _att().DSConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
     "CARAFE": lambda a, n, w, d, mx, ctx: (
         _att().CARAFE, _kw(c2=_sc(a[0], w, mx) if a else 0,
                            kernel_size=_a(a, 1, 3), up_factor=_a(a, 2, 2))),

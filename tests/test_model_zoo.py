@@ -11,6 +11,8 @@ import pytest
     ("yolov6n.yaml", 0),
     ("yolov4-csp.yaml", 0),
     ("yolov7.yaml", 0),  # anchor-free af variant; E-ELAN inline stages
+    ("yolov5n-p6.yaml", 0),
+    ("yolov3-spp.yaml", 0),
     ("yoloX.yaml", 0),  # fork formulation: decoupled towers -> 6-map Detect
     ("yolov8n.yaml", 0),
     ("yolov9c.yaml", 0),

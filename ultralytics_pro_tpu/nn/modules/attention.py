@@ -576,3 +576,23 @@ class DSConv(ConvBase):
         c1 = x.shape[-1]
         x = Conv(c2=c1, k=self.k, s=self.s, g=c1, dtype=self.dtype, name="dwconv")(x, train)
         return Conv(c2=self.c2, k=1, dtype=self.dtype, name="pwconv")(x, train)
+
+
+class SegNext_Attention(ConvBase):
+    """SegNeXt MSCA: depthwise 5x5 + multi-scale strip convs (7/11/21) as a
+    multiplicative gate (reference block.py:3753)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+
+        def dw(inp, kh, kw, name):
+            return nn.Conv(c, (kh, kw), padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+                           feature_group_count=c, dtype=self.dtype, name=name)(inp)
+
+        attn = dw(x, 5, 5, "conv0")
+        a0 = dw(dw(attn, 1, 7, "conv0_1"), 7, 1, "conv0_2")
+        a1 = dw(dw(attn, 1, 11, "conv1_1"), 11, 1, "conv1_2")
+        a2 = dw(dw(attn, 1, 21, "conv2_1"), 21, 1, "conv2_2")
+        attn = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv3")(attn + a0 + a1 + a2)
+        return attn * x

@@ -47,7 +47,7 @@ def test_deform_conv2d_shift_offsets():
     "deformable_LKA_Attention", "C2f_DLKA", "SEAttention", "ECAAttention", "SimAM", "EMA",
     "GAMAttention", "CrissCrossAttention", "SKAttention", "TripletAttention",
     "ShuffleAttention", "LSKblock", "ASPP", "EffectiveSE", "CoordConv", "DSConv",
-    "SegNext_Attention",
+    "SegNext_Attention", "DAttention",
 ])
 def test_attention_module_forward(name):
     import jax

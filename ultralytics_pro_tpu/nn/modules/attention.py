@@ -596,3 +596,67 @@ class SegNext_Attention(ConvBase):
         a2 = dw(dw(attn, 1, 21, "conv2_1"), 21, 1, "conv2_2")
         attn = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv3")(attn + a0 + a1 + a2)
         return attn * x
+
+
+class DAttention(ConvBase):
+    """Deformable attention (DAT; fork reference block.py:3799, default
+    dwc_pe path): queries predict a per-location offset field, keys/values are
+    bilinearly sampled at the deformed grid, plus a depthwise conv positional
+    residual. grid_sample becomes an explicit gather+lerp (TPU-friendly)."""
+
+    n_heads: int = 8
+    ksize: int = 9
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        hd = c // self.n_heads
+        scale = hd**-0.5
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_q")(x)
+
+        # offset net: dw k9 -> LN -> GELU -> 1x1 to (dy, dx)
+        p = self.ksize // 2
+        off = nn.Conv(c, (self.ksize, self.ksize), padding=((p, p), (p, p)),
+                      feature_group_count=c, dtype=self.dtype, name="conv_offset_0")(q)
+        off = nn.LayerNorm(dtype=self.dtype, name="conv_offset_1")(off)
+        off = nn.Conv(2, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv_offset_3")(nn.gelu(off))  # (b, h, w, 2) = (dy, dx)
+
+        # reference grid in [-1, 1] (align_corners), deformed + clamped
+        gy = jnp.linspace(-1.0, 1.0, h, dtype=x.dtype)
+        gx = jnp.linspace(-1.0, 1.0, w, dtype=x.dtype)
+        ref = jnp.stack(jnp.meshgrid(gy, gx, indexing="ij"), -1)  # (h, w, 2)
+        pos = jnp.clip(ref[None] + off, -1.0, 1.0)
+        py = (pos[..., 0] + 1.0) * 0.5 * (h - 1)  # pixel coords
+        px = (pos[..., 1] + 1.0) * 0.5 * (w - 1)
+
+        # bilinear gather from x at (py, px)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        x1 = jnp.clip(x0 + 1, 0, w - 1)
+        y0 = jnp.clip(y0, 0, h - 1)
+        x0 = jnp.clip(x0, 0, w - 1)
+        wy = (py - y0)[..., None]
+        wx = (px - x0)[..., None]
+        flat = x.reshape(b, h * w, c)
+
+        def take(yy, xx):
+            return jnp.take_along_axis(flat, (yy * w + xx).reshape(b, -1, 1), axis=1).reshape(b, h, w, c)
+
+        xs = ((take(y0, x0) * (1 - wy) * (1 - wx)) + (take(y0, x1) * (1 - wy) * wx)
+              + (take(y1, x0) * wy * (1 - wx)) + (take(y1, x1) * wy * wx))
+
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_k")(xs)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_v")(xs)
+        n = h * w
+
+        def heads(t):
+            return t.reshape(b, n, self.n_heads, hd).transpose(0, 2, 1, 3)  # (b, nh, n, hd)
+
+        attn = jax.nn.softmax(heads(q) @ jnp.swapaxes(heads(k), -2, -1) * scale, -1)
+        out = (attn @ heads(v)).transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        # depthwise positional residual on q (dwc_pe=True default)
+        lepe = nn.Conv(c, (3, 3), padding=1, feature_group_count=c,
+                       dtype=self.dtype, name="rpe_table")(q)
+        return nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out + lepe)

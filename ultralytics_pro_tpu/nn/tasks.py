@@ -264,6 +264,7 @@ BUILDERS: Dict[str, Callable] = {
     "ASPP": lambda a, n, w, d, mx, ctx: (_att().ASPP, _kw(c2=_sc(a[0], w, mx))),
     "EffectiveSE": lambda a, n, w, d, mx, ctx: (_att().EffectiveSE, _kw()),
     "SegNext_Attention": lambda a, n, w, d, mx, ctx: (_att().SegNext_Attention, _kw()),
+    "DAttention": lambda a, n, w, d, mx, ctx: (_att().DAttention, _kw()),
     "SPDConv": lambda a, n, w, d, mx, ctx: (
         _att().SPDConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1), s=_a(a, 2, 1))),
     "CoordConv": lambda a, n, w, d, mx, ctx: (

@@ -190,6 +190,9 @@ def entrypoint(argv: Optional[List[str]] = None):
         "version": lambda: LOGGER.info(__import__("ultralytics_pro_tpu").__version__),
         "checks": lambda: LOGGER.info(f"jax devices: {__import__('jax').devices()}"),
         "settings": lambda: LOGGER.info("settings are file-based; see cfg/default.yaml"),
+        "cfg": lambda: LOGGER.info((Path(__file__).parent / "default.yaml").read_text()),
+        "copy-cfg": lambda: __import__("shutil").copy(
+            Path(__file__).parent / "default.yaml", "default_copy.yaml"),
     }
     if args[0] in special:
         special[args[0]]()
@@ -206,10 +209,20 @@ def entrypoint(argv: Optional[List[str]] = None):
         elif a in MODES:
             mode = a
         else:
+            # did-you-mean across modes and tasks before falling back to keys
+            # (reference entrypoint:817 reports mode/task typos distinctly)
+            import difflib
+
+            close = difflib.get_close_matches(a, sorted(MODES) + sorted(TASKS), n=2)
+            if close:
+                raise SyntaxError(f"{a!r} is not a valid task or mode. similar: {close}")
             check_dict_alignment(DEFAULT_CFG_DICT, {a: ""})
 
     mode = mode or overrides.pop("mode", None) or "predict"
     task = task or overrides.pop("task", None)
+    # validate override keys with did-you-mean (reference check_dict_alignment:462)
+    check_dict_alignment(DEFAULT_CFG_DICT,
+                         {k: v for k, v in overrides.items() if k not in ("model", "data")})
     model_arg = overrides.pop("model", None) or (TASK2MODEL.get(task) if task else "yolov8n.yaml")
 
     from ultralytics_pro_tpu.engine.model import YOLO

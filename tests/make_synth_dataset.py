@@ -10,36 +10,40 @@ import yaml
 
 
 def make_synth_dataset(root, n_images=8, imgsz=160, nc=3, seed=0, max_objects=4,
-                       task="detect"):
+                       task="detect", size_jitter=False):
     """images/{train,val} + labels/{train,val} + data.yaml under `root`.
 
     task controls the label format written: detect (cls xywh), segment
     (cls polygon), pose (cls xywh + 5 corner/center keypoints), obb
-    (cls 4 rotated corners).
+    (cls 4 rotated corners). size_jitter varies per-image shapes (deterministic)
+    so letterbox/scale_boxes original-frame paths are exercised.
     """
     root = Path(root)
     rng = np.random.default_rng(seed)
     colors = [(255, 64, 64), (64, 255, 64), (64, 64, 255), (255, 255, 64), (64, 255, 255)]
+    shapes = [(imgsz, imgsz), (imgsz, imgsz * 3 // 4), (imgsz * 3 // 4, imgsz),
+              (imgsz * 5 // 4, imgsz)]
     for split in ("train", "val"):
         (root / "images" / split).mkdir(parents=True, exist_ok=True)
         (root / "labels" / split).mkdir(parents=True, exist_ok=True)
         for i in range(n_images):
-            im = np.full((imgsz, imgsz, 3), 30, np.uint8)
+            ih, iw = shapes[i % len(shapes)] if size_jitter else (imgsz, imgsz)
+            im = np.full((ih, iw, 3), 30, np.uint8)
             lines = []
             for _ in range(int(rng.integers(1, max_objects + 1))):
                 c = int(rng.integers(0, nc))
                 w = int(rng.integers(imgsz // 8, imgsz // 3))
                 h = int(rng.integers(imgsz // 8, imgsz // 3))
-                x = int(rng.integers(0, imgsz - w))
-                y = int(rng.integers(0, imgsz - h))
+                x = int(rng.integers(0, iw - w))
+                y = int(rng.integers(0, ih - h))
                 color = colors[c % len(colors)]
                 if task == "obb":
                     ang = float(rng.uniform(-60, 60))
                     rect = ((x + w / 2, y + h / 2), (w, h), ang)
                     pts = cv2.boxPoints(rect)
-                    pts = np.clip(pts, 2, imgsz - 2)
+                    pts = np.clip(pts, 2, min(ih, iw) - 2)
                     cv2.fillPoly(im, [pts.astype(np.int32)], color)
-                    flat = (pts / imgsz).reshape(-1)
+                    flat = (pts / np.array([iw, ih], np.float32)).reshape(-1)
                     lines.append(f"{c} " + " ".join(f"{v:.6f}" for v in flat))
                     continue
                 if c % 3 == 0 or task == "segment":
@@ -52,21 +56,21 @@ def make_synth_dataset(root, n_images=8, imgsz=160, nc=3, seed=0, max_objects=4,
                     pts = np.array([[x + w // 2, y], [x, y + h], [x + w, y + h]])
                     cv2.fillPoly(im, [pts], color)
                     poly = pts.astype(np.float32)
-                cx, cy = (x + w / 2) / imgsz, (y + h / 2) / imgsz
+                cx, cy = (x + w / 2) / iw, (y + h / 2) / ih
                 if task == "segment":
-                    flat = (poly / imgsz).reshape(-1)
+                    flat = (poly / np.array([iw, ih], np.float32)).reshape(-1)
                     lines.append(f"{c} " + " ".join(f"{v:.6f}" for v in flat))
                 elif task == "pose":
                     kpts = np.array([
                         [x, y, 2], [x + w, y, 2], [x + w, y + h, 2], [x, y + h, 2],
                         [x + w / 2, y + h / 2, 2],
                     ], np.float32)
-                    kpts[:, 0] /= imgsz
-                    kpts[:, 1] /= imgsz
+                    kpts[:, 0] /= iw
+                    kpts[:, 1] /= ih
                     ks = " ".join(f"{a:.6f} {b:.6f} {int(v)}" for a, b, v in kpts)
-                    lines.append(f"{c} {cx:.6f} {cy:.6f} {w / imgsz:.6f} {h / imgsz:.6f} {ks}")
+                    lines.append(f"{c} {cx:.6f} {cy:.6f} {w / iw:.6f} {h / ih:.6f} {ks}")
                 else:
-                    lines.append(f"{c} {cx:.6f} {cy:.6f} {w / imgsz:.6f} {h / imgsz:.6f}")
+                    lines.append(f"{c} {cx:.6f} {cy:.6f} {w / iw:.6f} {h / ih:.6f}")
             cv2.imwrite(str(root / "images" / split / f"{split}{i}.jpg"), im)
             (root / "labels" / split / f"{split}{i}.txt").write_text("\n".join(lines) + "\n")
 

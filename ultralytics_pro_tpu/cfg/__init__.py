@@ -208,13 +208,17 @@ def entrypoint(argv: Optional[List[str]] = None):
             task = a
         elif a in MODES:
             mode = a
+        elif a in DEFAULT_CFG_DICT and isinstance(DEFAULT_CFG_DICT[a], bool):
+            # bare bool flag: `yolo predict ... show` == show=True (reference
+            # entrypoint:899 auto-True for bare booleans)
+            overrides[a] = True
         else:
             # did-you-mean across modes and tasks before falling back to keys
             # (reference entrypoint:817 reports mode/task typos distinctly)
             import difflib
 
             close = difflib.get_close_matches(a, sorted(MODES) + sorted(TASKS), n=2)
-            if close:
+            if close and a not in DEFAULT_CFG_DICT:
                 raise SyntaxError(f"{a!r} is not a valid task or mode. similar: {close}")
             check_dict_alignment(DEFAULT_CFG_DICT, {a: ""})
 

@@ -134,11 +134,13 @@ class DataLoader:
         batches = []
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i:i + self.batch_size]
+            pad = 0
             if len(chunk) < self.batch_size:
                 if self.drop_last:
                     continue
-                chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
-            batches.append(chunk)
+                pad = self.batch_size - len(chunk)
+                chunk = chunk + [chunk[-1]] * pad
+            batches.append((chunk, pad))
         return batches
 
     def __iter__(self) -> Iterator[Dict]:
@@ -147,8 +149,8 @@ class DataLoader:
             with ThreadPoolExecutor(max_workers=self.workers) as pool:
                 # pipeline: submit batch i+1 while batch i is consumed
                 pending = []
-                for chunk in batches:
-                    pending.append(pool.submit(self._load_batch, chunk))
+                for chunk, pad in batches:
+                    pending.append(pool.submit(self._load_batch, chunk, pad))
                     if len(pending) > 2:
                         yield pending.pop(0).result()
                 for f in pending:
@@ -157,10 +159,12 @@ class DataLoader:
             if not self.infinite:
                 break
 
-    def _load_batch(self, chunk):
+    def _load_batch(self, chunk, pad: int = 0):
         samples = [self.dataset[i] for i in chunk]
         batch = self.collate_fn(samples)
-        batch["pad_count"] = 0
+        # trailing `pad` images are repeats of the last real sample so the
+        # batch keeps a static shape; the validator skips them
+        batch["pad_count"] = pad
         return batch
 
     def reset(self):

@@ -58,6 +58,8 @@ class BasePredictor:
 
         nc = model.nc
         augment = bool(self.args.get("augment", False))
+        head = model._head_spec() if hasattr(model, "_head_spec") else None
+        end2end = head is not None and head.type_name == "v10Detect"
 
         def forward(variables, x):
             y, aux = model.module.apply(variables, x, train=False)
@@ -66,13 +68,18 @@ class BasePredictor:
         def tta_forward(variables, x):
             """Test-time augmentation (reference _predict_augment tasks.py:1342):
             scales (1, 0.83, 0.67) x flips (none, lr, none), decoded preds
-            descaled and concatenated along the anchor axis before NMS."""
+            descaled and concatenated along the anchor axis before NMS.
+            Per-scale grid tails are clipped like the reference's
+            _clip_augmented (tasks.py:1388): the coarsest-level (P5) anchors are
+            dropped from the first (unscaled) output and the finest-level (P3)
+            anchors from the last (most downscaled) output."""
+            import math
+
             b, h, w, c = x.shape
             ys = []
             aux0 = None
-            for scale, flip in ((1.0, False), (0.83, True), (0.67, False)):
-                import math
-
+            specs = ((1.0, False), (0.83, True), (0.67, False))
+            for si, (scale, flip) in enumerate(specs):
                 sh = math.ceil(h * scale / 32) * 32 if scale != 1.0 else h
                 sw = math.ceil(w * scale / 32) * 32 if scale != 1.0 else w
                 xi = x
@@ -87,14 +94,36 @@ class BasePredictor:
                 bx = yi[..., :4] / jnp.array([sw / w, sh / h, sw / w, sh / h], yi.dtype)
                 if flip:
                     bx = bx.at[..., 0].set(w - bx[..., 0])
-                ys.append(jnp.concatenate([bx, yi[..., 4:]], -1))
+                yi = jnp.concatenate([bx, yi[..., 4:]], -1)
+                # _clip_augmented: anchors are ordered P3,P4,P5; counts are
+                # static inside the trace so plain slicing works.
+                n_p3 = (sh // 8) * (sw // 8)
+                n_p5 = (sh // 32) * (sw // 32)
+                if si == 0:
+                    yi = yi[:, : yi.shape[1] - n_p5]
+                elif si == len(specs) - 1:
+                    yi = yi[:, n_p3:]
+                ys.append(yi)
             return jnp.concatenate(ys, axis=1), aux0
+
+        from ultralytics_pro_tpu.ops.boxes import xywh2xyxy
 
         @jax.jit
         def run(variables, img_u8):
             # on-device preprocess: uint8 BGR HWC -> float RGB /255
             x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
             y, aux = (tta_forward if augment else forward)(variables, x)
+            if end2end:
+                # v10Detect inference emits (B, max_det, 6) [xywh, conf, cls]
+                # NMS-free (reference v10 postprocess head.py:2227); running the
+                # generic NMS path here would treat the class-index column as a
+                # score. Mirror the validator's branch.
+                return {
+                    "boxes": xywh2xyxy(y[..., :4]),
+                    "scores": y[..., 4],
+                    "cls": y[..., 5].astype(jnp.int32),
+                    "valid": y[..., 4] > conf,
+                }
             boxes, rest = y[..., :4], y[..., 4:]
             scores = rest[..., :nc]
             extra = rest[..., nc:] if rest.shape[-1] > nc else None

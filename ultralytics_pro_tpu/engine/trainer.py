@@ -159,42 +159,55 @@ class BaseTrainer(CallbackMixin):
             total, parts = criterion(preds, batch, (x.shape[1], x.shape[2]))
             return total, (parts, updates["batch_stats"])
 
-        def step(state, batch, lr_tree, momentum):
-            params, batch_stats, mom_buf, ema, ema_updates = state
+        def step(state, batch, lr_vec, momentum, do_step):
+            """One micro-batch: grads accumulate into `grad_buf`; the optimizer
+            (clip + 3-group nesterov SGD + EMA tick) applies only when
+            `do_step` is true — the reference steps every `accumulate` batches
+            (trainer.py:674 optimizer_step, :402-413 warmup-interp accumulate).
+            `do_step` is a traced scalar so one compiled step serves both."""
+            params, batch_stats, mom_buf, ema, ema_updates, grad_buf = state
             (total, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_stats, batch
             )
-            # global-norm clip at 10.0 (reference optimizer_step trainer.py:674)
-            gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads)))
+            grad_buf = jax.tree.map(jnp.add, grad_buf, grads)
+
+            # global-norm clip at 10.0 over the ACCUMULATED grads (reference
+            # optimizer_step trainer.py:674 clips at step time)
+            gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grad_buf)))
             scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
-            grads = jax.tree.map(lambda g: g * scale, grads)
 
             groups = make_group_labels(params)
+            apply = do_step.astype(jnp.float32)
 
             def upd(p, g, m, grp, lr):
-                g = g + wd * p * (grp == 0)  # decay only group 0
+                g = g * scale + wd * p * (grp == 0)  # decay only group 0
                 m_new = momentum * m + g
                 u = g + momentum * m_new  # nesterov
-                return p - lr * u, m_new
+                # select instead of cond: the update math is trivial next to
+                # the backward pass, and where() keeps one compiled step
+                return p - apply * lr * u, m + apply * (m_new - m)
 
             flat_p, treedef = jax.tree_util.tree_flatten(params)
-            flat_g = jax.tree.leaves(grads)
+            flat_g = jax.tree.leaves(grad_buf)
             flat_m = jax.tree.leaves(mom_buf)
             flat_grp = jax.tree.leaves(groups)
-            flat_lr = jax.tree.leaves(lr_tree)
             new_p, new_m = [], []
-            for p, g, m, grp, lr in zip(flat_p, flat_g, flat_m, flat_grp, flat_lr):
-                pn, mn = upd(p, g, m, grp, lr)
+            for p, g, m, grp in zip(flat_p, flat_g, flat_m, flat_grp):
+                pn, mn = upd(p, g, m, grp, lr_vec[grp])
                 new_p.append(pn)
                 new_m.append(mn)
             params = jax.tree_util.tree_unflatten(treedef, new_p)
             mom_buf = jax.tree_util.tree_unflatten(treedef, new_m)
+            grad_buf = jax.tree.map(lambda g: g * (1.0 - apply), grad_buf)
 
-            # EMA with ramp d = decay * (1 - exp(-updates/2000)) (torch_utils.py:606)
-            ema_updates = ema_updates + 1
+            # EMA ticks only on optimizer steps, with ramp
+            # d = decay * (1 - exp(-updates/2000)) (torch_utils.py:606)
+            ema_updates = ema_updates + do_step.astype(jnp.int32)
             d = ema_base * (1 - jnp.exp(-ema_updates / 2000.0))
-            ema = jax.tree.map(lambda e, p: e * d + (1 - d) * p, ema, params)
-            return (params, new_bs, mom_buf, ema, ema_updates), total, parts
+            ema = jax.tree.map(
+                lambda e, p: e + apply * ((e * d + (1 - d) * p) - e), ema, params
+            )
+            return (params, new_bs, mom_buf, ema, ema_updates, grad_buf), total, parts
 
         data_sharding = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec("data"))
         repl = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
@@ -203,11 +216,6 @@ class BaseTrainer(CallbackMixin):
         self._data_sharding = data_sharding
         self._repl_sharding = repl
         return jit_step
-
-    def _lr_tree(self, params, lr_by_group):
-        groups = make_group_labels(params)
-        tree = jax.tree.map(lambda g: jnp.asarray(lr_by_group[g], jnp.float32), groups)
-        return jax.device_put(tree, self._repl_sharding)
 
     # -- main loop ------------------------------------------------------------
     def train(self, train_loader, val_fn=None):
@@ -243,20 +251,25 @@ class BaseTrainer(CallbackMixin):
             mom_buf = jax.tree.map(jnp.zeros_like, params)
             ema = jax.tree.map(jnp.copy, params)  # real copies: donation rejects aliased buffers
             ema_updates = jnp.zeros((), jnp.int32)
-        state = (params, batch_stats, mom_buf, ema, ema_updates)
+        grad_buf = jax.tree.map(jnp.zeros_like, params)
+        state = (params, batch_stats, mom_buf, ema, ema_updates, grad_buf)
 
         step_fn = self.build_train_step()
         # replicate state over the mesh so the sharded step has consistent
         # input placement (the grad all-reduce then rides the data axis)
         state = jax.device_put(state, self._repl_sharding)
         nb = len(train_loader)
-        nw = max(round(self.warmup_epochs * nb), 100)  # warmup iters (trainer.py:402)
+        # warmup iters (reference trainer.py:396): 100-iter floor, but
+        # warmup_epochs=0 disables warmup entirely (nw=-1)
+        nw = max(round(self.warmup_epochs * nb), 100) if self.warmup_epochs > 0 else -1
         last_opt_step = -1
 
         LOGGER.info(colorstr("green", "bold", f"Starting training for {self.epochs} epochs..."))
         self.run_callbacks("on_train_start")
         t0 = time.time()
         ni = 0
+        self.opt_steps = 0  # optimizer steps actually applied (grad accumulation)
+        self.loss_history = []  # per-epoch mean loss dicts
         for epoch in range(self.start_epoch, self.epochs):
             self._epoch = epoch
             self.run_callbacks("on_train_epoch_start")
@@ -269,9 +282,11 @@ class BaseTrainer(CallbackMixin):
             pbar = TQDM(enumerate(train_loader), total=nb, desc=f"epoch {epoch + 1}/{self.epochs}")
             for i, batch in pbar:
                 ni = i + nb * epoch
-                # warmup interpolation (reference trainer.py:402-413)
+                # warmup interpolation (reference trainer.py:402-413): lr,
+                # momentum, AND accumulate ramp from [1 .. nbs/batch]
                 if ni <= nw:
                     xi = [0, nw]
+                    accumulate = max(1, round(np.interp(ni, xi, [1, self.nbs / self.batch_size])))
                     lr_by_group = [
                         float(np.interp(ni, xi, [0.0, self.lr0 * lf])),
                         float(np.interp(ni, xi, [0.0, self.lr0 * lf])),
@@ -279,17 +294,24 @@ class BaseTrainer(CallbackMixin):
                     ]
                     momentum = float(np.interp(ni, xi, [self.warmup_momentum, self.momentum]))
                 else:
+                    accumulate = self.accumulate
                     lr = self.lr0 * lf
                     lr_by_group = [lr, lr, lr]
                     momentum = self.momentum
+                do_step = ni - last_opt_step >= accumulate
+                if do_step:
+                    last_opt_step = ni
+                    self.opt_steps += 1
 
                 # multi-scale: random imgsz in [0.5, 1.5]x rounded to stride,
                 # resized ON DEVICE after transfer (reference detect/train.py:120)
                 device_batch = self.put_batch(batch)
                 if self.args.get("multi_scale"):
                     device_batch = self._multi_scale(device_batch, ni)
-                lr_tree = self._lr_tree(state[0], lr_by_group)
-                state, total, parts = step_fn(state, device_batch, lr_tree, jnp.float32(momentum))
+                state, total, parts = step_fn(
+                    state, device_batch, jnp.asarray(lr_by_group, jnp.float32),
+                    jnp.float32(momentum), jnp.asarray(do_step),
+                )
                 for k, v in parts.items():
                     losses_sum[k] = losses_sum.get(k, 0.0) + float(v)
                 if i % 10 == 0:
@@ -297,6 +319,7 @@ class BaseTrainer(CallbackMixin):
                     pbar.set_description(f"epoch {epoch + 1}/{self.epochs} {desc}")
 
             self.epoch_losses = {k: v / nb for k, v in losses_sum.items()}
+            self.loss_history.append(dict(self.epoch_losses))
 
             # NaN recovery (reference _handle_nan_recovery trainer.py:832):
             # reload last good checkpoint, up to 3 attempts
@@ -311,13 +334,14 @@ class BaseTrainer(CallbackMixin):
                 ck = load_pickle(ckpt_path)
                 state = jax.device_put(
                     (ck["params"], ck["batch_stats"], ck["momentum_buffer"], ck["ema"],
-                     jnp.asarray(ck.get("ema_updates", 0), jnp.int32)),
+                     jnp.asarray(ck.get("ema_updates", 0), jnp.int32),
+                     jax.tree.map(lambda p: jnp.zeros_like(jnp.asarray(p)), ck["params"])),
                     self._repl_sharding,
                 )
                 continue
 
             # validation with EMA weights
-            params, batch_stats, mom_buf, ema, ema_updates = state
+            params, batch_stats, mom_buf, ema, ema_updates, _grad_buf = state
             self.model.variables = {"params": jax.device_get(ema), "batch_stats": jax.device_get(batch_stats)}
             fitness = val_fn(self.model) if val_fn is not None else None
             self.last_fitness = fitness
@@ -338,7 +362,7 @@ class BaseTrainer(CallbackMixin):
         self.run_callbacks("on_train_end")
         LOGGER.info(f"training complete in {(time.time() - t0) / 3600:.3f} hours; results in {self.save_dir}")
         # leave the EMA weights on the model
-        params, batch_stats, mom_buf, ema, _ = state
+        params, batch_stats, mom_buf, ema = state[:4]
         self.model.variables = {"params": jax.device_get(ema), "batch_stats": jax.device_get(batch_stats)}
         return self.model
 
@@ -375,7 +399,7 @@ class BaseTrainer(CallbackMixin):
 
     # -- checkpointing (reference save_model trainer.py:579) -------------------
     def save_checkpoint(self, state, epoch: int, fitness: Optional[float]):
-        params, batch_stats, mom_buf, ema, ema_updates = state
+        params, batch_stats, mom_buf, ema, ema_updates = state[:5]
         ckpt = {
             "epoch": epoch,
             "best_fitness": self.best_fitness,

@@ -32,6 +32,70 @@ class DetectionValidator:
         self.max_det = int(self.args.get("max_det", 300))
         self.single_cls = bool(self.args.get("single_cls", False))
         self.plots = bool(self.args.get("plots", False))
+        self.save_json = bool(self.args.get("save_json", False))
+        self.jdict = []
+
+    # -- original-frame helpers (reference detect/val.py scale_preds:418) -----
+    @staticmethod
+    def _to_original_frame(boxes: np.ndarray, imgsz, ori_shape, ratio_pad):
+        """Rescale letterbox-frame xyxy boxes to the original image frame and
+        clip (reference ops.scale_boxes:102 — both preds and GTs are evaluated
+        in the original frame, detect/val.py:274,418)."""
+        from ultralytics_pro_tpu.ops.boxes import scale_boxes
+
+        if ori_shape is None or not len(boxes):
+            return boxes
+        return np.asarray(scale_boxes(imgsz, boxes.copy(), ori_shape, ratio_pad=ratio_pad))
+
+    def pred_to_json(self, boxes_xyxy, conf, cls, im_file):
+        """Append predictions (original frame) as COCO-format records
+        (reference detect/val.py pred_to_json:385: top-left xywh, numeric
+        image_id from the filename stem when possible)."""
+        from pathlib import Path
+
+        stem = Path(im_file or "0").stem
+        image_id = int(stem) if stem.isnumeric() else stem
+        b = boxes_xyxy.copy()
+        b[:, 2:] -= b[:, :2]  # xyxy -> top-left xywh
+        for j in range(len(b)):
+            self.jdict.append({
+                "image_id": image_id,
+                "category_id": int(cls[j]),
+                "bbox": [round(float(x), 3) for x in b[j]],
+                "score": round(float(conf[j]), 5),
+            })
+
+    def save_predictions_json(self, save_dir) -> Optional[str]:
+        """Write accumulated COCO-format predictions (reference
+        detect/val.py:430 writes predictions.json before coco_evaluate)."""
+        import json
+        from pathlib import Path
+
+        if not self.save_json:
+            return None
+        path = Path(save_dir) / "predictions.json"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.jdict, f)
+        LOGGER.info(f"saved {len(self.jdict)} predictions to {path}")
+        return str(path)
+
+    def coco_evaluate(self, anno_json, pred_json):
+        """pycocotools COCO eval over the saved JSON (reference
+        detect/val.py coco_evaluate:447). Optional dependency: returns None
+        with a log line when pycocotools is absent (not baked into this
+        environment); the internal DetMetrics mAP is the primary metric."""
+        try:
+            from pycocotools.coco import COCO  # noqa
+            from pycocotools.cocoeval import COCOeval
+        except ImportError:
+            LOGGER.info("pycocotools not installed; skipping COCO JSON eval")
+            return None
+        anno = COCO(str(anno_json))
+        pred = anno.loadRes(str(pred_json))
+        ev = COCOeval(anno, pred, "bbox")
+        ev.evaluate(), ev.accumulate(), ev.summarize()
+        return {"map50-95": ev.stats[0], "map50": ev.stats[1]}
 
     def _build_jit(self, model):
         import jax
@@ -88,13 +152,18 @@ class DetectionValidator:
         }
         self.print_results(metrics, names)
         self.confusion = confusion
+        if self.save_json:
+            self.save_predictions_json(self.args.get("save_dir") or "runs/val")
         return metrics
 
     def update_metrics(self, out: Dict[str, np.ndarray], batch: Dict, metrics: DetMetrics,
                        confusion: ConfusionMatrix):
-        b = out["boxes"].shape[0]
+        b = out["boxes"].shape[0] - int(batch.get("pad_count", 0))
         imgsz = batch["img"].shape[1:3]
         h, w = imgsz
+        ori_shapes = batch.get("ori_shapes") or [None] * b
+        ratio_pads = batch.get("ratio_pads") or [None] * b
+        im_files = batch.get("im_files") or [None] * b
         for i in range(b):
             valid = out["valid"][i]
             n = int(valid.sum())
@@ -110,6 +179,15 @@ class DetectionValidator:
             # to pixel xyxy
             cx, cy, bw, bh = gt_n[:, 0] * w, gt_n[:, 1] * h, gt_n[:, 2] * w, gt_n[:, 3] * h
             gt_boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1) if len(gt_n) else np.zeros((0, 4))
+
+            # evaluate in the ORIGINAL image frame like the reference
+            # (detect/val.py:274 matches scale_preds'd boxes; scale_boxes clips
+            # to the original bounds, which letterbox-frame matching misses)
+            if ori_shapes[i] is not None:
+                pred_boxes = self._to_original_frame(pred_boxes, imgsz, ori_shapes[i], ratio_pads[i])
+                gt_boxes = self._to_original_frame(gt_boxes, imgsz, ori_shapes[i], ratio_pads[i])
+            if self.save_json and n:
+                self.pred_to_json(pred_boxes, pred_conf, pred_cls, im_files[i])
 
             iou = box_iou_np(gt_boxes, pred_boxes) if n and len(gt_boxes) else np.zeros((len(gt_boxes), n))
             tp = match_predictions(pred_cls, gt_cls, iou)
@@ -170,9 +248,11 @@ class SegmentationValidator(DetectionValidator):
         from ultralytics_pro_tpu.ops.masks import process_mask
         from ultralytics_pro_tpu.utils.metrics import mask_iou_np
 
-        b = out["boxes"].shape[0]
+        b = out["boxes"].shape[0] - int(batch.get("pad_count", 0))
         h, w = batch["img"].shape[1:3]
         mask_ratio = h // batch["masks"].shape[2] if "masks" in batch else 4
+        ori_shapes = batch.get("ori_shapes") or [None] * b
+        ratio_pads = batch.get("ratio_pads") or [None] * b
         for i in range(b):
             valid = out["valid"][i]
             n = int(valid.sum())
@@ -186,7 +266,13 @@ class SegmentationValidator(DetectionValidator):
             cx, cy, bw, bh = gt_n[:, 0] * w, gt_n[:, 1] * h, gt_n[:, 2] * w, gt_n[:, 3] * h
             gt_boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1) if len(gt_n) else np.zeros((0, 4))
 
-            iou = box_iou_np(gt_boxes, pred_boxes) if n and len(gt_boxes) else np.zeros((len(gt_boxes), n))
+            # box matching in the original frame (masks stay in the letterbox
+            # frame where protos live — both pred and GT masks share it)
+            box_p, box_g = pred_boxes, gt_boxes
+            if ori_shapes[i] is not None:
+                box_p = self._to_original_frame(pred_boxes, (h, w), ori_shapes[i], ratio_pads[i])
+                box_g = self._to_original_frame(gt_boxes, (h, w), ori_shapes[i], ratio_pads[i])
+            iou = box_iou_np(box_g, box_p) if n and len(box_g) else np.zeros((len(box_g), n))
             tp = match_predictions(pred_cls, gt_cls, iou)
 
             tp_m = np.zeros_like(tp)
@@ -256,7 +342,7 @@ class PoseValidator(DetectionValidator):
 
         OKS_SIGMA = np.array([26, 25, 25, 35, 35, 79, 79, 72, 72, 62, 62, 107,
                               107, 87, 87, 89, 89], np.float32) / 1000.0
-        b = out["boxes"].shape[0]
+        b = out["boxes"].shape[0] - int(batch.get("pad_count", 0))
         h, w = batch["img"].shape[1:3]
         for i in range(b):
             valid = out["valid"][i]
@@ -331,7 +417,7 @@ class OBBValidator(DetectionValidator):
 
         from ultralytics_pro_tpu.ops.iou import batch_probiou
 
-        b = out["rboxes"].shape[0]
+        b = out["rboxes"].shape[0] - int(batch.get("pad_count", 0))
         h, w = batch["img"].shape[1:3]
         for i in range(b):
             valid = out["valid"][i]

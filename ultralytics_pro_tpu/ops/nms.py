@@ -147,7 +147,7 @@ def non_max_suppression(
     return jax.vmap(gather)(cand_boxes, top_scores, cls_idx, anchor_idx, keep_idx, keep_valid, extra)
 
 
-@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms"))
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh", "agnostic"))
 def non_max_suppression_rotated(
     rboxes,
     scores,
@@ -155,11 +155,15 @@ def non_max_suppression_rotated(
     iou_thres: float = 0.45,
     max_det: int = 300,
     max_nms: int = 4096,
+    max_wh: float = 7680.0,
+    agnostic: bool = False,
 ):
     """Batched rotated NMS: probiou-greedy suppression over (B, A, 5) xywhr
-    boxes (reference utils/nms.py rotated path + TorchNMS semantics on
-    batch_probiou). Class-agnostic within candidate set like the reference's
-    rotated branch (class offsets don't apply to rotated boxes)."""
+    boxes (reference utils/nms.py rotated branch + TorchNMS semantics on
+    batch_probiou). Per-class like the reference: rotated box *centers* are
+    offset by class_index * max_wh before suppression (nms.py rotated path
+    `x[:, :2] + c`), so overlapping boxes of different classes never suppress
+    each other unless agnostic=True."""
     from ultralytics_pro_tpu.ops.iou import probiou
 
     def single(rb, sc):
@@ -170,12 +174,17 @@ def non_max_suppression_rotated(
         top_scores, anchor_idx = jax.lax.top_k(masked, k)
         cand = rb[anchor_idx]  # (K, 5)
         cls_idx = cls_all[anchor_idx]
+        if not agnostic:
+            off = cls_idx.astype(cand.dtype)[:, None] * max_wh
+            cand_sup = jnp.concatenate([cand[:, :2] + off, cand[:, 2:]], axis=-1)
+        else:
+            cand_sup = cand
 
         def body(i, carry):
             s, keep_idx, keep_valid = carry
             j = jnp.argmax(s)
             sj = s[j]
-            iou = probiou(cand[j][None, :], cand)  # (K,)
+            iou = probiou(cand_sup[j][None, :], cand_sup)  # (K,)
             s = jnp.where(iou > iou_thres, -1.0, s)
             keep_idx = keep_idx.at[i].set(j)
             keep_valid = keep_valid.at[i].set(sj > 0)

@@ -378,7 +378,13 @@ class v8OBBLoss(v8DetectionLoss):
         scale = jnp.array([w, h, w, h, 1.0], dtype=jnp.float32)
         gt_rboxes = batch["bboxes"] * scale  # (b, G, 5) xywhr pixels
         gt_labels = batch["cls"].astype(jnp.int32)
-        mask_gt = batch["mask_gt"].astype(bool) & (gt_rboxes[..., 2:4].prod(-1) > 0)
+        # reference v8OBBLoss filters degenerate rotated GTs with w or h < 2 px
+        # before assignment (loss.py:915) — not just zero-area ones
+        mask_gt = (
+            batch["mask_gt"].astype(bool)
+            & (gt_rboxes[..., 2] >= 2.0)
+            & (gt_rboxes[..., 3] >= 2.0)
+        )
 
         # decode rotated boxes in grid units
         b, a, _ = pred_distri.shape

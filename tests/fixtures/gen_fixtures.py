@@ -121,6 +121,14 @@ class _StubFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
                     "java", "Foundation", "AppKit", "fcntl", "termios", "grp", "pwd",
                     "resource", "ctypes", "curses", "readline"}:
             return None  # platform-conditional imports guarded by try/except upstream
+        if root in {"ray", "wandb", "comet_ml", "clearml", "mlflow", "neptune",
+                    "dvclive", "hub_sdk", "flint"}:
+            # logger/tuner integrations + optional numeric backends: these are
+            # feature-gated by try/except ImportError upstream — a stub that
+            # imports "successfully" switches the feature ON and then breaks.
+            # (triton/sympy stay stubbable: SparXMamba.py imports triton
+            # unguarded; torch._dynamo is pre-imported before the stubs land.)
+            return None
         return importlib.machinery.ModuleSpec(fullname, self, is_package=True)
 
     def create_module(self, spec):

@@ -136,6 +136,40 @@ class DWConv(ConvBase):
         return conv_bn_act(self, x, self.c2, self.k, self.s, self.p, g, self.d, self.act, train)
 
 
+def _implicit_init(mean: float, std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return mean + std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+class ImplicitA(ConvBase):
+    """YOLOR implicit knowledge, additive: a learned per-channel offset added
+    to the feature map (reference conv.py:1130 ImplicitA, init N(0, 0.02))."""
+
+    mean: float = 0.0
+    std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        imp = self.param("implicit", _implicit_init(self.mean, self.std),
+                         (1, 1, 1, x.shape[-1]))
+        return x + imp.astype(x.dtype)
+
+
+class ImplicitM(ConvBase):
+    """YOLOR implicit knowledge, multiplicative: a learned per-channel gain
+    (reference conv.py:1143 ImplicitM, init N(1, 0.02))."""
+
+    mean: float = 1.0
+    std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        imp = self.param("implicit", _implicit_init(self.mean, self.std),
+                         (1, 1, 1, x.shape[-1]))
+        return x * imp.astype(x.dtype)
+
+
 class ConvTranspose(ConvBase):
     """ConvTranspose2d + optional BN + act (reference conv.py:445)."""
 

@@ -60,19 +60,27 @@ class Detect(ConvBase):
     def no(self):
         return self.nc + 4 * self.reg_max
 
+    def _head_channels(self, ch0: int):
+        """Box/cls branch widths (reference head.py:91)."""
+        return max(16, ch0 // 4, self.reg_max * 4), max(ch0, min(self.nc, 100))
+
+    def _level_box_cls(self, x, i: int, c2: int, c3: int, s: int, train: bool, prefix: str):
+        """One level's (box, cls) maps — overridden by IDetect/DDetect."""
+        box = _branch(self, x, f"{prefix}cv2_{i}", c2, 4 * self.reg_max, True, train,
+                      final_bias_init=nn.initializers.constant(1.0))
+        cls = _branch(self, x, f"{prefix}cv3_{i}", c3, self.nc, self.legacy, train,
+                      final_bias_init=nn.initializers.constant(math.log(5 / self.nc / (640 / s) ** 2)))
+        return box, cls
+
     def _raw(self, feats, train: bool, prefix: str = ""):
         """Per-level raw (box, cls) maps, concatenated channel-last."""
         ch0 = feats[0].shape[-1]
-        c2 = max(16, ch0 // 4, self.reg_max * 4)
-        c3 = max(ch0, min(self.nc, 100))
+        c2, c3 = self._head_channels(ch0)
         s0 = self.strides[0] if len(self.strides) else 8
         raw = []
         for i, x in enumerate(feats):
             s = self.strides[i] if i < len(self.strides) else s0 * 2**i
-            box = _branch(self, x, f"{prefix}cv2_{i}", c2, 4 * self.reg_max, True, train,
-                          final_bias_init=nn.initializers.constant(1.0))
-            cls = _branch(self, x, f"{prefix}cv3_{i}", c3, self.nc, self.legacy, train,
-                          final_bias_init=nn.initializers.constant(math.log(5 / self.nc / (640 / s) ** 2)))
+            box, cls = self._level_box_cls(x, i, c2, c3, s, train, prefix)
             raw.append(jnp.concatenate([box, cls], axis=-1))
         return raw
 
@@ -181,6 +189,89 @@ class Pose(Detect):
         else:
             k = xy
         return k.reshape(b, a, -1)
+
+
+class IDetect(Detect):
+    """YOLOR/v7-lineage detect head (reference head.py:406): the fork's
+    anchor-free Detect with ImplicitA (pre-branch additive) and ImplicitM
+    (post-branch multiplicative) implicit-knowledge layers on both branches."""
+
+    def _level_box_cls(self, x, i, c2, c3, s, train, prefix):
+        from ultralytics_pro_tpu.nn.modules.conv import ImplicitA, ImplicitM
+
+        xb = ImplicitA(dtype=self.dtype, name=f"{prefix}ia2_{i}", parent=self)(x, train)
+        xc = ImplicitA(dtype=self.dtype, name=f"{prefix}ia3_{i}", parent=self)(x, train)
+        box = _branch(self, xb, f"{prefix}cv2_{i}", c2, 4 * self.reg_max, True, train,
+                      final_bias_init=nn.initializers.constant(1.0))
+        cls = _branch(self, xc, f"{prefix}cv3_{i}", c3, self.nc, self.legacy, train,
+                      final_bias_init=nn.initializers.constant(math.log(5 / self.nc / (640 / s) ** 2)))
+        box = ImplicitM(dtype=self.dtype, name=f"{prefix}im2_{i}", parent=self)(box, train)
+        cls = ImplicitM(dtype=self.dtype, name=f"{prefix}im3_{i}", parent=self)(cls, train)
+        return box, cls
+
+
+class DDetect(Detect):
+    """YOLOv9 detect head (reference head.py:601): Detect with group-4 box
+    branch convs and wider cls channels (c2 divisible by 4, c3 up to 2*nc/128)."""
+
+    def _head_channels(self, ch0: int):
+        c2 = max(ch0 // 4, self.reg_max * 4, 16)
+        c2 = int(math.ceil(c2 / 4) * 4)  # make_divisible(c2, 4)
+        c3 = max(ch0, min(self.nc * 2, 128))
+        return c2, c3
+
+    def _level_box_cls(self, x, i, c2, c3, s, train, prefix):
+        # box: Conv3x3 -> Conv3x3(g=4) -> 1x1 grouped conv (reference :668)
+        h = Conv(c2=c2, k=3, dtype=self.dtype, name=f"{prefix}cv2_{i}_0", parent=self)(x, train)
+        h = Conv(c2=c2, k=3, g=4, dtype=self.dtype, name=f"{prefix}cv2_{i}_1", parent=self)(h, train)
+        box = nn.Conv(features=4 * self.reg_max, kernel_size=(1, 1), feature_group_count=4,
+                      use_bias=True, bias_init=nn.initializers.constant(1.0),
+                      dtype=self.dtype, name=f"{prefix}cv2_{i}_2", parent=self)(h)
+        cls = _branch(self, x, f"{prefix}cv3_{i}", c3, self.nc, self.legacy, train,
+                      final_bias_init=nn.initializers.constant(math.log(5 / self.nc / (640 / s) ** 2)))
+        return box, cls
+
+
+class ISegment(IDetect, Segment):
+    """IDetect + prototype masks (reference head.py:890)."""
+
+
+class IOBB(IDetect, OBB):
+    """IDetect + rotation branch (reference head.py:1099)."""
+
+
+class IPose(IDetect, Pose):
+    """IDetect + keypoint branch (reference head.py:1344)."""
+
+
+class DSegment(DDetect, Segment):
+    """DDetect + masks (reference head.py:940): protos come from the LAST
+    input feature via a 1x1 Conv; detection runs over feats[:-1]."""
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        protos = Conv(c2=self.nm, k=1, dtype=self.dtype, name="proto")(feats[-1], train)
+        det_feats = feats[:-1]
+        c4 = max(det_feats[0].shape[-1] // 4, self.nm)
+        b = det_feats[0].shape[0]
+        mc = [
+            _branch(self, x, f"cv4_{i}", c4, self.nm, True, train).reshape(b, -1, self.nm)
+            for i, x in enumerate(det_feats)
+        ]
+        mc = jnp.concatenate(mc, axis=1)
+        raw = self._raw(det_feats, train)
+        if train:
+            return {"feats": raw, "mc": mc, "protos": protos}
+        y = self._decode(raw, det_feats)
+        return jnp.concatenate([y, mc], axis=-1), {"feats": raw, "mc": mc, "protos": protos}
+
+
+class DOBB(DDetect, OBB):
+    """DDetect + rotation branch (reference head.py:1153)."""
+
+
+class DPose(DDetect, Pose):
+    """DDetect + keypoint branch (reference head.py:1412)."""
 
 
 class Classify(ConvBase):

@@ -165,12 +165,12 @@ def _build_rtdetr_decoder(args, n, w, d, mx, ctx):
 def _build_head(cls):
     def build(args, n, w, d, mx, ctx):
         kw = dict(nc=args[0], legacy=ctx.get("legacy", True))
-        if cls is M.Segment:
+        if issubclass(cls, M.Segment):
             kw["nm"] = _a(args, 1, 32)
             kw["npr"] = _sc(_a(args, 2, 256), w, mx)
-        elif cls is M.OBB:
+        elif issubclass(cls, M.OBB):
             kw["ne"] = _a(args, 1, 1)
-        elif cls is M.Pose:
+        elif issubclass(cls, M.Pose):
             kw["kpt_shape"] = tuple(_a(args, 1, (17, 3)))
         ctx["head_index"] = ctx["i"]
         return cls, tuple(kw.items())
@@ -297,6 +297,11 @@ BUILDERS: Dict[str, Callable] = {
     "RepConv": lambda a, n, w, d, mx, ctx: (
         __import__("ultralytics_pro_tpu.nn.modules.conv", fromlist=["RepConv"]).RepConv,
         _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    # the fork's RepConv_v7 (conv.py:906) is the same 3x3+1x1+identity
+    # re-param block with SiLU — one flax implementation serves both
+    "RepConv_v7": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.conv", fromlist=["RepConv"]).RepConv,
+        _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
     "RepC3": lambda a, n, w, d, mx, ctx: (
         __import__("ultralytics_pro_tpu.nn.modules.block", fromlist=["RepC3"]).RepC3,
         _kw(c2=_sc(a[0], w, mx), n=n, e=_a(a, 1, 1.0))),
@@ -308,12 +313,26 @@ BUILDERS: Dict[str, Callable] = {
     "Segment": _build_head(M.Segment),
     "OBB": _build_head(M.OBB),
     "Pose": _build_head(M.Pose),
+    "IDetect": _build_head(M.IDetect),
+    "ISegment": _build_head(M.ISegment),
+    "IOBB": _build_head(M.IOBB),
+    "IPose": _build_head(M.IPose),
+    "DDetect": _build_head(M.DDetect),
+    "DSegment": _build_head(M.DSegment),
+    "DOBB": _build_head(M.DOBB),
+    "DPose": _build_head(M.DPose),
+    "ImplicitA": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.conv", fromlist=["ImplicitA"]).ImplicitA, _kw()),
+    "ImplicitM": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.conv", fromlist=["ImplicitM"]).ImplicitM, _kw()),
     "Classify": lambda a, n, w, d, mx, ctx: (M.Classify, _kw(c2=a[0])),
 }
 
 # Modules that flip Detect heads off the legacy branch layout (reference
 # tasks.py:2862-2870: C3k2 family, A2C2f, C2fCIB).
-HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect", "WorldDetect")
+HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect", "WorldDetect",
+              "IDetect", "ISegment", "IOBB", "IPose",
+              "DDetect", "DSegment", "DOBB", "DPose")
 
 # Modules whose repeats column is consumed internally (depth-gained n); all
 # others with n>1 get stacked via Repeat (reference repeat_modules frozenset).
@@ -660,11 +679,13 @@ def guess_model_task(cfg) -> str:
     d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
     head = d.get("head", [])
     names = {row[2] for row in head}
-    if "Segment" in names:
+    # I/D/MAF-prefixed head variants map to the same tasks (reference
+    # guess_model_task tasks.py:3185 matches by suffix)
+    if any(n.endswith("Segment") for n in names):
         return "segment"
-    if "Pose" in names:
+    if any(n.endswith("Pose") for n in names):
         return "pose"
-    if "OBB" in names:
+    if any(n.endswith("OBB") for n in names):
         return "obb"
     if "RTDETRDecoder" in names or "WorldDetect" in names:
         return "detect"

@@ -16,6 +16,7 @@ import numpy as np
 from ultralytics_pro_tpu.cfg import DEFAULT_CFG_DICT, TASK2DATA, get_cfg
 from ultralytics_pro_tpu.nn.tasks import (
     TASK2MODEL as TASK2MODELCLS,
+    model_class_for,
     BaseModel,
     guess_model_task,
     yaml_model_load,
@@ -42,7 +43,7 @@ class Model:
     def _new(self, cfg, task: Optional[str], verbose: bool = False):
         d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
         self.task = task or guess_model_task(d)
-        cls = TASK2MODELCLS[self.task]
+        cls = model_class_for(d, self.task)
         self.model: BaseModel = cls(d, verbose=verbose)
         self.cfg = cfg
         self.model_name = str(cfg)
@@ -56,7 +57,7 @@ class Model:
         if d is None:
             raise ValueError(f"checkpoint {weights} carries no model yaml")
         self.task = task or guess_model_task(d)
-        cls = TASK2MODELCLS[self.task]
+        cls = model_class_for(d, self.task)
         self.model = cls(d)
         self.model.variables = {
             "params": ckpt.get("ema") or ckpt["params"],
@@ -135,10 +136,15 @@ class Model:
                     row[3] = [row[3][0], list(d["kpt_shape"])]
                     rebuild = True
             if rebuild:
-                self.model = TASK2MODELCLS[self.task](y, nc=d["nc"])
+                self.model = model_class_for(y, self.task)(y, nc=d["nc"])
         elif rebuild:
-            self.model = TASK2MODELCLS[self.task](self.model.yaml, nc=d["nc"])
+            y = self.model.yaml if isinstance(self.model.yaml, dict) else {}
+            self.model = model_class_for(y, self.task)(self.model.yaml, nc=d["nc"])
         self.model.names = d["names"]
+        if hasattr(self.model, "set_classes"):
+            # prompt models (World/YOLOE): the dataset class names ARE the
+            # text vocabulary (reference yoloe/train.py, world/train.py)
+            self.model.set_classes([str(v) for v in d["names"].values()])
         imgsz = int(args.get("imgsz", 640))
         if self.model.variables is None:
             self.model.init_params(imgsz=imgsz)
@@ -154,6 +160,12 @@ class Model:
                                   workers=int(args.get("workers", 8)))
 
         trainer_cls = task_map[self.task]["trainer"]
+        from ultralytics_pro_tpu.nn.tasks import YOLOEModel
+
+        if isinstance(self.model, YOLOEModel):
+            from ultralytics_pro_tpu.engine.trainer import YOLOETrainer, YOLOEVPTrainer
+
+            trainer_cls = YOLOEVPTrainer if args.get("visual_prompt") else YOLOETrainer
         self.trainer = trainer_cls(self.model, args)
 
         val_fn = None

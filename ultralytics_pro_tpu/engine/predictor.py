@@ -62,7 +62,7 @@ class BasePredictor:
         end2end = head is not None and head.type_name == "v10Detect"
 
         def forward(variables, x):
-            y, aux = model.module.apply(variables, x, train=False)
+            y, aux = model.apply(variables, x, train=False)
             return y, aux
 
         def tta_forward(variables, x):
@@ -239,7 +239,7 @@ class ClassificationPredictor(BasePredictor):
         @jax.jit
         def run(variables, img_u8):
             x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
-            return model.module.apply(variables, x, train=False)
+            return model.apply(variables, x, train=False)
 
         return run
 
@@ -306,7 +306,7 @@ class OBBPredictor(BasePredictor):
         @jax.jit
         def run(variables, img_u8):
             x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
-            y, aux = model.module.apply(variables, x, train=False)
+            y, aux = model.apply(variables, x, train=False)
             rb = jnp.concatenate([y[..., :4], y[..., 4 + nc:5 + nc]], axis=-1)
             return non_max_suppression_rotated(
                 rb, y[..., 4:4 + nc], conf_thres=conf, iou_thres=iou, max_det=max_det,

@@ -150,9 +150,10 @@ class BaseTrainer(CallbackMixin):
 
         def loss_fn(params, batch_stats, batch):
             x = batch["img"][..., ::-1].astype(jnp.float32) / 255.0
+            extra = {"txt_feats": batch["prompts"]} if "prompts" in batch else {}
             preds, updates = module.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=True,
-                mutable=["batch_stats"], dn=batch.get("dn"),
+                mutable=["batch_stats"], dn=batch.get("dn"), **extra,
             )
             # imgsz from the batch: multi-scale resizes on device, and each
             # distinct size is its own jit specialization (a small fixed set)
@@ -177,15 +178,15 @@ class BaseTrainer(CallbackMixin):
             scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
 
             groups = make_group_labels(params)
-            apply = do_step.astype(jnp.float32)
 
             def upd(p, g, m, grp, lr):
                 g = g * scale + wd * p * (grp == 0)  # decay only group 0
                 m_new = momentum * m + g
                 u = g + momentum * m_new  # nesterov
-                # select instead of cond: the update math is trivial next to
-                # the backward pass, and where() keeps one compiled step
-                return p - apply * lr * u, m + apply * (m_new - m)
+                # where() (NOT arithmetic blending): a non-finite grad leaf
+                # must not leak into params on skipped micro-steps (0*nan=nan)
+                return (jnp.where(do_step, p - lr * u, p),
+                        jnp.where(do_step, m_new, m))
 
             flat_p, treedef = jax.tree_util.tree_flatten(params)
             flat_g = jax.tree.leaves(grad_buf)
@@ -198,14 +199,14 @@ class BaseTrainer(CallbackMixin):
                 new_m.append(mn)
             params = jax.tree_util.tree_unflatten(treedef, new_p)
             mom_buf = jax.tree_util.tree_unflatten(treedef, new_m)
-            grad_buf = jax.tree.map(lambda g: g * (1.0 - apply), grad_buf)
+            grad_buf = jax.tree.map(lambda g: jnp.where(do_step, jnp.zeros_like(g), g), grad_buf)
 
             # EMA ticks only on optimizer steps, with ramp
             # d = decay * (1 - exp(-updates/2000)) (torch_utils.py:606)
             ema_updates = ema_updates + do_step.astype(jnp.int32)
             d = ema_base * (1 - jnp.exp(-ema_updates / 2000.0))
             ema = jax.tree.map(
-                lambda e, p: e + apply * ((e * d + (1 - d) * p) - e), ema, params
+                lambda e, p: jnp.where(do_step, e * d + (1 - d) * p, e), ema, params
             )
             return (params, new_bs, mom_buf, ema, ema_updates, grad_buf), total, parts
 
@@ -395,6 +396,11 @@ class BaseTrainer(CallbackMixin):
         if "dn" in batch:
             out["dn"] = {k: jax.device_put(v, self._data_sharding)
                          for k, v in batch["dn"].items()}
+        if "prompts" in batch:
+            # prompts are pre-broadcast to (B, ...) by the attaching trainer,
+            # so they shard over the data axis like any other batch leaf
+            out["prompts"] = {k: jax.device_put(np.asarray(v), self._data_sharding)
+                              for k, v in batch["prompts"].items()}
         return out
 
     # -- checkpointing (reference save_model trainer.py:579) -------------------
@@ -535,3 +541,76 @@ class OBBTrainer(BaseTrainer):
             hyp={"box": self.args.get("box", 7.5), "cls": self.args.get("cls", 0.5),
                  "dfl": self.args.get("dfl", 1.5)},
         )
+
+
+def make_visual_prompts(bboxes: np.ndarray, cls: np.ndarray, mask_gt: np.ndarray,
+                        imgsz_hw, nc: int, scale: float = 1 / 8) -> np.ndarray:
+    """Per-class binary prompt masks at P3 resolution (reference
+    LoadVisualPrompt, data/augment.py:2231). Static-shape variant: one mask
+    slot per class index (Q = nc) instead of unique-class compaction — the
+    reference requires continuous class indices anyway, and fixed Q keeps the
+    train step single-compile.
+
+    bboxes (B, G, 4) normalized xywh; cls (B, G); mask_gt (B, G) bool.
+    Returns (B, nc, h, w) float32."""
+    b, g = cls.shape[:2]
+    h = int(imgsz_hw[0] * scale)
+    w = int(imgsz_hw[1] * scale)
+    out = np.zeros((b, nc, h, w), np.float32)
+    for i in range(b):
+        for j in range(g):
+            if not mask_gt[i, j]:
+                continue
+            cx, cy, bw, bh = bboxes[i, j, :4]
+            x1 = int(np.floor((cx - bw / 2) * w))
+            x2 = int(np.ceil((cx + bw / 2) * w))
+            y1 = int(np.floor((cy - bh / 2) * h))
+            y2 = int(np.ceil((cy + bh / 2) * h))
+            c = int(cls[i, j])
+            out[i, c, max(y1, 0):max(y2, 0), max(x1, 0):max(x2, 0)] = 1.0
+    return out
+
+
+class YOLOETrainer(DetectionTrainer):
+    """YOLOE text-prompt training (reference models/yolo/yoloe/train.py): the
+    dataset's class names become the text vocabulary; loss is the standard
+    v8 criterion over the contrastive class logits."""
+
+    def put_batch(self, batch):
+        out = super().put_batch(batch)
+        if "prompts" in out:  # a subclass hook already attached richer prompts
+            return out
+        b = batch["img"].shape[0]
+        prompts = self.model._batched_prompts(b)
+        if prompts is not None:
+            out["prompts"] = {k: jax.device_put(np.asarray(v), self._data_sharding)
+                              for k, v in prompts.items()}
+        return out
+
+
+class YOLOEVPTrainer(YOLOETrainer):
+    """YOLOE text+visual-prompt training (reference yoloe train w/ visual
+    prompts + TVPDetectLoss loss.py:1018): per-class box-union masks ride the
+    batch; the head emits [box | text cls | vp cls] and only the vp slice
+    trains."""
+
+    def criterion(self):
+        from ultralytics_pro_tpu.utils.loss import TVPDetectLoss
+
+        nc = self.model.nc
+        return TVPDetectLoss(
+            nc_text=nc, vnc=nc, reg_max=16, strides=self.model.stride,
+            hyp={"box": self.args.get("box", 7.5), "cls": self.args.get("cls", 0.5),
+                 "dfl": self.args.get("dfl", 1.5)},
+        )
+
+    def host_preprocess_batch(self, batch):
+        h, w = batch["img"].shape[1:3]
+        vp = make_visual_prompts(batch["bboxes"], batch["cls"], batch["mask_gt"],
+                                 (h, w), self.model.nc)
+        tpe = np.asarray(self.model.prompts["tpe"], np.float32)
+        batch["prompts"] = {
+            "tpe": np.broadcast_to(tpe, (vp.shape[0], *tpe.shape[1:])),
+            "vp": vp,
+        }
+        return batch

@@ -112,7 +112,7 @@ class DetectionValidator:
         @jax.jit
         def run(variables, img_u8):
             x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
-            y, aux = model.module.apply(variables, x, train=False)
+            y, aux = model.apply(variables, x, train=False)
             if end2end:
                 # (B, max_det, 6): xywh, conf, cls — NMS-free (reference
                 # v10Detect inference path)
@@ -216,7 +216,7 @@ class SegmentationValidator(DetectionValidator):
         @jax.jit
         def run(variables, img_u8):
             x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
-            y, aux = model.module.apply(variables, x, train=False)
+            y, aux = model.apply(variables, x, train=False)
             boxes, rest = y[..., :4], y[..., 4:]
             out = non_max_suppression(
                 boxes, rest[..., :nc], extra=rest[..., nc:], conf_thres=conf,
@@ -308,7 +308,7 @@ class PoseValidator(DetectionValidator):
         @jax.jit
         def run(variables, img_u8):
             x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
-            y, aux = model.module.apply(variables, x, train=False)
+            y, aux = model.apply(variables, x, train=False)
             boxes, rest = y[..., :4], y[..., 4:]
             return non_max_suppression(
                 boxes, rest[..., :nc], extra=rest[..., nc:], conf_thres=conf,
@@ -389,7 +389,7 @@ class OBBValidator(DetectionValidator):
         @jax.jit
         def run(variables, img_u8):
             x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
-            y, aux = model.module.apply(variables, x, train=False)
+            y, aux = model.apply(variables, x, train=False)
             # y = [xywh, cls..., angle]
             rb = jnp.concatenate([y[..., :4], y[..., 4 + nc:5 + nc]], axis=-1)
             return non_max_suppression_rotated(
@@ -455,7 +455,7 @@ class ClassificationValidator:
         @jax.jit
         def run(variables, img_u8):
             x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
-            return model.module.apply(variables, x, train=False)
+            return model.apply(variables, x, train=False)
 
         metrics = ClassifyMetrics()
         for batch in dataloader:

@@ -439,6 +439,132 @@ class RTDETRDecoder(ConvBase):
         return y, aux
 
 
+class YOLOEDetect(Detect):
+    """Prompt-conditioned detect head (reference head.py:1653): box branch as
+    Detect; cls branch projects features to an embedding (cv3) matched against
+    prompt embeddings by a BNContrastiveHead (cv4). Prompts are text
+    (tpe -> Residual-SwiGLU adapter `reprta` + L2 norm), visual (binary masks
+    -> SAVPE), or both concatenated (TVP training). The class count at decode
+    time is the number of prompt embeddings."""
+
+    embed: int = 512
+    with_bn: bool = True
+
+    def _prompt_embeddings(self, feats, prompts, train: bool):
+        """Raw prompts -> (B, T[+Q], embed) class prompt embeddings.
+        Both adapters always run (on zero-size dummies when a mode is absent)
+        so init/apply share one param tree across prompt modes."""
+        from ultralytics_pro_tpu.nn.modules.yoloe import Residual, SAVPE
+
+        b = feats[0].shape[0]
+        h3, w3 = feats[0].shape[1], feats[0].shape[2]
+        c3 = max(feats[0].shape[-1], min(self.nc, 100))
+        if prompts is None:
+            prompts = {}
+        if not isinstance(prompts, dict):
+            prompts = {"tpe": prompts}
+        tpe = prompts.get("tpe")
+        vp = prompts.get("vp")
+        vpe = prompts.get("vpe")  # precomputed (B, Q, embed)
+        if tpe is None:
+            tpe = jnp.zeros((b, 0, self.embed), jnp.float32)
+        t = Residual(ec=self.embed, dtype=self.dtype, name="reprta", parent=self)(tpe, train)
+        t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-12)  # get_tpe (head.py:1764)
+        # SAVPE dummy must be a NON-EMPTY all-ones mask: a zero-size Q would
+        # put a BatchNorm over an empty tensor (NaN stats AND NaN cotangents
+        # through the mean's 1/N); the single dummy row is sliced away after.
+        vp_in = vp if vp is not None else jnp.ones((b, 1, h3, w3), jnp.float32)
+        v = SAVPE(c3=c3, embed=self.embed, dtype=self.dtype, name="savpe", parent=self)(
+            feats, vp_in, train
+        )
+        if vp is None:
+            v = v[:, :0]
+        if vpe is not None:
+            v = jnp.concatenate([v, vpe.astype(v.dtype)], axis=1)
+        pe = jnp.concatenate([t, v], axis=1)
+        if pe.shape[1] == 0:  # prompt-free shape probe
+            pe = jnp.zeros((b, self.nc, self.embed), jnp.float32)
+        return pe
+
+    def _raw_yoloe(self, feats, cls_pe, train: bool):
+        from ultralytics_pro_tpu.nn.modules.world import BNContrastiveHead, ContrastiveHead
+
+        ch0 = feats[0].shape[-1]
+        c2 = max(16, ch0 // 4, self.reg_max * 4)
+        c3 = max(ch0, min(self.nc, 100))
+        head_cls = BNContrastiveHead if self.with_bn else ContrastiveHead
+        raw = []
+        for i, x in enumerate(feats):
+            box = _branch(self, x, f"cv2_{i}", c2, 4 * self.reg_max, True, train,
+                          final_bias_init=nn.initializers.constant(1.0))
+            emb = _branch(self, x, f"cv3_{i}", c3, self.embed, self.legacy, train)
+            cls = head_cls(dtype=self.dtype, name=f"cv4_{i}")(emb, cls_pe, train)
+            raw.append(jnp.concatenate([box, cls], axis=-1))
+        return raw
+
+    @nn.compact
+    def __call__(self, feats, prompts=None, train: bool = False):
+        cls_pe = self._prompt_embeddings(feats, prompts, train)
+        raw = self._raw_yoloe(feats, cls_pe, train)
+        if train:
+            return {"feats": raw}
+        b = feats[0].shape[0]
+        nc = cls_pe.shape[1]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors, stride_t = make_anchors(shapes, self.strides, 0.5, dtype=jnp.float32)
+        no = 4 * self.reg_max + nc
+        flat = jnp.concatenate([r.reshape(b, -1, no) for r in raw], axis=1)
+        box, cls = jnp.split(flat, [4 * self.reg_max], axis=-1)
+        dist = DFL(reg_max=self.reg_max, name="dfl")(box.astype(jnp.float32))
+        dbox = dist2bbox(dist, anchors[None], xywh=True) * stride_t[None]
+        y = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1)
+        return y, {"feats": raw}
+
+
+class YOLOESegment(YOLOEDetect):
+    """YOLOEDetect + prototype masks (reference head.py:1839)."""
+
+    nm: int = 32
+    npr: int = 256
+
+    @nn.compact
+    def __call__(self, feats, prompts=None, train: bool = False):
+        protos = Proto(c_=self.npr, c2=self.nm, dtype=self.dtype, name="proto")(feats[0], train)
+        c5 = max(feats[0].shape[-1] // 4, self.nm)
+        b = feats[0].shape[0]
+        mc = [
+            _branch(self, x, f"cv5_{i}", c5, self.nm, True, train).reshape(b, -1, self.nm)
+            for i, x in enumerate(feats)
+        ]
+        mc = jnp.concatenate(mc, axis=1)
+        cls_pe = self._prompt_embeddings(feats, prompts, train)
+        raw = self._raw_yoloe(feats, cls_pe, train)
+        if train:
+            return {"feats": raw, "mc": mc, "protos": protos}
+        nc = cls_pe.shape[1]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors, stride_t = make_anchors(shapes, self.strides, 0.5, dtype=jnp.float32)
+        no = 4 * self.reg_max + nc
+        flat = jnp.concatenate([r.reshape(b, -1, no) for r in raw], axis=1)
+        box, cls = jnp.split(flat, [4 * self.reg_max], axis=-1)
+        dist = DFL(reg_max=self.reg_max, name="dfl")(box.astype(jnp.float32))
+        dbox = dist2bbox(dist, anchors[None], xywh=True) * stride_t[None]
+        y = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32)), mc], axis=-1)
+        return y, {"feats": raw, "mc": mc, "protos": protos}
+
+
+def lrpc_mask_scores(pf_logits, cls_logits, conf: float):
+    """Static-shape LRPC (reference LRPCHead head.py:1590): the torch head
+    boolean-gathers anchors whose proposal-filter score clears `conf`; the
+    TPU formulation uses the reference's own export branch — multiply the
+    class logits by the mask instead of gathering, keeping (B, A, nc) static.
+
+    pf_logits: (B, A, 1) proposal-filter logits; cls_logits: (B, A, nc).
+    Returns masked cls logits and the (B, A) keep mask."""
+    keep = jax.nn.sigmoid(pf_logits[..., 0]) > conf
+    return cls_logits * keep[..., None].astype(cls_logits.dtype), keep
+
+
 class v10Detect(Detect):
     """YOLOv10 end-to-end head (reference head.py:2227): dual one2many/one2one
     branches; inference decodes the one2one branch and takes top-max_det — no

@@ -137,6 +137,18 @@ def _world():
     return world
 
 
+def _gold():
+    from ultralytics_pro_tpu.nn.modules import goldyolo
+
+    return goldyolo
+
+
+def _necks():
+    from ultralytics_pro_tpu.nn.modules import necks
+
+    return necks
+
+
 def _build_world_detect(args, n, w, d, mx, ctx):
     from ultralytics_pro_tpu.nn.modules.head import WorldDetect
 
@@ -281,6 +293,15 @@ BUILDERS: Dict[str, Callable] = {
     "ImagePoolingAttn": lambda a, n, w, d, mx, ctx: (
         _world().ImagePoolingAttn, _kw(ec=_a(a, 0, 256), ct=512, nh=8)),
     "WorldDetect": _build_world_detect,
+    "YOLOEDetect": lambda a, n, w, d, mx, ctx: (
+        (ctx.__setitem__("head_index", ctx["i"]), M.YOLOEDetect)[1],
+        _kw(nc=a[0], embed=_a(a, 1, 512), with_bn=_a(a, 2, True),
+            legacy=ctx.get("legacy", True))),
+    "YOLOESegment": lambda a, n, w, d, mx, ctx: (
+        (ctx.__setitem__("head_index", ctx["i"]), M.YOLOESegment)[1],
+        _kw(nc=a[0], nm=_a(a, 1, 32), npr=_sc(_a(a, 2, 256), w, mx),
+            embed=_a(a, 3, 512), with_bn=_a(a, 4, True),
+            legacy=ctx.get("legacy", True))),
     "RepNCSPELAN4": lambda a, n, w, d, mx, ctx: (
         _v9().RepNCSPELAN4, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
                                 c4=_sc(a[2], w, mx), n=_a(a, 3, 1))),
@@ -294,6 +315,58 @@ BUILDERS: Dict[str, Callable] = {
     "CBFuse": lambda a, n, w, d, mx, ctx: (_v9().CBFuse, _kw(idx=tuple(a[0]))),
     "A2C2f": _build_a2c2f,
     "v10Detect": _build_head_v10,
+    # gold-yolo gather-and-distribute neck (reference tasks.py:2921-2937:
+    # IFM ouc / injection c2 / pool-agg c2 / top-layer ouc are NOT width-scaled)
+    "RepVGGBlock": lambda a, n, w, d, mx, ctx: (
+        _gold().RepVGGBlock, _kw(c2=_sc(a[0], w, mx), s=_a(a, 2, 1))),
+    "RepBlock": lambda a, n, w, d, mx, ctx: (
+        _gold().RepBlock, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "SimConv": lambda a, n, w, d, mx, ctx: (
+        _gold().SimConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1), s=_a(a, 2, 1))),
+    "SimSPPF": lambda a, n, w, d, mx, ctx: (
+        _gold().SimSPPF, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 5))),
+    "SimFusion_3in": lambda a, n, w, d, mx, ctx: (
+        _gold().SimFusion_3in, _kw(c2=_sc(a[0], w, mx))),
+    "SimFusion_4in": lambda a, n, w, d, mx, ctx: (_gold().SimFusion_4in, _kw()),
+    "IFM": lambda a, n, w, d, mx, ctx: (_gold().IFM, _kw(ouc=tuple(a[0]))),
+    "InjectionMultiSum_Auto_pool": lambda a, n, w, d, mx, ctx: (
+        _gold().InjectionMultiSum_Auto_pool,
+        _kw(c2=a[0], global_inp=tuple(a[1]), flag=a[2])),
+    "PyramidPoolAgg": lambda a, n, w, d, mx, ctx: (
+        _gold().PyramidPoolAgg, _kw(c2=a[0], stride=_a(a, 1, 2))),
+    "TopBasicLayer": lambda a, n, w, d, mx, ctx: (
+        _gold().TopBasicLayer, _kw(ouc=tuple(a[1]), block_num=_a(a, 2, 2))),
+    "AdvPoolFusion": lambda a, n, w, d, mx, ctx: (_gold().AdvPoolFusion, _kw()),
+    # integration necks (BiFPN.py / Slimneck.py / damoyolo.py / ppyolo.py).
+    # ppyoloe-family args carry explicit c1 and are NOT width-scaled
+    # (reference tasks.py:2976 `c2 = args[1]`)
+    "Bi_FPN": lambda a, n, w, d, mx, ctx: (_necks().Bi_FPN, _kw(length=_a(a, 0, 2))),
+    "Concat_BiFPN": lambda a, n, w, d, mx, ctx: (_necks().Concat_BiFPN, _kw()),
+    "GSConv": lambda a, n, w, d, mx, ctx: (
+        _necks().GSConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1), s=_a(a, 2, 1))),
+    "GSBottleneck": lambda a, n, w, d, mx, ctx: (
+        _necks().GSBottleneck, _kw(c2=_sc(a[0], w, mx))),
+    "VoVGSCSP": lambda a, n, w, d, mx, ctx: (
+        _necks().VoVGSCSP, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "VoVGSCSPC": lambda a, n, w, d, mx, ctx: (  # cheap variant: single bottleneck
+        _necks().VoVGSCSP, _kw(c2=_sc(a[0], w, mx), n=1)),
+    "CSPStage": lambda a, n, w, d, mx, ctx: (
+        _necks().CSPStage, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "CSPResNet_CBS": lambda a, n, w, d, mx, ctx: (
+        _necks().CSPResNet_CBS, _kw(c2=a[1])),
+    "CSPResNet": lambda a, n, w, d, mx, ctx: (
+        _necks().CSPResNet, _kw(c2=a[1], n=a[2], conv_down=_a(a, 3, 2),
+                                infor=_a(a, 4, "backbone"))),
+    "ConvBNLayer": lambda a, n, w, d, mx, ctx: (
+        _necks().ConvBNLayer, _kw(c2=a[1], k=_a(a, 2, 3), s=_a(a, 3, 1), p=_a(a, 4, None))),
+    "ResSPP": lambda a, n, w, d, mx, ctx: (
+        _necks().ResSPP, _kw(c2=a[1], n=_a(a, 2, 3))),
+    "conv_bn_hswish": lambda a, n, w, d, mx, ctx: (
+        _necks().conv_bn_hswish, _kw(c2=_sc(a[0], w, mx), s=_a(a, 1, 2))),
+    "MobileNetV3_InvertedResidual": lambda a, n, w, d, mx, ctx: (
+        _necks().MobileNetV3_InvertedResidual,
+        _kw(c2=_sc(a[0], w, mx), hidden=a[1], k=_a(a, 2, 3), s=_a(a, 3, 1),
+            use_se=bool(_a(a, 4, 0)), use_hs=bool(_a(a, 5, 0)))),
     "RepConv": lambda a, n, w, d, mx, ctx: (
         __import__("ultralytics_pro_tpu.nn.modules.conv", fromlist=["RepConv"]).RepConv,
         _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
@@ -332,13 +405,15 @@ BUILDERS: Dict[str, Callable] = {
 # tasks.py:2862-2870: C3k2 family, A2C2f, C2fCIB).
 HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect", "WorldDetect",
               "IDetect", "ISegment", "IOBB", "IPose",
-              "DDetect", "DSegment", "DOBB", "DPose")
+              "DDetect", "DSegment", "DOBB", "DPose",
+              "YOLOEDetect", "YOLOESegment")
 
 # Modules whose repeats column is consumed internally (depth-gained n); all
 # others with n>1 get stacked via Repeat (reference repeat_modules frozenset).
 REPEAT_MODULES = {
     "C1", "C2", "C2f", "C3", "C3k", "C3k2", "C3Ghost", "C2PSA", "C2fCIB",
     "BottleneckCSP", "HGBlock", "ResNetLayer", "BoT3", "C2f_DCN", "C3_DCN", "C2f_DLKA", "RepC3",
+    "RepBlock", "VoVGSCSP", "CSPStage",
 }
 
 
@@ -457,7 +532,7 @@ class YOLOModule(nn.Module):
 
     def _forward(self, x, train, txt_feats, dn):
         from ultralytics_pro_tpu.nn.modules.world import C2fAttn, ImagePoolingAttn
-        from ultralytics_pro_tpu.nn.modules.head import RTDETRDecoder, WorldDetect
+        from ultralytics_pro_tpu.nn.modules.head import RTDETRDecoder, WorldDetect, YOLOEDetect
 
         y = {}
         out = x
@@ -480,6 +555,9 @@ class YOLOModule(nn.Module):
             if isinstance(layer, ImagePoolingAttn):
                 txt = layer(inp, txt, train=train)
                 out = txt
+            elif isinstance(layer, YOLOEDetect):
+                # prompts: array = text embeddings, or dict {tpe, vp, vpe}
+                out = layer(inp, txt, train=train)
             elif isinstance(layer, (C2fAttn, WorldDetect)):
                 out = layer(inp, txt, train=train)
             elif isinstance(layer, RTDETRDecoder):
@@ -509,11 +587,17 @@ def yaml_model_load(path) -> dict:
 
 
 def split_scale(stem: str):
-    """'yolov8n-seg' -> ('yolov8-seg', 'n'); 'yolo11x' -> ('yolo11', 'x')."""
+    """'yolov8n-seg' -> ('yolov8-seg', 'n'); 'yolo11x' -> ('yolo11', 'x');
+    'yoloe-v8s-seg' -> ('yoloe-v8-seg', 's'). The scale char rides whichever
+    dash-token ends digit+scale-letter (reference yaml_model_load strips the
+    scale with a regex over the whole stem, tasks.py:3147)."""
     parts = stem.split("-")
-    head = parts[0]
-    if head and head[-1] in "nslmx" and len(head) > 1 and head[-2].isdigit():
-        return "-".join([head[:-1], *parts[1:]]), head[-1]
+    for i, tok in enumerate(parts):
+        if tok and tok[-1] in "nslmx" and len(tok) > 1 and tok[-2].isdigit():
+            return "-".join([*parts[:i], tok[:-1], *parts[i + 1:]]), tok[-1]
+    # standalone scale token: 'GOLDYOLO-n' -> ('GOLDYOLO', 'n')
+    if len(parts) > 1 and parts[-1] in set("nslmxt"):
+        return "-".join(parts[:-1]), parts[-1]
     return stem, None
 
 
@@ -672,6 +756,81 @@ class WorldModel(DetectionModel):
             rng, x, txt_feats=self.txt_feats
         )
         return self.variables
+
+
+class YOLOEModel(DetectionModel):
+    """Prompt-conditioned open-vocabulary detection (reference tasks.py:1874
+    YOLOEModel): classes arrive as text prompts (set_classes -> adapter +
+    contrastive match) and/or visual prompts (binary masks -> SAVPE)."""
+
+    task = "detect"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.prompts = None  # {"tpe": (1,T,E)} and/or {"vp": (B,Q,h3,w3)}
+
+    def set_classes(self, names):
+        """Text prompts define the vocabulary (reference set_classes/get_text_pe
+        tasks.py:1907)."""
+        from ultralytics_pro_tpu.nn.modules.world import encode_text
+
+        e = encode_text(list(names))
+        self.prompts = {"tpe": jnp.asarray(e)[None]}
+        self.names = dict(enumerate(names))
+        self.nc = len(names)
+
+    def set_prompts(self, prompts: dict):
+        """Raw prompt dict: tpe (1,T,E) text embeddings, vp (B,Q,h3,w3) binary
+        visual-prompt masks, vpe (B,Q,E) precomputed visual embeddings."""
+        self.prompts = dict(prompts)
+        q = sum(int(v.shape[1]) for k, v in self.prompts.items() if k in ("tpe", "vp", "vpe"))
+        if q:
+            self.nc = q
+
+    def _batched_prompts(self, b: int):
+        if self.prompts is None:
+            return None
+        out = {}
+        for k, v in self.prompts.items():
+            v = jnp.asarray(v)
+            if v.shape[0] != b:
+                v = jnp.broadcast_to(v, (b, *v.shape[1:]))
+            out[k] = v
+        return out
+
+    def apply(self, variables, x, train: bool = False, mutable=False, txt_feats=None):
+        prompts = txt_feats if txt_feats is not None else self._batched_prompts(x.shape[0])
+        return self.module.apply(variables, x, train=train, mutable=mutable, txt_feats=prompts)
+
+    def init_params(self, rng=None, imgsz: int = 640):
+        from functools import partial
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
+        if self.prompts is None:
+            self.set_classes([f"class{i}" for i in range(self.nc)])
+        self.variables = jax.jit(partial(self.module.init, train=True))(
+            rng, x, txt_feats=self._batched_prompts(1)
+        )
+        return self.variables
+
+
+class YOLOESegModel(YOLOEModel):
+    task = "segment"
+
+
+def model_class_for(cfg_dict, task: str):
+    """Pick the task-model class, upgraded to World/YOLOE when the head asks
+    for it (reference YOLO facade switches class by model type,
+    models/yolo/model.py:70)."""
+    names = {row[2] for row in cfg_dict.get("head", [])}
+    if "YOLOESegment" in names:
+        return YOLOESegModel
+    if "YOLOEDetect" in names:
+        return YOLOEModel
+    if "WorldDetect" in names:
+        return WorldModel
+    return TASK2MODEL[task]
 
 
 def guess_model_task(cfg) -> str:

@@ -448,3 +448,41 @@ class E2EDetectLoss:
         t2, p2 = self.one2one({"feats": preds["one2one"]}, batch, imgsz_hw)
         parts = {f"o2m_{k}": v for k, v in p1.items()} | {f"o2o_{k}": v for k, v in p2.items()}
         return t1 + t2, parts
+
+
+class TVPDetectLoss:
+    """Text-Visual Prompt detect criterion (reference loss.py:1018
+    TVPDetectLoss): during visual-prompt training the YOLOE head emits
+    channels [4*reg_max | nc_text | vnc]; only the visual-prompt class slice
+    trains (the text vocabulary stays frozen), via a v8DetectionLoss built at
+    nc=vnc. Static-shape version: nc_text/vnc are fixed per trainer config
+    instead of sniffed from the tensor."""
+
+    def __init__(self, nc_text: int, vnc: int, reg_max: int, strides, hyp=None):
+        self.reg4 = reg_max * 4
+        self.nc_text = nc_text
+        self.inner = v8DetectionLoss(nc=vnc, reg_max=reg_max, strides=strides, hyp=hyp)
+
+    def _vp_feats(self, feats):
+        return [
+            jnp.concatenate([f[..., : self.reg4], f[..., self.reg4 + self.nc_text:]], axis=-1)
+            for f in feats
+        ]
+
+    def __call__(self, preds, batch, imgsz_hw):
+        return self.inner({"feats": self._vp_feats(preds["feats"])}, batch, imgsz_hw)
+
+
+class TVPSegmentLoss(TVPDetectLoss):
+    """Text-Visual Prompt segment criterion (reference loss.py:1057)."""
+
+    def __init__(self, nc_text: int, vnc: int, reg_max: int, strides, hyp=None,
+                 overlap_mask: bool = True):
+        super().__init__(nc_text, vnc, reg_max, strides, hyp)
+        self.inner = v8SegmentationLoss(nc=vnc, reg_max=reg_max, strides=strides,
+                                        hyp=hyp, overlap_mask=overlap_mask)
+
+    def __call__(self, preds, batch, imgsz_hw):
+        vp = {"feats": self._vp_feats(preds["feats"]),
+              "mc": preds["mc"], "protos": preds["protos"]}
+        return self.inner(vp, batch, imgsz_hw)

@@ -9,9 +9,14 @@ from ultralytics_pro_tpu.models.sam.build import (
     build_sam_vit_l,
 )
 from ultralytics_pro_tpu.models.sam.model import SAM
-from ultralytics_pro_tpu.models.sam.predict import SAM2Predictor, SAMPredictor
+from ultralytics_pro_tpu.models.sam.predict import (
+    SAM2Predictor,
+    SAM2VideoPredictor,
+    SAMPredictor,
+)
 
 __all__ = [
     "SAM", "SAMModel", "SAMPredictor", "SAM2Predictor", "build_sam",
     "build_sam_vit_b", "build_sam_vit_l", "build_sam_vit_h", "SAM_BUILDERS",
+    "SAM2VideoPredictor",
 ]

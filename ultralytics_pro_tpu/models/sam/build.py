@@ -86,20 +86,55 @@ def build_sam_vit_h(img_size: int = IMG_SIZE, dtype=jnp.float32) -> SAMModel:
     return SAMModel(1280, 32, 16, (7, 15, 23, 31), img_size=img_size, dtype=dtype)
 
 
+class MobileSAMModel(SAMModel):
+    """SAM with the TinyViT encoder (reference build.py build_mobile_sam +
+    tiny_encoder.py:979)."""
+
+    def setup(self):
+        from ultralytics_pro_tpu.models.sam.sam2 import TinyViT
+
+        self.image_encoder = TinyViT(dtype=self.dtype)
+        g = self.img_size // 16
+        self.prompt_encoder = PromptEncoder(
+            embed_dim=256, image_embedding_size=(g, g),
+            input_image_size=(self.img_size, self.img_size), mask_in_chans=16,
+        )
+        self.mask_decoder = MaskDecoder(transformer_dim=256, num_multimask_outputs=3)
+
+    def embed_image(self, x):
+        return self.image_encoder(x)  # TinyViT normalizes internally
+
+
+def build_mobile_sam(img_size: int = IMG_SIZE, dtype=jnp.float32) -> MobileSAMModel:
+    return MobileSAMModel(img_size=img_size, dtype=dtype)
+
+
+def _build_sam2_named(name):
+    def build(img_size: int = IMG_SIZE, dtype=jnp.float32):
+        from ultralytics_pro_tpu.models.sam.sam2 import build_sam2
+
+        return build_sam2(name, img_size=img_size, dtype=dtype)
+    return build
+
+
 SAM_BUILDERS = {
     "sam_b": build_sam_vit_b,
     "sam_l": build_sam_vit_l,
     "sam_h": build_sam_vit_h,
+    "mobile_sam": build_mobile_sam,
+    "sam2_t": _build_sam2_named("sam2_t"),
+    "sam2_s": _build_sam2_named("sam2_s"),
+    "sam2_b": _build_sam2_named("sam2_b"),
+    "sam2_l": _build_sam2_named("sam2_l"),
+    "sam2.1_t": _build_sam2_named("sam2_t"),
 }
 
 
-def build_sam(name: str = "sam_b", img_size: int = IMG_SIZE, dtype=jnp.float32) -> SAMModel:
+def build_sam(name: str = "sam_b", img_size: int = IMG_SIZE, dtype=jnp.float32):
     """Dispatch on a checkpoint-style name (reference build.py:326)."""
-    stem = name.split("/")[-1].split(".")[0].lower().replace("-", "_")
-    for key, fn in SAM_BUILDERS.items():
+    stem = name.split("/")[-1].split(".pt")[0].lower().replace("-", "_")
+    # longest-prefix match so sam2_* doesn't fall into sam_*
+    for key in sorted(SAM_BUILDERS, key=len, reverse=True):
         if stem.startswith(key):
-            return fn(img_size=img_size, dtype=dtype)
-    raise ValueError(
-        f"unknown SAM variant {name!r}; available: {sorted(SAM_BUILDERS)} "
-        "(sam2/mobile_sam planned)"
-    )
+            return SAM_BUILDERS[key](img_size=img_size, dtype=dtype)
+    raise ValueError(f"unknown SAM variant {name!r}; available: {sorted(SAM_BUILDERS)}")

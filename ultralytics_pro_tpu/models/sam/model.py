@@ -22,10 +22,16 @@ class SAM:
 
     task = "segment"
 
-    def __init__(self, model: str = "sam_b.pt"):
+    def __init__(self, model: str = "sam_b.pt", imgsz: int = 1024):
         name = str(model)
-        self.model = build_sam(name)
-        self.predictor = SAMPredictor(self.model)
+        stem = name.split("/")[-1].lower()
+        self.model = build_sam(name, img_size=imgsz)
+        if stem.startswith("sam2"):
+            from ultralytics_pro_tpu.models.sam.predict import SAM2Predictor
+
+            self.predictor = SAM2Predictor(self.model)
+        else:
+            self.predictor = SAMPredictor(self.model)
         ckpt = Path(name).with_suffix(".ckpt")
         if ckpt.exists():
             from ultralytics_pro_tpu.engine.trainer import load_pickle

@@ -266,8 +266,95 @@ class SAMPredictor:
 
 
 class SAM2Predictor(SAMPredictor):
-    """Placeholder parity point: SAM2's Hiera trunk + memory attention are a
-    planned follow-up (reference predict.py:701); image-prompt API matches."""
+    """SAM2 image inference (reference predict.py:701 SAM2Predictor): same
+    promptable API over the Hiera+FPN encoder. The memory subsystem only
+    engages in the video predictor below."""
+
+    def __init__(self, model=None, variant: str = "sam2_t", args: Optional[dict] = None):
+        from ultralytics_pro_tpu.models.sam.sam2 import build_sam2
+
+        img_size = int((args or {}).get("imgsz", 1024))
+        super().__init__(model=model or build_sam2(variant, img_size=img_size), args=args)
+
+
+class SAM2VideoPredictor(SAM2Predictor):
+    """Streaming video segmentation (reference predict.py:875
+    SAM2VideoPredictor): prompt the first frame, then propagate masks through
+    a FIXED-size memory bank — each subsequent frame is embedded, conditioned
+    on the bank via memory attention, decoded promptless, and its memory
+    pushed FIFO (slot 0 = the prompted conditioning frame, always kept).
+    The whole per-frame step is jitted with static shapes."""
+
+    def __init__(self, model=None, variant: str = "sam2_t", args: Optional[dict] = None):
+        import jax
+
+        super().__init__(model=model, variant=variant, args=args)
+        m = self.model
+        self.num_maskmem = m.num_maskmem
+
+        def decode_mem(v, embed, bank, valid, pts, labs):
+            def fn(mdl):
+                cond = mdl.condition_on_memory(embed, bank, valid)
+                return mdl.decode(cond, pts, labs, None, False)
+            return m.apply(v, method=fn)
+
+        def enc_mem(v, embed, mask_logits):
+            return m.apply(v, embed, mask_logits, method=m.encode_memory)
+
+        self._jit_decode_mem = jax.jit(decode_mem)
+        self._jit_enc_mem = jax.jit(enc_mem)
+
+    def _frame_to_model(self, image: np.ndarray):
+        import cv2
+
+        h, w = image.shape[:2]
+        scale = self.img_size / max(h, w)
+        nh, nw = round(h * scale), round(w * scale)
+        im = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)[..., ::-1]
+        pad = np.zeros((self.img_size, self.img_size, 3), im.dtype)
+        pad[:nh, :nw] = im
+        self._orig_shape = (h, w)
+        self._scale = scale
+        return pad[None]
+
+    def propagate(self, frames, bboxes=None, points=None, labels=None):
+        """frames: iterable of BGR HWC uint8 arrays. Prompts apply to the
+        FIRST frame. Yields (masks (1, H0, W0) bool, score) per frame."""
+        import jax
+        import jax.numpy as jnp
+
+        self.init_params()
+        g = self.img_size // 16
+        n_tok = g * g
+        bank = jnp.zeros((1, self.num_maskmem, n_tok, self.model.mem_dim), jnp.float32)
+        valid = np.zeros((1, self.num_maskmem), bool)
+        next_slot = 1  # slot 0 reserved for the conditioning frame
+
+        for t, frame in enumerate(frames):
+            x = jnp.asarray(self._frame_to_model(frame))
+            embed = self._jit_embed(self.variables, x)
+            if t == 0:
+                pts, labs = self._prepare_prompts(bboxes, points, labels)
+                masks, iou = self._jit_decode(self.variables, embed,
+                                              jnp.asarray(pts), jnp.asarray(labs), False)
+            else:
+                n = 8  # promptless decode: all-pad labels
+                pts = jnp.zeros((1, n, 2), jnp.float32)
+                labs = jnp.full((1, n), -1, jnp.int32)
+                masks, iou = self._jit_decode_mem(self.variables, embed, bank,
+                                                  jnp.asarray(valid), pts, labs)
+            logits = masks[:, 0]  # (1, 4g, 4g)
+            full = jax.image.resize(logits[..., None],
+                                    (1, self.img_size, self.img_size, 1), "bilinear")
+            mem = self._jit_enc_mem(self.variables, embed, full)  # (1, g, g, mem)
+            mem_tok = mem.reshape(1, 1, n_tok, self.model.mem_dim)
+            slot = 0 if t == 0 else next_slot
+            bank = bank.at[:, slot].set(mem_tok[:, 0])
+            valid[:, slot] = True
+            if t > 0:
+                next_slot = 1 + (next_slot % (self.num_maskmem - 1))
+            out = self._masks_to_original(np.asarray(logits))
+            yield out, float(np.asarray(iou)[0, 0])
 
 
 def _imread(path):

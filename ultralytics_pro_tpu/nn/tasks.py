@@ -46,6 +46,10 @@ class LayerSpec:
     kwargs: tuple  # tuple of (key, value) pairs — hashable
     type_name: str
     n: int = 1
+    # whole-backbone modules return `multi` feature maps that occupy y-cache
+    # slots i-multi+1 .. i (reference tasks.py:3112-3141: a backbone pads the
+    # output list to 5 and shifts subsequent layer indices by 4)
+    multi: int = 0
 
     def build(self) -> nn.Module:
         return self.cls(**dict(self.kwargs))
@@ -401,6 +405,26 @@ BUILDERS: Dict[str, Callable] = {
     "Classify": lambda a, n, w, d, mx, ctx: (M.Classify, _kw(c2=a[0])),
 }
 
+
+def _backbone_builder(name):
+    def build(a, n, w, d, mx, ctx):
+        from ultralytics_pro_tpu.nn.modules.backbones import BACKBONE_VARIANTS
+
+        cls, kw = BACKBONE_VARIANTS[name]
+        ctx["multi_output"] = 4  # 4 stage maps -> 5 y-slots (reference :3112)
+        return cls, kw
+    return build
+
+
+def _register_backbones():
+    from ultralytics_pro_tpu.nn.modules.backbones import BACKBONE_VARIANTS
+
+    for _name in BACKBONE_VARIANTS:
+        BUILDERS[_name] = _backbone_builder(_name)
+
+
+_register_backbones()
+
 # Modules that flip Detect heads off the legacy branch layout (reference
 # tasks.py:2862-2870: C3k2 family, A2C2f, C2fCIB).
 HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect", "WorldDetect",
@@ -465,8 +489,11 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
 
     specs: List[LayerSpec] = []
     save: List[int] = []
-    for i, (f, n, m_name, args) in enumerate(layers_yaml):
+    offset = 0  # +4 once a whole-backbone module (5 y-slots) has been parsed
+    for row, (f, n, m_name, args) in enumerate(layers_yaml):
+        i = row + offset
         ctx["i"] = i
+        ctx.pop("multi_output", None)
         n = max(round(n * depth), 1) if n > 1 else n
         # YAML literals: 'None'/'True'/'False' arrive as strings (the reference
         # eval()s them, tasks.py:2437); map them to python values.
@@ -484,6 +511,13 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
                 f"implemented: {sorted(BUILDERS)}"
             )
         cls, kwargs = builder(list(args), n, width, depth, max_channels, ctx)
+        multi = int(ctx.get("multi_output") or 0)
+        if multi:
+            # the module's outputs take slots i..i+multi; its own index is the
+            # last one; later rows shift (reference `i + 4 if backbone`)
+            offset += multi
+            i = row + offset
+            ctx["i"] = i
         if n > 1 and m_name not in REPEAT_MODULES:
             # non-internally-repeating module stacked n times (reference wraps
             # in nn.Sequential, tasks.py:3116)
@@ -494,7 +528,8 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
             f_norm = tuple(x if x == -1 else x % i for x in f)
         else:
             f_norm = f if f == -1 else f % i
-        specs.append(LayerSpec(i=i, f=f_norm, cls=cls, kwargs=kwargs, type_name=m_name, n=n))
+        specs.append(LayerSpec(i=i, f=f_norm, cls=cls, kwargs=kwargs, type_name=m_name,
+                               n=n, multi=multi))
         fs = f if isinstance(f, list) else [f]
         save.extend(x % i for x in fs if x != -1)
         if verbose:
@@ -562,6 +597,15 @@ class YOLOModule(nn.Module):
                 out = layer(inp, txt, train=train)
             elif isinstance(layer, RTDETRDecoder):
                 out = layer(inp, train=train, dn=dn)
+            elif spec.multi:
+                # whole-backbone: outputs occupy slots i-multi+1 .. i
+                outs = layer(inp, train=train)
+                for k, o in enumerate(outs):
+                    slot = spec.i - spec.multi + 1 + k
+                    if slot in self.save:
+                        y[slot] = o
+                out = outs[-1]
+                continue
             else:
                 out = layer(inp, train=train)
             if spec.i in self.save:
@@ -665,11 +709,14 @@ class BaseModel:
         )
         feats = out_shape["feats"] if isinstance(out_shape, dict) else out_shape
         strides = tuple(int(256 / f.shape[1]) for f in feats)
-        # Rebuild the head spec with the correct strides baked in.
+        # Rebuild the head spec with the correct strides baked in. (spec.i may
+        # exceed the list position when a whole-backbone occupies 5 y-slots.)
         kw = dict(head.kwargs)
         kw["strides"] = strides
-        self.specs[head.i] = LayerSpec(i=head.i, f=head.f, cls=head.cls,
-                                       kwargs=tuple(kw.items()), type_name=head.type_name, n=head.n)
+        pos = next(p for p, s in enumerate(self.specs) if s.i == head.i)
+        self.specs[pos] = LayerSpec(i=head.i, f=head.f, cls=head.cls,
+                                    kwargs=tuple(kw.items()), type_name=head.type_name,
+                                    n=head.n, multi=head.multi)
         return strides
 
     def init_params(self, rng=None, imgsz: int = 640):

@@ -45,3 +45,32 @@ def test_unsupported_format_message():
     m = YOLO("yolov8n.yaml")
     with pytest.raises(NotImplementedError, match="stablehlo"):
         m.export(format="onnx")
+
+
+def test_saved_model_and_tflite_roundtrip(tmp_path):
+    """jax2tf edge path (VERDICT #9): saved_model + tflite agree with the live
+    model — a benchmark()-style agreement across 4 export formats total."""
+    tf = pytest.importorskip("tensorflow")
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu import YOLO
+    from ultralytics_pro_tpu.engine.exporter import AutoBackend
+
+    m = YOLO("yolov8n.yaml")
+    m.model.init_params(imgsz=64)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    x = jnp.asarray(img)
+    y_live, _ = m.model.apply(m.model.variables,
+                              x[..., ::-1].astype(jnp.float32) / 255.0, train=False)
+    y_live = np.asarray(y_live)
+
+    sm = m.export(format="saved_model", imgsz=64, batch=1, name=str(tmp_path / "m"))
+    assert sm.endswith("_saved_model")
+    y_sm = AutoBackend(sm)(img)
+    np.testing.assert_allclose(y_sm, y_live, atol=2e-3, rtol=1e-3)
+
+    tfl = m.export(format="tflite", imgsz=64, batch=1, name=str(tmp_path / "m"))
+    assert tfl.endswith(".tflite")
+    y_tfl = AutoBackend(tfl)(img)
+    np.testing.assert_allclose(y_tfl, y_live, atol=5e-3, rtol=5e-3)

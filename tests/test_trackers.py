@@ -55,3 +55,39 @@ def test_bytetrack_lost_and_recover():
                 first_id = int(out[0, 4])
     assert len(out) == 1
     assert int(out[0, 4]) == first_id
+
+
+def test_botsort_reid_appearance_branch(tmp_path):
+    """BOTSORT with_reid: embeddings from the detector's own neck features
+    (Model.embed) fuse into association costs (reference bot_sort.py:248)."""
+    import numpy as np
+
+    from ultralytics_pro_tpu.trackers.track import make_tracker
+
+    tracker = make_tracker("botsort.yaml", args={"with_reid": True, "model": "yolov8n.yaml"})
+    assert tracker.with_reid and tracker.encoder is not None
+    img = np.full((160, 160, 3), 50, np.uint8)
+    img[40:80, 40:80] = (200, 60, 60)
+    scores = np.array([0.9])
+    cls = np.array([0.0])
+    ids = []
+    for t in range(6):
+        dets = np.array([[40.0 + 2 * t, 40.0, 80.0 + 2 * t, 80.0]], np.float32)
+        out = tracker.update(dets, scores, cls, img=img)
+        if len(out):
+            ids.append(int(out[0, 4]))
+    # the appearance branch must not break association: one stable track id
+    assert len(ids) >= 4 and len(set(ids)) == 1
+
+
+def test_model_embed_shape():
+    import numpy as np
+
+    from ultralytics_pro_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    rng = np.random.default_rng(0)
+    e = m.embed([rng.integers(0, 255, (80, 64, 3)).astype(np.uint8),
+                 rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)], imgsz=64)
+    assert e.shape[0] == 2 and e.ndim == 2 and e.shape[1] > 64
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-5)

@@ -157,12 +157,58 @@ class YOLODataset:
             files = files[: max(1, round(len(files) * fraction))]
         return files
 
+    CACHE_VERSION = "1.0"
+
+    @staticmethod
+    def _label_hash(paths: List[str]) -> str:
+        """Size+mtime hash over the label files (reference get_hash,
+        data/utils.py: cache invalidates when any label changes)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for p in paths:
+            try:
+                st = os.stat(p)
+                h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                h.update(f"{p}:missing".encode())
+        return h.hexdigest()
+
     def get_labels(self) -> List[Dict]:
+        """Parsed labels with a persistent `.cache` next to the labels dir
+        (reference cache_labels dataset.py:90: pickle + hash invalidation)."""
+        import pickle
+
+        label_files = img2label_paths(self.im_files)
+        cache_path = None
+        if label_files:
+            cache_path = Path(label_files[0]).parent.with_suffix(".cache")
+        h = self._label_hash(label_files) if label_files else ""
+        if cache_path is not None and cache_path.exists():
+            try:
+                with open(cache_path, "rb") as f:
+                    cache = pickle.load(f)
+                if (cache.get("version") == self.CACHE_VERSION
+                        and cache.get("hash") == h
+                        and cache.get("task") == self.task):
+                    return self._apply_single_cls(cache["labels"])
+            except Exception:
+                pass  # unreadable/stale cache -> re-parse
+        labels = self._parse_labels(label_files)
+        if cache_path is not None:
+            try:
+                with open(cache_path, "wb") as f:
+                    pickle.dump({"version": self.CACHE_VERSION, "hash": h,
+                                 "task": self.task, "labels": labels}, f)
+            except OSError:
+                pass  # read-only dataset dir: cache is best-effort
+        return self._apply_single_cls(labels)
+
+    def _parse_labels(self, label_files: List[str]) -> List[Dict]:
         """Parse YOLO-format txt labels by task (reference data/utils.py
         verify_image_label):
         detect: cls cx cy w h | segment: cls x1 y1 ... (polygon) |
         pose: cls cx cy w h kpts... | obb: cls x1 y1 x2 y2 x3 y3 x4 y4."""
-        label_files = img2label_paths(self.im_files)
         kpt_shape = tuple(self.data.get("kpt_shape", (17, 3)))
         labels = []
         for im_file, lb_file in zip(self.im_files, label_files):
@@ -210,9 +256,14 @@ class YOLODataset:
                 lb = np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
                 entry["cls"] = lb[:, 0]
                 entry["bboxes_n"] = lb[:, 1:5]
-            if self.single_cls and len(entry["cls"]):
-                entry["cls"][:] = 0
             labels.append(entry)
+        return labels
+
+    def _apply_single_cls(self, labels: List[Dict]) -> List[Dict]:
+        if self.single_cls:
+            for entry in labels:
+                if len(entry["cls"]):
+                    entry["cls"][:] = 0
         return labels
 
     @staticmethod

@@ -28,6 +28,7 @@ def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
         d = dict(data)
         root = Path(d.get("path") or ".")
 
+    root = root.expanduser()
     if not root.is_absolute():
         root = (Path(d.get("yaml_file", ".")).parent / root).resolve()
     d["path"] = root
@@ -35,6 +36,18 @@ def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
         if d.get(split):
             sp = Path(d[split])
             d[split] = str(sp if sp.is_absolute() else root / sp)
+
+    # zero-egress stand-in for the reference's dataset download hooks: bundled
+    # tiny-dataset YAMLs carry `synth: <task>` and generate deterministically
+    # at first use (data/synth.py)
+    if d.get("synth") and d.get("train") and not Path(d["train"]).exists():
+        from ultralytics_pro_tpu.data.synth import make_synth_dataset
+        from ultralytics_pro_tpu.utils import LOGGER
+
+        task = d["synth"] if isinstance(d["synth"], str) else "detect"
+        LOGGER.info(f"generating synthetic dataset at {root} (task={task})")
+        make_synth_dataset(root, n_images=8, imgsz=160,
+                           nc=len(d.get("names") or [3]) or 3, task=task)
 
     names = d.get("names")
     if isinstance(names, list):

@@ -28,10 +28,12 @@ from ultralytics_pro_tpu.utils import LOGGER, colorstr
 EXPORT_FORMATS = {
     "stablehlo": ".stablehlo",
     "ckpt": ".ckpt",
+    "saved_model": "_saved_model",  # jax2tf -> TF SavedModel (edge path)
+    "tflite": ".tflite",            # jax2tf -> TFLite flatbuffer
 }
 UNSUPPORTED = {
-    "onnx", "torchscript", "openvino", "engine", "coreml", "saved_model", "pb",
-    "tflite", "edgetpu", "tfjs", "paddle", "mnn", "ncnn", "imx", "rknn", "executorch",
+    "onnx", "torchscript", "openvino", "engine", "coreml", "pb",
+    "edgetpu", "tfjs", "paddle", "mnn", "ncnn", "imx", "rknn", "executorch",
 }
 
 
@@ -91,6 +93,74 @@ class Exporter:
         Path(f"{name}.stablehlo.json").write_text(json.dumps(meta, indent=2))
         return out
 
+    def _infer_fn(self, imgsz: int):
+        """The exported inference graph: on-device preprocess -> forward ->
+        decode (same surface as stablehlo; NMS stays outside for edge parity
+        with the reference's TF exports, exporter.py:1417 adds it optionally)."""
+        import jax.numpy as jnp
+
+        model = self.model
+        if model.variables is None:
+            model.init_params(imgsz=imgsz)
+        variables = model.variables
+
+        def infer(img_u8):
+            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            y, _ = model.module.apply(variables, x, train=False)
+            return y
+
+        return infer
+
+    def _metadata(self, imgsz: int, batch: int, fmt: str) -> Dict:
+        return {
+            "imgsz": imgsz, "batch": batch, "nc": self.model.nc,
+            "names": self.model.names, "stride": list(map(int, self.model.stride)),
+            "task": self.model.task, "format": fmt,
+            "output": "(B, A, 4+nc[+extra]) decoded predictions, boxes xywh pixels",
+        }
+
+    def _tf_module(self, imgsz: int, batch: int):
+        """jax2tf conversion shared by saved_model/tflite (reference
+        exporter.py export_saved_model:790 via the torch->TF chain; here the
+        jitted jax graph converts directly)."""
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        infer = self._infer_fn(imgsz)
+        tf_fn = jax2tf.convert(infer, with_gradient=False)
+        module = tf.Module()
+        module.f = tf.function(
+            tf_fn, autograph=False,
+            input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3), tf.uint8)],
+        )
+        return tf, module
+
+    def export_saved_model(self, imgsz: int, batch: int, name: Path):
+        tf, module = self._tf_module(imgsz, batch)
+        out = Path(f"{name}_saved_model")
+        tf.saved_model.save(module, str(out))
+        (out / "metadata.json").write_text(
+            json.dumps(self._metadata(imgsz, batch, "saved_model"), indent=2))
+        return out
+
+    def export_tflite(self, imgsz: int, batch: int, name: Path):
+        tf, module = self._tf_module(imgsz, batch)
+        conc = module.f.get_concrete_function()
+        converter = tf.lite.TFLiteConverter.from_concrete_functions([conc], module)
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS,
+        ]
+        if self.args.get("half"):
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.target_spec.supported_types = [tf.float16]
+        blob = converter.convert()
+        out = Path(f"{name}.tflite")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_bytes(blob)
+        Path(f"{name}.tflite.json").write_text(
+            json.dumps(self._metadata(imgsz, batch, "tflite"), indent=2))
+        return out
+
     def export_ckpt(self, imgsz: int, batch: int, name: Path):
         from ultralytics_pro_tpu.engine.trainer import save_pickle
 
@@ -131,12 +201,37 @@ class AutoBackend:
             self.model = Model(p, task=task)
             self.names = self.model.names
             self.format = "ckpt"
+        elif p.endswith("_saved_model") or (Path(p).is_dir() and (Path(p) / "saved_model.pb").exists()):
+            import tensorflow as tf
+
+            self.tf_model = tf.saved_model.load(p)
+            meta_path = Path(p) / "metadata.json"
+            self.metadata = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+            self.names = {int(k): v for k, v in (self.metadata.get("names") or {}).items()}
+            self.format = "saved_model"
+        elif p.endswith(".tflite"):
+            import tensorflow as tf
+
+            self.interpreter = tf.lite.Interpreter(model_path=p)
+            self.interpreter.allocate_tensors()
+            meta_path = Path(p + ".json")
+            self.metadata = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+            self.names = {int(k): v for k, v in (self.metadata.get("names") or {}).items()}
+            self.format = "tflite"
         else:
             raise ValueError(f"cannot infer backend for '{weights}'")
 
     def __call__(self, img_u8: np.ndarray):
         if self.format == "stablehlo":
             return np.asarray(self.exported.call(img_u8))
+        if self.format == "saved_model":
+            return np.asarray(self.tf_model.f(img_u8))
+        if self.format == "tflite":
+            inp = self.interpreter.get_input_details()[0]
+            out = self.interpreter.get_output_details()[0]
+            self.interpreter.set_tensor(inp["index"], np.asarray(img_u8, np.uint8))
+            self.interpreter.invoke()
+            return self.interpreter.get_tensor(out["index"])
         y, _ = self.model.model(np.asarray(img_u8), train=False)
         return np.asarray(y)
 

@@ -33,6 +33,7 @@ class Model:
         self.predictor = None
         self.trainer = None
         self.ckpt = None
+        self._embed_fn = None
         model_str = str(model)
         if model_str.endswith(".ckpt") or model_str.endswith(".pkl"):
             self._load(model_str, task)
@@ -87,6 +88,30 @@ class Model:
 
     def __call__(self, source=None, stream: bool = False, **kwargs):
         return self.predict(source, stream, **kwargs)
+
+    def embed(self, source=None, imgsz: int = 224, **kwargs):
+        """Pooled, L2-normalized feature vectors from the last neck maps
+        (reference Model.embed engine/model.py:452). source: image array,
+        list of arrays, or path(s). Returns (N, D) numpy."""
+        import cv2
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        if self.model.variables is None:
+            self.model.init_params(imgsz=imgsz)
+        if self._embed_fn is None:
+            self._embed_fn = jax.jit(
+                lambda v, x: self.model.module.apply(v, x, train=False, embed=True))
+        imgs = source if isinstance(source, (list, tuple)) else [source]
+        batch = []
+        for im in imgs:
+            if not isinstance(im, np.ndarray):
+                im = cv2.imread(str(im))
+            im = cv2.resize(im, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+            batch.append(im)
+        x = jnp.asarray(np.stack(batch))[..., ::-1].astype(jnp.float32) / 255.0
+        return np.asarray(self._embed_fn(self.model.variables, x))
 
     def val(self, data=None, **kwargs):
         from ultralytics_pro_tpu.data.build import DataLoader, collate_classify

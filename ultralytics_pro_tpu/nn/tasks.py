@@ -153,6 +153,12 @@ def _necks():
     return necks
 
 
+def _mamba():
+    from ultralytics_pro_tpu.nn.modules import mamba
+
+    return mamba
+
+
 def _build_world_detect(args, n, w, d, mx, ctx):
     from ultralytics_pro_tpu.nn.modules.head import WorldDetect
 
@@ -365,6 +371,16 @@ BUILDERS: Dict[str, Callable] = {
         _necks().ConvBNLayer, _kw(c2=a[1], k=_a(a, 2, 3), s=_a(a, 3, 1), p=_a(a, 4, None))),
     "ResSPP": lambda a, n, w, d, mx, ctx: (
         _necks().ResSPP, _kw(c2=a[1], n=_a(a, 2, 3))),
+    # mamba-yolo family (reference mamba_yolo.py; selective scan ->
+    # jax.lax.associative_scan, SURVEY.md §2.9)
+    "VSSBlock": lambda a, n, w, d, mx, ctx: (
+        _mamba().VSSBlock, _kw(c2=_sc(a[0], w, mx) if a else 0)),
+    "XSSBlock": lambda a, n, w, d, mx, ctx: (
+        _mamba().XSSBlock, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "SimpleStem": lambda a, n, w, d, mx, ctx: (
+        _mamba().SimpleStem, _kw(c2=_sc(a[0], w, mx))),
+    "VisionClueMerge": lambda a, n, w, d, mx, ctx: (
+        _mamba().VisionClueMerge, _kw(c2=_sc(a[0], w, mx))),
     "conv_bn_hswish": lambda a, n, w, d, mx, ctx: (
         _necks().conv_bn_hswish, _kw(c2=_sc(a[0], w, mx), s=_a(a, 1, 2))),
     "MobileNetV3_InvertedResidual": lambda a, n, w, d, mx, ctx: (
@@ -437,7 +453,7 @@ HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect", "WorldDetect",
 REPEAT_MODULES = {
     "C1", "C2", "C2f", "C3", "C3k", "C3k2", "C3Ghost", "C2PSA", "C2fCIB",
     "BottleneckCSP", "HGBlock", "ResNetLayer", "BoT3", "C2f_DCN", "C3_DCN", "C2f_DLKA", "RepC3",
-    "RepBlock", "VoVGSCSP", "CSPStage",
+    "RepBlock", "VoVGSCSP", "CSPStage", "XSSBlock",
 }
 
 
@@ -550,7 +566,7 @@ class YOLOModule(nn.Module):
     def setup(self):
         self.layers = [s.build() for s in self.specs]
 
-    def __call__(self, x, train: bool = False, txt_feats=None, dn=None):
+    def __call__(self, x, train: bool = False, txt_feats=None, dn=None, embed: bool = False):
         from ultralytics_pro_tpu.nn.modules.world import C2fAttn, ImagePoolingAttn
         from ultralytics_pro_tpu.nn.modules.head import RTDETRDecoder, WorldDetect
         from ultralytics_pro_tpu.nn.modules.conv import DEFAULT_ACT, resolve_act
@@ -561,11 +577,11 @@ class YOLOModule(nn.Module):
         prev_act = DEFAULT_ACT[0]
         DEFAULT_ACT[0] = resolve_act(self.act_name) if self.act_name else None
         try:
-            return self._forward(x, train, txt_feats, dn)
+            return self._forward(x, train, txt_feats, dn, embed)
         finally:
             DEFAULT_ACT[0] = prev_act
 
-    def _forward(self, x, train, txt_feats, dn):
+    def _forward(self, x, train, txt_feats, dn, embed: bool = False):
         from ultralytics_pro_tpu.nn.modules.world import C2fAttn, ImagePoolingAttn
         from ultralytics_pro_tpu.nn.modules.head import RTDETRDecoder, WorldDetect, YOLOEDetect
 
@@ -586,6 +602,13 @@ class YOLOModule(nn.Module):
                 inp = y[f]
             else:
                 inp = out
+            if embed and spec is self.specs[-1] and isinstance(f, tuple):
+                # embed mode (reference Model.embed model.py:452 / tasks.py
+                # embeddings at :1081): globally pool the HEAD INPUT features
+                # (the last neck maps) into one normalized vector per image
+                feats = inp if isinstance(inp, list) else [inp]
+                pooled = jnp.concatenate([fm.mean(axis=(1, 2)) for fm in feats], -1)
+                return pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-12)
             # text-guided layers consume/update the text embedding stream
             if isinstance(layer, ImagePoolingAttn):
                 txt = layer(inp, txt, train=train)

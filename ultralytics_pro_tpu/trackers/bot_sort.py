@@ -199,3 +199,30 @@ class BOTSORT(BYTETracker):
             BOTrack.multi_gmc(self.tracked_stracks, H)
             BOTrack.multi_gmc(self.lost_stracks, H)
         return super().update(boxes_xyxy, scores, classes, img)
+
+
+class ReID:
+    """YOLO model as appearance encoder for re-identification (reference
+    bot_sort.py:248 ReID: embeds per-detection crops through the detector's
+    own neck features via Model.embed)."""
+
+    def __init__(self, model="yolov8n.yaml", imgsz: int = 128):
+        from ultralytics_pro_tpu.engine.model import YOLO
+
+        self.model = model if not isinstance(model, str) else YOLO(model)
+        self.imgsz = imgsz
+
+    def __call__(self, img: np.ndarray, dets: np.ndarray):
+        """img: BGR HWC frame; dets: (N, 4+) xywh. Returns list of (D,)."""
+        h, w = img.shape[:2]
+        crops = []
+        for d in np.atleast_2d(np.asarray(dets, np.float32)):
+            cx, cy, bw, bh = d[:4]
+            x1 = int(max(cx - bw / 2, 0))
+            y1 = int(max(cy - bh / 2, 0))
+            x2 = int(min(cx + bw / 2, w - 1) + 1)
+            y2 = int(min(cy + bh / 2, h - 1) + 1)
+            crop = img[y1:max(y2, y1 + 1), x1:max(x2, x1 + 1)]
+            crops.append(crop)
+        feats = self.model.embed(crops, imgsz=self.imgsz)
+        return [f for f in feats]

@@ -12,11 +12,20 @@ from ultralytics_pro_tpu.trackers.byte_tracker import BYTETracker
 TRACKER_MAP = {"bytetrack": BYTETracker, "botsort": BOTSORT}
 
 
-def make_tracker(tracker_cfg="botsort.yaml", frame_rate=30):
+def make_tracker(tracker_cfg="botsort.yaml", frame_rate=30, args=None):
+    """args may carry with_reid/model to enable the BOTSORT appearance branch
+    (reference trackers/track.py on_predict_start builds ReID from cfg)."""
     name = str(tracker_cfg).replace(".yaml", "").rsplit("/", 1)[-1]
     if name not in TRACKER_MAP:
         raise ValueError(f"unknown tracker '{tracker_cfg}'; choose from {list(TRACKER_MAP)}")
-    return TRACKER_MAP[name]({}, frame_rate=frame_rate)
+    args = dict(args or {})
+    encoder = None
+    if name == "botsort" and args.get("with_reid"):
+        from ultralytics_pro_tpu.trackers.bot_sort import ReID
+
+        encoder = ReID(args.get("model") or "yolov8n.yaml")
+        return TRACKER_MAP[name](args, frame_rate=frame_rate, encoder=encoder)
+    return TRACKER_MAP[name](args, frame_rate=frame_rate)
 
 
 def register_tracker(model, results, persist: bool = False, tracker_cfg="botsort.yaml"):

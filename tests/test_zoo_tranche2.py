@@ -68,3 +68,19 @@ def test_cspstage_dense_aggregation():
     v = m.init(jax.random.PRNGKey(0), x, train=False)
     y = m.apply(v, x, train=False)
     assert y.shape == (1, 8, 8, 64)
+
+
+def test_yolov13_hyperace_forward():
+    """v13: HyperACE hypergraph enhancement + FullPAD gated distribution
+    (reference block.py:7356,7445; cfg/models/v13/Detect/yolov13.yaml)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel("yolov13n.yaml")
+    v = m.init_params(imgsz=64)
+    y, aux = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, jnp.zeros((1, 64, 64, 3)))
+    assert y.shape[-1] == 84
+    assert m.stride == (8, 16, 32)
+    assert np.isfinite(np.asarray(y)).all()

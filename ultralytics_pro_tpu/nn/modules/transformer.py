@@ -92,7 +92,7 @@ class AIFI(TransformerEncoderLayer):
         return y.reshape(b, h, w, c)
 
 
-def multi_scale_bilinear_sample(values, shapes, locs, attn):
+def multi_scale_bilinear_sample(values, shapes, locs, attn, use_pallas=None):
     """Multiscale deformable attention core (reference modules/utils.py:103).
 
     Args:
@@ -102,7 +102,37 @@ def multi_scale_bilinear_sample(values, shapes, locs, attn):
         attn: (B, Q, nh, L, P) softmax weights.
 
     Returns (B, Q, nh*hd).
+
+    Two backends over the same flattened corner/weight math
+    (kernels/msda_pallas.py): the Pallas one-hot-matmul kernel (MXU,
+    value table VMEM-resident) on TPU, XLA take_along_axis elsewhere.
     """
+    import jax as _jax
+
+    from ultralytics_pro_tpu.kernels.msda_pallas import (
+        msda_flatten_coords,
+        msda_gather_xla,
+        msda_sample_pallas,
+    )
+
+    b, q, nh, l, p, _ = locs.shape
+    if use_pallas is None:
+        import os
+
+        use_pallas = (_jax.default_backend() == "tpu"
+                      and os.environ.get("MSDA_PALLAS", "1") != "0")
+    idx, w = msda_flatten_coords(shapes, locs, attn.astype(jnp.float32))
+    val = jnp.concatenate(values, axis=1).transpose(0, 2, 1, 3)  # (B, nh, V, hd)
+    if use_pallas:
+        out = msda_sample_pallas(val, idx, w)
+    else:
+        out = msda_gather_xla(val, idx, w)
+    return out.transpose(0, 2, 1, 3).reshape(b, q, nh * out.shape[-1]).astype(locs.dtype)
+
+
+def _multi_scale_bilinear_sample_reference(values, shapes, locs, attn):
+    """Original per-level gather formulation, kept as the agreement-test
+    reference for the kernel paths."""
     b, q, nh, l, p, _ = locs.shape
     out = 0
     for lvl, ((hl, wl), val) in enumerate(zip(shapes, values)):

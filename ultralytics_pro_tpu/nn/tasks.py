@@ -159,6 +159,12 @@ def _mamba():
     return mamba
 
 
+def _v13():
+    from ultralytics_pro_tpu.nn.modules import v13
+
+    return v13
+
+
 def _build_world_detect(args, n, w, d, mx, ctx):
     from ultralytics_pro_tpu.nn.modules.head import WorldDetect
 
@@ -371,6 +377,26 @@ BUILDERS: Dict[str, Callable] = {
         _necks().ConvBNLayer, _kw(c2=a[1], k=_a(a, 2, 3), s=_a(a, 3, 1), p=_a(a, 4, None))),
     "ResSPP": lambda a, n, w, d, mx, ctx: (
         _necks().ResSPP, _kw(c2=a[1], n=_a(a, 2, 3))),
+    # yolov13 family (reference block.py HyperACE:7356, FullPAD_Tunnel:7445,
+    # DSC3k2:7018)
+    "DSC3k2": lambda a, n, w, d, mx, ctx: (
+        _v13().DSC3k2, _kw(c2=_sc(a[0], w, mx), n=n, dsc3k=bool(_a(a, 1, False)),
+                           e=_a(a, 2, 0.5), shortcut=_a(a, 3, True))),
+    "DSC3k": lambda a, n, w, d, mx, ctx: (
+        _v13().DSC3k, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, True))),
+    "DSBottleneck": lambda a, n, w, d, mx, ctx: (
+        _v13().DSBottleneck, _kw(c2=_sc(a[0], w, mx), shortcut=_a(a, 1, True))),
+    "HyperACE": lambda a, n, w, d, mx, ctx: (
+        _v13().HyperACE, _kw(c2=_sc(a[0], w, mx), n=n, num_hyperedges=_a(a, 1, 8),
+                             dsc3k=bool(_a(a, 2, True)), shortcut=bool(_a(a, 3, False)),
+                             e1=_a(a, 4, 0.5), e2=_a(a, 5, 1.0),
+                             context=_a(a, 6, "both"))),
+    "DownsampleConv": lambda a, n, w, d, mx, ctx: (
+        _v13().DownsampleConv, _kw(channel_adjust=bool(_a(a, 0, True)))),
+    "FullPAD_Tunnel": lambda a, n, w, d, mx, ctx: (_v13().FullPAD_Tunnel, _kw()),
+    "C3AH": lambda a, n, w, d, mx, ctx: (
+        _v13().C3AH, _kw(c2=_sc(a[0], w, mx), e=_a(a, 1, 1.0),
+                         num_hyperedges=_a(a, 2, 8))),
     # mamba-yolo family (reference mamba_yolo.py; selective scan ->
     # jax.lax.associative_scan, SURVEY.md §2.9)
     "VSSBlock": lambda a, n, w, d, mx, ctx: (
@@ -453,7 +479,7 @@ HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect", "WorldDetect",
 REPEAT_MODULES = {
     "C1", "C2", "C2f", "C3", "C3k", "C3k2", "C3Ghost", "C2PSA", "C2fCIB",
     "BottleneckCSP", "HGBlock", "ResNetLayer", "BoT3", "C2f_DCN", "C3_DCN", "C2f_DLKA", "RepC3",
-    "RepBlock", "VoVGSCSP", "CSPStage", "XSSBlock",
+    "RepBlock", "VoVGSCSP", "CSPStage", "XSSBlock", "DSC3k2", "DSC3k", "HyperACE",
 }
 
 

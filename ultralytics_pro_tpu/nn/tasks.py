@@ -458,6 +458,117 @@ def _backbone_builder(name):
     return build
 
 
+def _rep():
+    from ultralytics_pro_tpu.nn.modules import reparam
+
+    return reparam
+
+
+BUILDERS.update({
+    # structural re-parameterization family (nn/modules/reparam.py)
+    "QARepVGGBlock": lambda a, n, w, d, mx, ctx: (
+        _rep().QARepVGGBlockV2, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "QARepVGGBlockV2": lambda a, n, w, d, mx, ctx: (
+        _rep().QARepVGGBlockV2, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "DiverseBranchBlock": lambda a, n, w, d, mx, ctx: (
+        _rep().DiverseBranchBlock, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "Bottleneck_DBB": lambda a, n, w, d, mx, ctx: (
+        _rep().Bottleneck_DBB, _kw(c2=_sc(a[0], w, mx), shortcut=_a(a, 1, True))),
+    "C2f_DBB": lambda a, n, w, d, mx, ctx: (
+        _rep().C2f_DBB, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False))),
+    "C3_DBB": lambda a, n, w, d, mx, ctx: (
+        _rep().C3_DBB, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, True))),
+    "MobileOneBlock": lambda a, n, w, d, mx, ctx: (
+        _rep().MobileOneBlock, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1),
+                                   num_convs=_a(a, 3, 1))),
+    # DW block: channels stay c1; yaml may carry [c1, k] or just [k]
+    "DilatedReparamBlock": lambda a, n, w, d, mx, ctx: (
+        _rep().DilatedReparamBlock, _kw(k=(a[1] if len(a) > 1 else (a[0] if a else 7)))),
+    "UniRepLKNetBlock": lambda a, n, w, d, mx, ctx: (
+        _rep().UniRepLKNetBlock, _kw(k=_a(a, 1, 7))),
+    "C2f_DRB": lambda a, n, w, d, mx, ctx: (
+        _rep().C2f_DRB, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False))),
+    "C3_DRB": lambda a, n, w, d, mx, ctx: (
+        _rep().C3_DRB, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, True))),
+    "C2f_UniRepLKNetBlock": lambda a, n, w, d, mx, ctx: (
+        _rep().C2f_UniRepLKNetBlock, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "OREPA": lambda a, n, w, d, mx, ctx: (
+        _rep().OREPA, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+})
+
+
+def _dx():
+    from ultralytics_pro_tpu.nn.modules import deform_extra
+
+    return deform_extra
+
+
+BUILDERS.update({
+    # deformable family tranche 2 (nn/modules/deform_extra.py)
+    "DCNv3": lambda a, n, w, d, mx, ctx: (
+        _dx().DCNv3, _kw(k=_a(a, 1, 3), s=_a(a, 2, 1), g=_a(a, 3, 4))),
+    "DCNV3_YoLo": lambda a, n, w, d, mx, ctx: (
+        _dx().DCNV3_YoLo, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1),
+                              g=_a(a, 3, 4))),
+    "Bottleneck_DCNV3": lambda a, n, w, d, mx, ctx: (
+        _dx().Bottleneck_DCNV3, _kw(c2=_sc(a[0], w, mx), shortcut=_a(a, 1, True))),
+    "C2f_DCNV3": lambda a, n, w, d, mx, ctx: (
+        _dx().C2f_DCNV3, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False))),
+    "DCNV3RepNCSPELAN4": lambda a, n, w, d, mx, ctx: (
+        _dx().DCNV3RepNCSPELAN4, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
+                                     c4=_sc(a[2], w, mx), n=_a(a, 3, 1))),
+    "DySnakeConv": lambda a, n, w, d, mx, ctx: (
+        _dx().DySnakeConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3))),
+    "C3k_DSConv": lambda a, n, w, d, mx, ctx: (
+        _dx().C3k_DSConv, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, True))),
+    "C3k2_DSConv": lambda a, n, w, d, mx, ctx: (
+        _dx().C3k2_DSConv, _kw(c2=_sc(a[0], w, mx), n=n, c3k=_a(a, 1, False),
+                               shortcut=_a(a, 3, True))),
+    "SAConv2d": lambda a, n, w, d, mx, ctx: (
+        _dx().SAConv2d, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "C2f_SAConv": lambda a, n, w, d, mx, ctx: (
+        _dx().C2f_SAConv, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False))),
+    "C3k2_SAConv": lambda a, n, w, d, mx, ctx: (
+        _dx().C3k2_SAConv, _kw(c2=_sc(a[0], w, mx), n=n, c3k=_a(a, 1, False))),
+    "ARConv": lambda a, n, w, d, mx, ctx: (
+        _dx().ARConv, _kw(c2=_sc(a[0], w, mx))),
+})
+
+
+def _cx():
+    from ultralytics_pro_tpu.nn.modules import conv_extra
+
+    return conv_extra
+
+
+BUILDERS.update({
+    # conv family tranche 2 (nn/modules/conv_extra.py)
+    "Conv2": lambda a, n, w, d, mx, ctx: (
+        _cx().Conv2, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1), g=_a(a, 4, 1))),
+    "AConv": lambda a, n, w, d, mx, ctx: (_cx().AConv, _kw(c2=_sc(a[0], w, mx))),
+    "AKConv": lambda a, n, w, d, mx, ctx: (
+        _cx().AKConv, _kw(c2=_sc(a[0], w, mx), num_param=_a(a, 1, 5), s=_a(a, 2, 1))),
+    "LDConv": lambda a, n, w, d, mx, ctx: (
+        _cx().LDConv, _kw(c2=_sc(a[0], w, mx), num_param=_a(a, 1, 5), s=_a(a, 2, 1))),
+    "ODConv2d_3rd": lambda a, n, w, d, mx, ctx: (
+        _cx().ODConv2d, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "ODConv_3rd": lambda a, n, w, d, mx, ctx: (
+        _cx().ODConv2d, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "RFAConv": lambda a, n, w, d, mx, ctx: (
+        _cx().RFAConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "RFCBAMConv": lambda a, n, w, d, mx, ctx: (
+        _cx().RFCBAMConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "RFCAConv": lambda a, n, w, d, mx, ctx: (
+        _cx().RFCAConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "FCM": lambda a, n, w, d, mx, ctx: (_cx().FCM, _kw(c2=_sc(a[0], w, mx))),
+    "FCM_1": lambda a, n, w, d, mx, ctx: (_cx().FCM, _kw(c2=_sc(a[0], w, mx))),
+    "FCM_2": lambda a, n, w, d, mx, ctx: (_cx().FCM, _kw(c2=_sc(a[0], w, mx))),
+    "FCM_3": lambda a, n, w, d, mx, ctx: (_cx().FCM, _kw(c2=_sc(a[0], w, mx))),
+    "BatchChannelNorm": lambda a, n, w, d, mx, ctx: (_cx().BatchChannelNorm, _kw()),
+    "DynamicTanh": lambda a, n, w, d, mx, ctx: (_cx().DynamicTanh, _kw()),
+})
+
+
 def _register_backbones():
     from ultralytics_pro_tpu.nn.modules.backbones import BACKBONE_VARIANTS
 

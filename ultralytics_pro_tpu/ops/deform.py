@@ -100,3 +100,83 @@ def deform_conv2d(
     if bias is not None:
         out = out + bias
     return out
+
+
+def bilinear_gather(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample K taps per output pixel (zeros outside the image).
+
+    Args:
+        x: (B, H, W, C) source.
+        sy/sx: (B, Ho, Wo, K) absolute (possibly fractional) pixel coords.
+
+    Returns (B, Ho, Wo, K, C). Same 4-corner vectorized-gather formulation as
+    deform_conv2d above — the TPU replacement for F.grid_sample.
+    """
+    b, h, w, c = x.shape
+    ho, wo, k = sy.shape[1], sy.shape[2], sy.shape[3]
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    dy = sy - y0
+    dx = sx - x0
+
+    def gather(ix, iy):
+        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+        ok = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+        flat = (iyc * w + ixc).reshape(b, -1)
+        v = jnp.take_along_axis(x.reshape(b, h * w, c), flat[..., None], axis=1)
+        return v.reshape(b, ho, wo, k, c) * ok[..., None]
+
+    v00 = gather(x0, y0)
+    v01 = gather(x0 + 1, y0)
+    v10 = gather(x0, y0 + 1)
+    v11 = gather(x0 + 1, y0 + 1)
+    wx0, wx1 = (1 - dx)[..., None], dx[..., None]
+    wy0, wy1 = (1 - dy)[..., None], dy[..., None]
+    return v00 * wx0 * wy0 + v01 * wx1 * wy0 + v10 * wx0 * wy1 + v11 * wx1 * wy1
+
+
+def dcnv3_sample(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int = 3,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    offset_scale: float = 1.0,
+) -> jnp.ndarray:
+    """DCNv3 grouped deformable aggregation (reference dcnv3.py
+    dcnv3_core_pytorch): each of `groups` channel groups has its own K=k*k
+    sampling offsets; taps are combined with a softmax-normalized mask (no
+    weight contraction — projections happen outside).
+
+    Args:
+        x: (B, H, W, C), C % groups == 0.
+        offsets: (B, Ho, Wo, groups*K*2), per tap (dy, dx).
+        mask: (B, Ho, Wo, groups*K), softmax over K within each group.
+
+    Returns (B, Ho, Wo, C).
+    """
+    b, h, w, c = x.shape
+    ho, wo = offsets.shape[1], offsets.shape[2]
+    kk = k * k
+    cg = c // groups
+
+    oy = jnp.arange(ho, dtype=jnp.float32) * stride - padding
+    ox = jnp.arange(wo, dtype=jnp.float32) * stride - padding
+    ty = jnp.arange(k, dtype=jnp.float32) * dilation
+    base_y = (oy[:, None, None, None] + ty[None, None, :, None])
+    base_x = (ox[None, :, None, None] + ty[None, None, None, :])
+    base_y = jnp.broadcast_to(base_y, (ho, wo, k, k)).reshape(1, ho, wo, 1, kk)
+    base_x = jnp.broadcast_to(base_x, (ho, wo, k, k)).reshape(1, ho, wo, 1, kk)
+
+    off = offsets.reshape(b, ho, wo, groups, kk, 2) * offset_scale
+    sy = (base_y + off[..., 0]).transpose(0, 3, 1, 2, 4).reshape(b * groups, ho, wo, kk)
+    sx = (base_x + off[..., 1]).transpose(0, 3, 1, 2, 4).reshape(b * groups, ho, wo, kk)
+    xg = x.reshape(b, h, w, groups, cg).transpose(0, 3, 1, 2, 4).reshape(b * groups, h, w, cg)
+    cols = bilinear_gather(xg, sy, sx)  # (B*g, Ho, Wo, K, cg)
+    m = mask.reshape(b, ho, wo, groups, kk).transpose(0, 3, 1, 2, 4).reshape(b * groups, ho, wo, kk)
+    out = (cols * m[..., None]).sum(axis=3)  # (B*g, Ho, Wo, cg)
+    return out.reshape(b, groups, ho, wo, cg).transpose(0, 2, 3, 1, 4).reshape(b, ho, wo, c)

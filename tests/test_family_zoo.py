@@ -1,0 +1,56 @@
+"""Family zoo tranche 3: every new family yaml builds and forwards.
+
+Covers RTMDet, PicoDet, HEYDet, LeYOLO, hyper-yolo, MAF-YOLOv2, PST,
+RCS-YOLO, S-YOLO, yolor-R, ALSS, CST, FBRT, BGF (detect) and YOLACT
+(segment)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ultralytics_pro_tpu.nn.tasks import DetectionModel, SegmentationModel
+
+DETECT_YAMLS = [
+    "rtmdet-s.yaml",
+    "picodet-s.yaml",
+    "heydet-n.yaml",
+    "leyolo-n.yaml",
+    "hyper-yolo-n.yaml",
+    "maf-yolov2-n.yaml",
+    "r18-pst-n.yaml",
+    "rcs-yolo.yaml",
+    "syolo.yaml",
+    "yolor-csp.yaml",
+    "alss-yolo-n.yaml",
+    "cst-yolo.yaml",
+    "fbrt-yolo-n.yaml",
+    "bgf-yolo-n.yaml",
+]
+
+X = jnp.asarray(np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3)) / 255.0,
+                jnp.float32)
+
+
+@pytest.mark.parametrize("yaml_name", DETECT_YAMLS)
+def test_family_detect_builds_and_forwards(yaml_name):
+    m = DetectionModel(yaml_name)
+    variables = m.init_params(imgsz=64)
+    y, _ = m.apply(variables, X, train=False)
+    # standard heads: (B, A, 4+nc); end2end (v10Detect): (B, max_det, 6)
+    assert y.ndim == 3 and y.shape[-1] in (4 + m.nc, 6), yaml_name
+    assert bool(jnp.isfinite(y).all()), yaml_name
+
+
+def test_yolact_segment_builds_and_forwards():
+    m = SegmentationModel("yolact-r50.yaml")
+    variables = m.init_params(imgsz=64)
+    out, aux = m.apply(variables, X, train=False)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_family_train_mode_smoke():
+    """One family runs a mutable train-mode forward (BN updates)."""
+    m = DetectionModel("rtmdet-s.yaml")
+    variables = m.init_params(imgsz=64)
+    out, mut = m.module.apply(variables, X, train=True, mutable=["batch_stats"])
+    assert mut["batch_stats"]

@@ -569,6 +569,87 @@ BUILDERS.update({
 })
 
 
+def _fam():
+    from ultralytics_pro_tpu.nn.modules import families
+
+    return families
+
+
+BUILDERS.update({
+    # model-family modules (nn/modules/families.py)
+    "RTMBlock": lambda a, n, w, d, mx, ctx: (
+        _fam().RTMBlock, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, True))),
+    "CSPNeXtBlock": lambda a, n, w, d, mx, ctx: (
+        _fam().CSPNeXtBlock, _kw(c2=_sc(a[0], w, mx), shortcut=_a(a, 1, True))),
+    "CBH": lambda a, n, w, d, mx, ctx: (
+        _fam().CBH, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "DWConvblock": lambda a, n, w, d, mx, ctx: (
+        _fam().DWConvblock, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "ES_Bottleneck": lambda a, n, w, d, mx, ctx: (
+        _fam().ES_Bottleneck, _kw(c2=_sc(a[0], w, mx), s=_a(a, 1, 1))),
+    "ADD": lambda a, n, w, d, mx, ctx: (_fam().ADD, _kw(alpha=_a(a, 0, 0.5))),
+    "CSP_EIMS": lambda a, n, w, d, mx, ctx: (
+        _fam().CSP_EIMS, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "HRIF": lambda a, n, w, d, mx, ctx: (_fam().HRIF, _kw(c2=_sc(a[0], w, mx))),
+    "mn_conv": lambda a, n, w, d, mx, ctx: (
+        _fam().mn_conv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1), s=_a(a, 2, 1),
+                            act=_a(a, 3, "RE"))),
+    # LeYOLO arg order: [c2, k, expand_ch, use_sa, act, stride, pw]
+    "MobileNetV3_BLOCK": lambda a, n, w, d, mx, ctx: (
+        _fam().MobileNetV3_BLOCK, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3),
+                                      e=_a(a, 2, None), act=_a(a, 4, "RE"),
+                                      s=_a(a, 5, 1), pw=_a(a, 6, True))),
+    "MANet": lambda a, n, w, d, mx, ctx: (
+        _fam().MANet, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False),
+                          p=_a(a, 2, 1), k=_a(a, 3, 3))),
+    "HyperComputeModule": lambda a, n, w, d, mx, ctx: (
+        _fam().HyperComputeModule, _kw(c2=_sc(a[0], w, mx), threshold=_a(a, 1, 10.0))),
+    "AVG": lambda a, n, w, d, mx, ctx: (_fam().AVG, _kw()),
+    "nn.AvgPool2d": lambda a, n, w, d, mx, ctx: (
+        _fam().AVG, _kw(k=int(_a(a, 0, 2)), s=int(_a(a, 1, _a(a, 0, 2))))),
+    # yaml: [c2, width, depth, depth_expansion, kersize]
+    "RepHMS": lambda a, n, w, d, mx, ctx: (
+        _fam().RepHMS, _kw(c2=_sc(a[0], w, mx), width=_a(a, 1, 3), depth=_a(a, 2, 1),
+                           depth_e=_a(a, 3, 2.0), k=_a(a, 4, 5))),
+    # yaml: [[-1, up], n, PST, [c2, mlp_ratio, e]] (reference block.py:7940)
+    "PST": lambda a, n, w, d, mx, ctx: (
+        _fam().PST, _kw(c2=_sc(a[0], w, mx), n=n, mlp_ratio=_a(a, 1, 2.0),
+                        e=_a(a, 2, 0.5))),
+    "RCSOSA": lambda a, n, w, d, mx, ctx: (
+        _fam().RCSOSA, _kw(c2=_sc(a[0], w, mx), n=n, se=_a(a, 1, False))),
+    "SR": lambda a, n, w, d, mx, ctx: (_fam().SR, _kw(c2=_sc(a[0], w, mx))),
+    "RepVGG": lambda a, n, w, d, mx, ctx: (
+        _gold().RepVGGBlock, _kw(c2=_sc(a[0], w, mx), s=_a(a, 2, 1))),
+    "SNI": lambda a, n, w, d, mx, ctx: (_fam().SNI, _kw(up_f=_a(a, 2, 2))),
+    "GSConvE": lambda a, n, w, d, mx, ctx: (
+        _fam().GSConvE, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1), s=_a(a, 2, 1))),
+    "BottleneckCSPB": lambda a, n, w, d, mx, ctx: (
+        _fam().BottleneckCSPB, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False))),
+    "BottleneckCSPC": lambda a, n, w, d, mx, ctx: (
+        _fam().BottleneckCSPC, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False))),
+    "ResCSPB": lambda a, n, w, d, mx, ctx: (
+        _fam().ResCSPB, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "ResCSPC": lambda a, n, w, d, mx, ctx: (
+        _fam().ResCSPC, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "Stem": lambda a, n, w, d, mx, ctx: (_fam().Stem, _kw(c2=_sc(a[0], w, mx))),
+    # yaml: [c2, alpha, beta, stride, use_identity, shortcut_mode]
+    "ALSS": lambda a, n, w, d, mx, ctx: (
+        _fam().ALSS, _kw(c2=_sc(a[0], w, mx), n=n, alpha=_a(a, 1, 0.2),
+                         beta=_a(a, 2, 1.0), s=_a(a, 3, 1), use_identity=_a(a, 4, False),
+                         shortcut_mode=max(int(_a(a, 5, 0)), 0))),
+    "LCA": lambda a, n, w, d, mx, ctx: (_fam().LCA, _kw()),
+    "CST": lambda a, n, w, d, mx, ctx: (
+        _fam().CST, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "MCS": lambda a, n, w, d, mx, ctx: (_fam().MCS, _kw(c2=_sc(a[0], w, mx))),
+    "MyConcat4": lambda a, n, w, d, mx, ctx: (_fam().WeightedConcat, _kw(n_in=4)),
+    "MyConcat6": lambda a, n, w, d, mx, ctx: (_fam().WeightedConcat, _kw(n_in=6)),
+    "Pzconv": lambda a, n, w, d, mx, ctx: (_fam().Pzconv, _kw()),
+    "Down": lambda a, n, w, d, mx, ctx: (_fam().Down, _kw(c2=_sc(a[0], w, mx))),
+    "BiLevelRoutingAttention": lambda a, n, w, d, mx, ctx: (
+        _fam().BiLevelRoutingAttention, _kw(num_heads=_a(a, 0, 8), topk=_a(a, 1, 4))),
+})
+
+
 def _register_backbones():
     from ultralytics_pro_tpu.nn.modules.backbones import BACKBONE_VARIANTS
 

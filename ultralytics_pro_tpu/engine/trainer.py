@@ -105,6 +105,11 @@ class BaseTrainer(CallbackMixin):
         self.init_callbacks()
         for event, cb in csv_logger_callbacks(self.save_dir).items():
             self.add_callback(event, cb)
+        from ultralytics_pro_tpu.utils.callbacks import integration_callbacks
+
+        for event, cbs in integration_callbacks().items():
+            for cb in cbs:
+                self.add_callback(event, cb)
         self.best_fitness = 0.0
         self.start_epoch = 0
         self.mesh = self._make_mesh()

@@ -89,3 +89,197 @@ def csv_logger_callbacks(save_dir):
             f.write(",".join(str(v) for v in vals) + "\n")
 
     return {"on_fit_epoch_end": on_fit_epoch_end}
+
+
+# ---------------------------------------------------------------------------
+# Third-party experiment-tracker integrations (reference utils/callbacks/
+# {wb,mlflow,comet,clearml,dvc,neptune,raytune}.py). Each factory returns a
+# {event: fn} dict and is import-gated: the integration activates only when
+# its package is installed AND its SETTINGS toggle is on, exactly like the
+# reference's `try: import wandb; assert SETTINGS["wandb"] is True` guards.
+# ---------------------------------------------------------------------------
+
+def _epoch_scalars(trainer):
+    out = {f"train/{k}": float(v) for k, v in getattr(trainer, "epoch_losses", {}).items()}
+    if getattr(trainer, "last_fitness", None) is not None:
+        out["metrics/fitness"] = float(trainer.last_fitness)
+    return out
+
+
+def wandb_callbacks():
+    """Weights & Biases (reference callbacks/wb.py)."""
+    import wandb  # noqa: F401
+
+    def on_pretrain_routine_start(trainer):
+        wandb.init(project="ultralytics_pro_tpu",
+                   name=str(getattr(trainer, "save_dir", "run")),
+                   config=dict(getattr(trainer, "args", {})))
+
+    def on_fit_epoch_end(trainer):
+        wandb.log(_epoch_scalars(trainer), step=getattr(trainer, "_epoch", 0))
+
+    def on_train_end(trainer):
+        best = getattr(trainer, "best", None)
+        if best is not None:
+            try:
+                art = wandb.Artifact("model", type="model")
+                art.add_file(str(best))
+                wandb.log_artifact(art)
+            except Exception:
+                pass
+        wandb.finish()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def mlflow_callbacks():
+    """MLflow (reference callbacks/mlflow.py)."""
+    import mlflow
+
+    def on_pretrain_routine_start(trainer):
+        mlflow.start_run(run_name=str(getattr(trainer, "save_dir", "run")))
+        args = dict(getattr(trainer, "args", {}) or {})
+        mlflow.log_params({k: str(v) for k, v in list(args.items())[:100]})
+
+    def on_fit_epoch_end(trainer):
+        mlflow.log_metrics({k.replace("/", "_"): v for k, v in _epoch_scalars(trainer).items()},
+                           step=getattr(trainer, "_epoch", 0))
+
+    def on_train_end(trainer):
+        mlflow.end_run()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def comet_callbacks():
+    """Comet ML (reference callbacks/comet.py)."""
+    import comet_ml
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["exp"] = comet_ml.Experiment(project_name="ultralytics_pro_tpu")
+
+    def on_fit_epoch_end(trainer):
+        if "exp" in state:
+            state["exp"].log_metrics(_epoch_scalars(trainer),
+                                     step=getattr(trainer, "_epoch", 0))
+
+    def on_train_end(trainer):
+        if "exp" in state:
+            state["exp"].end()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def clearml_callbacks():
+    """ClearML (reference callbacks/clearml.py)."""
+    from clearml import Task
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["task"] = Task.init(project_name="ultralytics_pro_tpu",
+                                  task_name=str(getattr(trainer, "save_dir", "run")))
+
+    def on_fit_epoch_end(trainer):
+        if "task" in state:
+            logger = state["task"].get_logger()
+            for k, v in _epoch_scalars(trainer).items():
+                series = k.split("/")[-1]
+                logger.report_scalar(k.split("/")[0], series, v,
+                                     getattr(trainer, "_epoch", 0))
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end}
+
+
+def dvc_callbacks():
+    """DVCLive (reference callbacks/dvc.py)."""
+    from dvclive import Live
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["live"] = Live(save_dvc_exp=True)
+
+    def on_fit_epoch_end(trainer):
+        live = state.get("live")
+        if live:
+            for k, v in _epoch_scalars(trainer).items():
+                live.log_metric(k, v)
+            live.next_step()
+
+    def on_train_end(trainer):
+        if state.get("live"):
+            state["live"].end()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def neptune_callbacks():
+    """Neptune (reference callbacks/neptune.py)."""
+    import neptune
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["run"] = neptune.init_run(project="ultralytics_pro_tpu")
+
+    def on_fit_epoch_end(trainer):
+        run = state.get("run")
+        if run:
+            for k, v in _epoch_scalars(trainer).items():
+                run[k].append(v)
+
+    def on_train_end(trainer):
+        if state.get("run"):
+            state["run"].stop()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def raytune_callbacks():
+    """Ray Tune session reporting (reference callbacks/raytune.py)."""
+    from ray.air import session
+
+    def on_fit_epoch_end(trainer):
+        session.report({**_epoch_scalars(trainer),
+                        "epoch": getattr(trainer, "_epoch", 0)})
+
+    return {"on_fit_epoch_end": on_fit_epoch_end}
+
+
+INTEGRATIONS = {
+    "wandb": wandb_callbacks,
+    "mlflow": mlflow_callbacks,
+    "comet": comet_callbacks,
+    "clearml": clearml_callbacks,
+    "dvc": dvc_callbacks,
+    "neptune": neptune_callbacks,
+    "raytune": raytune_callbacks,
+}
+
+
+def integration_callbacks() -> Dict[str, List[Callable]]:
+    """Collect callbacks from every enabled + importable integration.
+    Toggle keys live in SETTINGS, same names as the reference."""
+    from ultralytics_pro_tpu.utils.settings import SETTINGS
+
+    merged: Dict[str, List[Callable]] = defaultdict(list)
+    for name, factory in INTEGRATIONS.items():
+        if not SETTINGS.get(name, False):
+            continue
+        try:
+            for event, fn in factory().items():
+                merged[event].append(fn)
+        except ImportError:
+            continue
+        except Exception:
+            continue
+    return merged

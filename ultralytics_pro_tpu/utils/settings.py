@@ -34,6 +34,16 @@ class SettingsManager(dict):
             "runs_dir": str(root / "runs"),
             "sync": False,  # telemetry off by default in this build
             "tensorboard": True,
+            # third-party tracker toggles (reference SettingsManager keys);
+            # integrations also require the package to be importable
+            "wandb": False,
+            "mlflow": False,
+            "comet": False,
+            "clearml": False,
+            "dvc": False,
+            "neptune": False,
+            "raytune": False,
+            "hub": False,
         }
         self.update(self.defaults)
         if self.file.exists():
@@ -63,3 +73,45 @@ class SettingsManager(dict):
         self.clear()
         self.update(self.defaults)
         self.save()
+
+
+# Module-level singleton, lazily constructed on first attribute access so
+# importing the package never touches the user config dir (reference exposes
+# SETTINGS from utils/__init__.py:1236).
+class _LazySettings(dict):
+    _real = None
+
+    def _resolve(self):
+        if _LazySettings._real is None:
+            _LazySettings._real = SettingsManager()
+        return _LazySettings._real
+
+    def __getitem__(self, k):
+        return self._resolve()[k]
+
+    def __setitem__(self, k, v):
+        self._resolve()[k] = v
+
+    def get(self, k, default=None):
+        return self._resolve().get(k, default)
+
+    def update_and_save(self, **kw):
+        return self._resolve().update_and_save(**kw)
+
+    def reset(self):
+        return self._resolve().reset()
+
+    def __contains__(self, k):
+        return k in self._resolve()
+
+    def __iter__(self):
+        return iter(self._resolve())
+
+    def keys(self):
+        return self._resolve().keys()
+
+    def items(self):
+        return self._resolve().items()
+
+
+SETTINGS = _LazySettings()

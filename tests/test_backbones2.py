@@ -1,0 +1,62 @@
+"""Backbone zoo tranche 2: each backbone emits 4 pyramid maps and the swap
+yamls build + forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ultralytics_pro_tpu.nn.modules import backbones2 as B
+
+X = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 64, 64, 3)).astype(np.float32))
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (B.GhostNetV2, {}),
+    (B.FasterNet, {}),
+    (B.RepViT, {}),
+    (B.StarNet, {}),
+    (B.LSKNet, {}),
+    (B.MobileNetV4, {}),
+    (B.EfficientNetV2, {}),
+])
+def test_backbone_four_stages(cls, kw):
+    mod = cls(**kw)
+    variables = mod.init(jax.random.PRNGKey(0), X, train=False)
+    outs = mod.apply(variables, X, train=False)
+    assert len(outs) == 4, cls.__name__
+    hs = [o.shape[1] for o in outs]
+    assert hs == sorted(hs, reverse=True), f"{cls.__name__}: {hs} not a pyramid"
+    assert all(bool(jnp.isfinite(o).all()) for o in outs), cls.__name__
+
+
+def test_fastkan_conv_shapes_and_grad():
+    mod = B.FastKANConv2D(c2=16, k=3, s=2)
+    variables = mod.init(jax.random.PRNGKey(0), X, train=False)
+    y = mod.apply(variables, X, train=False)
+    assert y.shape == (1, 32, 32, 16)
+
+    def loss(p):
+        return (mod.apply({"params": p}, X, train=False) ** 2).mean()
+
+    g = jax.grad(loss)(variables["params"])
+    assert float(jnp.abs(g["spline_conv"]["kernel"]).sum()) > 0  # spline path trains
+
+
+@pytest.mark.parametrize("yaml_name", [
+    "yolo11n-ghostnetv2.yaml",
+    "yolo11n-fasternet.yaml",
+    "yolo11n-repvit.yaml",
+    "yolo11n-starnet.yaml",
+    "yolo11n-lsknet.yaml",
+    "yolo11n-mobilenetv4.yaml",
+    "yolo11n-efficientnetv2.yaml",
+    "yolov8n-kan.yaml",
+])
+def test_swap_yaml_builds(yaml_name):
+    from ultralytics_pro_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel(yaml_name)
+    v = m.init_params(imgsz=64)
+    y, _ = m.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert y.shape[-1] == 4 + m.nc and bool(jnp.isfinite(y).all()), yaml_name

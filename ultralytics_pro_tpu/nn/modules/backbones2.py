@@ -1,0 +1,481 @@
+"""Whole-backbone zoo, tranche 2 — lightweight conv/hybrid families.
+
+Parity targets (reference nn/modules/): GhostNetv2.py, FasterNet.py,
+repvit.py, StarNet, LSKNet.py, MobileNetV4.py, EfficientNetV2.py, and the
+kan_convs/ fast-KAN convolution. Every backbone returns 4 stage maps
+(P2..P5) for the parse_model multi-output protocol (reference tasks.py:3112
+`m_.backbone = True`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ultralytics_pro_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM, Conv, ConvBase, DWConv
+
+
+def _bn(mod, name, x, train):
+    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                        use_fast_variance=False, epsilon=BN_EPS, dtype=mod.dtype,
+                        name=name, parent=mod)(x)
+
+
+def _se(mod, x, c, prefix, r=4, gate=jax.nn.hard_sigmoid):
+    s = x.mean(axis=(1, 2))
+    s = jax.nn.relu(nn.Dense(max(c // r, 8), dtype=mod.dtype, name=f"{prefix}_fc0", parent=mod)(s))
+    s = gate(nn.Dense(c, dtype=mod.dtype, name=f"{prefix}_fc1", parent=mod)(s))
+    return x * s[:, None, None, :]
+
+
+# ------------------------------------------------------------- GhostNetV2 --
+
+class GhostModuleV2(ConvBase):
+    """Ghost module: primary 1x1 + cheap DW 3x3; 'attn' mode adds the DFC
+    decoupled-fully-connected gate (reference GhostNetv2.py)."""
+
+    c2: int = 0
+    mode: str = "original"  # or "attn"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        init = self.c2 // 2
+        y1 = Conv(c2=init, k=1, act="relu", dtype=self.dtype, name="primary")(x, train)
+        y2 = Conv(c2=init, k=3, g=init, act="relu", dtype=self.dtype, name="cheap")(y1, train)
+        out = jnp.concatenate([y1, y2], -1)
+        if self.mode == "attn":
+            # DFC: downsample 2x, 1x1 + horizontal(1,5) + vertical(5,1) DW
+            b, h, w, _ = x.shape
+            g = nn.avg_pool(x, (2, 2), (2, 2), padding="VALID")
+            g = Conv(c2=self.c2, k=1, act=False, dtype=self.dtype, name="short_conv")(g, train)
+            g = nn.Conv(self.c2, (1, 5), padding=((0, 0), (2, 2)), feature_group_count=self.c2,
+                        use_bias=False, dtype=self.dtype, name="dfc_h")(g)
+            g = nn.Conv(self.c2, (5, 1), padding=((2, 2), (0, 0)), feature_group_count=self.c2,
+                        use_bias=False, dtype=self.dtype, name="dfc_v")(g)
+            g = jax.nn.sigmoid(g)
+            g = jax.image.resize(g, (b, h, w, self.c2), method="nearest")
+            out = out * g
+        return out
+
+
+class GhostBottleneckV2(ConvBase):
+    c2: int = 0
+    cm: int = 0
+    k: int = 3
+    s: int = 1
+    use_se: bool = False
+    layer_id: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mode = "original" if self.layer_id <= 1 else "attn"
+        y = GhostModuleV2(c2=self.cm, mode=mode, dtype=self.dtype, name="ghost1")(x, train)
+        if self.s > 1:
+            y = nn.Conv(self.cm, (self.k, self.k), strides=(self.s, self.s),
+                        padding=(((self.k - 1) // 2,) * 2,) * 2, feature_group_count=self.cm,
+                        use_bias=False, dtype=self.dtype, name="dw")(y)
+            y = _bn(self, "dw_bn", y, train)
+        if self.use_se:
+            y = _se(self, y, self.cm, "se")
+        y = GhostModuleV2(c2=self.c2, mode="original", dtype=self.dtype, name="ghost2")(y, train)
+        if x.shape[-1] == self.c2 and self.s == 1:
+            return x + y
+        sc = nn.Conv(x.shape[-1], (self.k, self.k), strides=(self.s, self.s),
+                     padding=(((self.k - 1) // 2,) * 2,) * 2, feature_group_count=x.shape[-1],
+                     use_bias=False, dtype=self.dtype, name="sc_dw")(x)
+        sc = _bn(self, "sc_dw_bn", sc, train)
+        sc = nn.Conv(self.c2, (1, 1), use_bias=False, dtype=self.dtype, name="sc_pw")(sc)
+        return _bn(self, "sc_pw_bn", sc, train) + y
+
+
+class GhostNetV2(ConvBase):
+    """GhostNetV2 backbone -> 4 stage maps (reference GhostNetv2.py)."""
+
+    width: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = self.width
+        c = int(16 * w)
+        x = Conv(c2=c, k=3, s=2, act="relu", dtype=self.dtype, name="stem")(x, train)
+        # (k, cm, c2, se, s) per block; stage splits after strides
+        cfg = [
+            [(3, 16, 16, 0, 1)],
+            [(3, 48, 24, 0, 2), (3, 72, 24, 0, 1)],
+            [(5, 72, 40, 1, 2), (5, 120, 40, 1, 1)],
+            [(3, 240, 80, 0, 2), (3, 184, 80, 0, 1), (3, 480, 112, 1, 1)],
+            [(5, 672, 160, 1, 2), (5, 960, 160, 1, 1)],
+        ]
+        outs, lid = [], 0
+        for si, stage in enumerate(cfg):
+            for (k, cm, c2, se, s) in stage:
+                x = GhostBottleneckV2(c2=int(c2 * w), cm=int(cm * w), k=k, s=s,
+                                      use_se=bool(se), layer_id=lid, dtype=self.dtype,
+                                      name=f"b{lid}")(x, train)
+                lid += 1
+            if si > 0:
+                outs.append(x)
+        return outs
+
+
+# -------------------------------------------------------------- FasterNet --
+
+class PConvBlock(ConvBase):
+    """FasterNet block: partial conv (3x3 on 1/4 of channels) + 2-layer MLP
+    with BN+ReLU, residual (reference FasterNet.py)."""
+
+    dim: int = 0
+    e: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dim
+        dp = d // 4
+        xa, xb = x[..., :dp], x[..., dp:]
+        xa = nn.Conv(dp, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                     dtype=self.dtype, name="pconv")(xa)
+        y = jnp.concatenate([xa, xb], -1)
+        h = int(d * self.e)
+        y2 = nn.Conv(h, (1, 1), use_bias=False, dtype=self.dtype, name="fc1")(y)
+        y2 = jax.nn.relu(_bn(self, "bn", y2, train))
+        y2 = nn.Conv(d, (1, 1), use_bias=False, dtype=self.dtype, name="fc2")(y2)
+        return x + y2
+
+
+class FasterNet(ConvBase):
+    depths: Sequence[int] = (1, 2, 8, 2)
+    dims: Sequence[int] = (40, 80, 160, 320)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), use_bias=False,
+                    dtype=self.dtype, name="stem")(x)
+        x = _bn(self, "stem_bn", x, train)
+        outs = []
+        for s in range(4):
+            if s > 0:
+                x = nn.Conv(self.dims[s], (2, 2), strides=(2, 2), use_bias=False,
+                            dtype=self.dtype, name=f"merge{s}")(x)
+                x = _bn(self, f"merge{s}_bn", x, train)
+            for b in range(self.depths[s]):
+                x = PConvBlock(dim=self.dims[s], dtype=self.dtype, name=f"s{s}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+# ---------------------------------------------------------------- RepViT --
+
+class RepViTBlock(ConvBase):
+    """Token mixer: RepVGG-style DW 3x3 (+identity BN) + optional SE; channel
+    mixer: 1x1 expand/project with residual (reference repvit.py)."""
+
+    dim: int = 0
+    use_se: bool = False
+    e: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dim
+        # token mixer (rep-DW: 3x3 + 1x1 branches, deploy-fusable)
+        t = nn.Conv(d, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=d,
+                    use_bias=False, dtype=self.dtype, name="dw3")(x)
+        t = _bn(self, "dw3_bn", t, train)
+        t2 = nn.Conv(d, (1, 1), feature_group_count=d, use_bias=False,
+                     dtype=self.dtype, name="dw1")(x)
+        t2 = _bn(self, "dw1_bn", t2, train)
+        x = x + t + t2
+        if self.use_se:
+            x = _se(self, x, d, "se", gate=jax.nn.sigmoid)
+        # channel mixer
+        h = int(d * self.e)
+        y = nn.Conv(h, (1, 1), use_bias=False, dtype=self.dtype, name="fc1")(x)
+        y = jax.nn.gelu(_bn(self, "fc1_bn", y, train))
+        y = nn.Conv(d, (1, 1), use_bias=False, dtype=self.dtype, name="fc2")(y)
+        return x + _bn(self, "fc2_bn", y, train)
+
+
+class RepViT(ConvBase):
+    depths: Sequence[int] = (2, 2, 6, 2)
+    dims: Sequence[int] = (48, 96, 192, 384)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(c2=self.dims[0] // 2, k=3, s=2, dtype=self.dtype, name="stem1")(x, train)
+        x = Conv(c2=self.dims[0], k=3, s=2, dtype=self.dtype, name="stem2")(x, train)
+        outs = []
+        for s in range(4):
+            if s > 0:
+                x = DWConv(c2=self.dims[s - 1], k=3, s=2, dtype=self.dtype,
+                           name=f"down{s}_dw")(x, train)
+                x = Conv(c2=self.dims[s], k=1, dtype=self.dtype, name=f"down{s}_pw")(x, train)
+            for b in range(self.depths[s]):
+                x = RepViTBlock(dim=self.dims[s], use_se=(b % 2 == 0), dtype=self.dtype,
+                                name=f"s{s}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+# ---------------------------------------------------------------- StarNet --
+
+class StarBlock(ConvBase):
+    """StarNet block: DW conv -> two parallel 1x1 expands -> elementwise
+    'star' product -> 1x1 project -> DW, residual (reference StarNet)."""
+
+    dim: int = 0
+    e: float = 3.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dim
+        h = int(d * self.e)
+        y = DWConv(c2=d, k=7, act=False, dtype=self.dtype, name="dw1")(x, train)
+        a = nn.Conv(h, (1, 1), use_bias=False, dtype=self.dtype, name="f1")(y)
+        b = nn.Conv(h, (1, 1), use_bias=False, dtype=self.dtype, name="f2")(y)
+        y = jax.nn.relu6(a) * b  # the star operation
+        y = nn.Conv(d, (1, 1), use_bias=False, dtype=self.dtype, name="g")(y)
+        y = DWConv(c2=d, k=7, act=False, dtype=self.dtype, name="dw2")(y, train)
+        return x + y
+
+
+class StarNet(ConvBase):
+    depths: Sequence[int] = (1, 2, 6, 2)
+    dims: Sequence[int] = (32, 64, 128, 256)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(c2=self.dims[0], k=3, s=2, dtype=self.dtype, name="stem")(x, train)
+        outs = []
+        for s in range(4):
+            x = Conv(c2=self.dims[s], k=3, s=2, dtype=self.dtype, name=f"down{s}")(x, train)
+            for b in range(self.depths[s]):
+                x = StarBlock(dim=self.dims[s], dtype=self.dtype, name=f"s{s}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+# ----------------------------------------------------------------- LSKNet --
+
+class LSKBlock(ConvBase):
+    """Large-selective-kernel block (reference LSKNet.py): DW5 + dilated DW7
+    branches, spatial avg/max gating, fused; + MLP."""
+
+    dim: int = 0
+    e: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dim
+        # attention
+        a = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        a = nn.Conv(d, (1, 1), dtype=self.dtype, name="proj1")(a)
+        a = jax.nn.gelu(a)
+        u0 = nn.Conv(d, (5, 5), padding=((2, 2), (2, 2)), feature_group_count=d,
+                     dtype=self.dtype, name="lsk_dw5")(a)
+        u1 = nn.Conv(d, (7, 7), padding=((9, 9), (9, 9)), kernel_dilation=(3, 3),
+                     feature_group_count=d, dtype=self.dtype, name="lsk_dw7d3")(u0)
+        v0 = nn.Conv(d // 2, (1, 1), dtype=self.dtype, name="lsk_f0")(u0)
+        v1 = nn.Conv(d // 2, (1, 1), dtype=self.dtype, name="lsk_f1")(u1)
+        cat = jnp.concatenate([v0, v1], -1)
+        gate = jnp.concatenate([cat.mean(-1, keepdims=True), cat.max(-1, keepdims=True)], -1)
+        gate = jax.nn.sigmoid(nn.Conv(2, (7, 7), padding=((3, 3), (3, 3)),
+                                      dtype=self.dtype, name="lsk_gate")(gate))
+        mix = v0 * gate[..., :1] + v1 * gate[..., 1:]
+        mix = nn.Conv(d, (1, 1), dtype=self.dtype, name="lsk_out")(mix)
+        a = nn.Conv(d, (1, 1), dtype=self.dtype, name="proj2")(a * mix)
+        x = x + a
+        # MLP
+        m = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        m = nn.Conv(int(d * self.e), (1, 1), dtype=self.dtype, name="fc1")(m)
+        m = jax.nn.gelu(m)
+        m = nn.Conv(d, (1, 1), dtype=self.dtype, name="fc2")(m)
+        return x + m
+
+
+class LSKNet(ConvBase):
+    depths: Sequence[int] = (2, 2, 4, 2)
+    dims: Sequence[int] = (32, 64, 160, 256)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for s in range(4):
+            k, st = (7, 4) if s == 0 else (3, 2)
+            p = k // 2
+            x = nn.Conv(self.dims[s], (k, k), strides=(st, st), padding=((p, p), (p, p)),
+                        dtype=self.dtype, name=f"embed{s}")(x)
+            x = _bn(self, f"embed{s}_bn", x, train)
+            for b in range(self.depths[s]):
+                x = LSKBlock(dim=self.dims[s], dtype=self.dtype, name=f"s{s}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+# ------------------------------------------------------------ MobileNetV4 --
+
+class UIB(ConvBase):
+    """Universal inverted bottleneck (MobileNetV4): optional front DW ->
+    expand 1x1 -> optional mid DW (stride) -> project 1x1."""
+
+    c2: int = 0
+    e: float = 4.0
+    front_k: int = 3   # 0 = no front DW
+    mid_k: int = 3     # 0 = no mid DW
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        y = x
+        if self.front_k:
+            y = DWConv(c2=c1, k=self.front_k, act=False, dtype=self.dtype, name="front")(y, train)
+        h = int(c1 * self.e)
+        y = Conv(c2=h, k=1, dtype=self.dtype, name="expand")(y, train)
+        if self.mid_k:
+            y = DWConv(c2=h, k=self.mid_k, s=self.s, dtype=self.dtype, name="mid")(y, train)
+        elif self.s > 1:
+            y = nn.avg_pool(y, (2, 2), (self.s, self.s), padding="VALID")
+        y = Conv(c2=self.c2, k=1, act=False, dtype=self.dtype, name="project")(y, train)
+        return x + y if (c1 == self.c2 and self.s == 1) else y
+
+
+class MobileNetV4(ConvBase):
+    dims: Sequence[int] = (32, 64, 96, 128)
+    depths: Sequence[int] = (1, 2, 4, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(c2=self.dims[0], k=3, s=2, dtype=self.dtype, name="stem")(x, train)
+        outs = []
+        for s in range(4):
+            for b in range(self.depths[s]):
+                st = 2 if b == 0 else 1
+                x = UIB(c2=self.dims[s], s=st, front_k=3 if b % 2 == 0 else 0,
+                        mid_k=5 if b == 0 else 3, dtype=self.dtype,
+                        name=f"s{s}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+# --------------------------------------------------------- EfficientNetV2 --
+
+class FusedMBConv(ConvBase):
+    c2: int = 0
+    e: float = 4.0
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        h = int(c1 * self.e)
+        y = Conv(c2=h, k=3, s=self.s, dtype=self.dtype, name="fused")(x, train)
+        y = Conv(c2=self.c2, k=1, act=False, dtype=self.dtype, name="project")(y, train)
+        return x + y if (c1 == self.c2 and self.s == 1) else y
+
+
+class MBConvV2(ConvBase):
+    c2: int = 0
+    e: float = 4.0
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        h = int(c1 * self.e)
+        y = Conv(c2=h, k=1, dtype=self.dtype, name="expand")(x, train)
+        y = DWConv(c2=h, k=3, s=self.s, dtype=self.dtype, name="dw")(y, train)
+        y = _se(self, y, h, "se", r=int(4 * self.e), gate=jax.nn.sigmoid)
+        y = Conv(c2=self.c2, k=1, act=False, dtype=self.dtype, name="project")(y, train)
+        return x + y if (c1 == self.c2 and self.s == 1) else y
+
+
+class EfficientNetV2(ConvBase):
+    """EfficientNetV2-S-style: fused-MBConv early, MBConv+SE late."""
+
+    dims: Sequence[int] = (48, 64, 128, 256)
+    depths: Sequence[int] = (2, 2, 4, 4)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(c2=24, k=3, s=2, dtype=self.dtype, name="stem")(x, train)
+        outs = []
+        for s in range(4):
+            blk = FusedMBConv if s < 2 else MBConvV2
+            for b in range(self.depths[s]):
+                st = 2 if b == 0 else 1
+                x = blk(c2=self.dims[s], s=st, dtype=self.dtype, name=f"s{s}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+# ------------------------------------------------------------------- KAN --
+
+class FastKANConv2D(ConvBase):
+    """Fast-KAN convolution (reference kan_convs/fast_kan.py): the learnable
+    activation is an RBF expansion — x maps to G gaussian basis responses,
+    combined by a (spline) conv; plus a base SiLU conv path. On TPU the basis
+    expansion is a broadcasted elementwise op feeding one grouped conv (MXU)."""
+
+    c2: int = 0
+    k: int = 3
+    s: int = 1
+    grid: int = 8
+    grid_range: Tuple[float, float] = (-2.0, 2.0)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        p = self.k // 2
+        base = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                       padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
+                       name="base_conv")(jax.nn.silu(x))
+        lo, hi = self.grid_range
+        centers = jnp.linspace(lo, hi, self.grid)
+        denom = (hi - lo) / (self.grid - 1)
+        ln = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        basis = jnp.exp(-(((ln[..., None] - centers) / denom) ** 2))
+        b, h, w, _, _ = basis.shape
+        basis = basis.reshape(b, h, w, c1 * self.grid)
+        spline = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                         padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
+                         name="spline_conv")(basis)
+        return base + spline
+
+
+class KANBlock(ConvBase):
+    """Residual FastKAN conv block for KAN-hybrid yamls."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = FastKANConv2D(c2=self.c2, k=3, dtype=self.dtype, name="kan")(x, train)
+        y = _bn(self, "bn", y, train)
+        return x + y if x.shape[-1] == self.c2 else y
+
+
+BACKBONE_VARIANTS2 = {
+    # reference GhostNetv2.py exports
+    "Ghostnetv2": (GhostNetV2, ()),
+    "ghostnetv2": (GhostNetV2, ()),
+    # reference FasterNet.py exports
+    "fasternet_t0": (FasterNet, ()),
+    "fasternet_t1": (FasterNet, (("dims", (64, 128, 256, 512)),)),
+    # reference repvit.py exports
+    "repvit_m0_9": (RepViT, ()),
+    "repvit_m1_1": (RepViT, (("dims", (64, 128, 256, 512)),)),
+    # StarNet
+    "starnet_s1": (StarNet, ()),
+    "starnet_s2": (StarNet, (("dims", (32, 64, 128, 256)), ("depths", (1, 2, 6, 2)))),
+    # reference LSKNet.py exports
+    "lsknet_t": (LSKNet, ()),
+    # reference MobileNetV4.py exports
+    "MobileNetV4ConvSmall": (MobileNetV4, ()),
+    "mobilenetv4_conv_small": (MobileNetV4, ()),
+    # reference EfficientNetV2.py exports
+    "efficientnetv2_s": (EfficientNetV2, ()),
+    "efficientnet_v2": (EfficientNetV2, ()),
+}

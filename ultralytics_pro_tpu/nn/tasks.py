@@ -656,8 +656,37 @@ def _register_backbones():
     for _name in BACKBONE_VARIANTS:
         BUILDERS[_name] = _backbone_builder(_name)
 
+    def _backbone2_builder(name):
+        def build(a, n, w, d, mx, ctx):
+            from ultralytics_pro_tpu.nn.modules.backbones2 import BACKBONE_VARIANTS2
+
+            cls, kw = BACKBONE_VARIANTS2[name]
+            ctx["multi_output"] = 4
+            return cls, kw
+        return build
+
+    from ultralytics_pro_tpu.nn.modules.backbones2 import BACKBONE_VARIANTS2
+
+    for _name in BACKBONE_VARIANTS2:
+        BUILDERS[_name] = _backbone2_builder(_name)
+
 
 _register_backbones()
+
+BUILDERS.update({
+    # KAN convolutions (reference kan_convs/fast_kan.py)
+    "FastKANConv2D": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.backbones2",
+                   fromlist=["FastKANConv2D"]).FastKANConv2D,
+        _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "FastKANConv2DLayer": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.backbones2",
+                   fromlist=["FastKANConv2D"]).FastKANConv2D,
+        _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "KANBlock": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.backbones2",
+                   fromlist=["KANBlock"]).KANBlock, _kw(c2=_sc(a[0], w, mx))),
+})
 
 # Modules that flip Detect heads off the legacy branch layout (reference
 # tasks.py:2862-2870: C3k2 family, A2C2f, C2fCIB).

@@ -39,12 +39,17 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    from ultralytics_pro_tpu.nn.fuse import fold_preproc_into_stem
+
     model = DetectionModel("yolov8s.yaml", dtype=jnp.bfloat16)
     variables = model.init_params(imgsz=imgsz)
+    # BGR->RGB flip + /255 folded into the stem kernel (exact; the explicit
+    # channel-reversal pass costs ~100 ms/batch of pure relayout on TPU)
+    variables = fold_preproc_into_stem(variables)
     nc = model.nc
 
     def e2e(variables, img_u8):
-        x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+        x = img_u8.astype(jnp.bfloat16)
         y, _ = model.module.apply(variables, x, train=False)
         out = non_max_suppression(
             y[..., :4], y[..., 4:4 + nc], conf_thres=0.25, iou_thres=0.45, max_det=300,

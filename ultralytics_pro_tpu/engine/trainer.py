@@ -373,12 +373,14 @@ class BaseTrainer(CallbackMixin):
         return self.model
 
     def _multi_scale(self, device_batch: Dict, ni: int) -> Dict:
-        """Random-size resize ON DEVICE from a small fixed ladder (reference
-        multi_scale resizes per batch, detect/train.py:120; a fixed ladder
-        bounds jit specializations to 3)."""
+        """Random-size resize ON DEVICE spanning the reference's full
+        [0.5, 1.5] range (detect/train.py:120 picks any stride multiple; a
+        7-rung ladder keeps jit specializations bounded while matching the
+        augmentation strength)."""
         import random
 
-        ladder = [round(self.imgsz * f / 32) * 32 for f in (0.75, 1.0, 1.25)]
+        ladder = sorted({max(32, round(self.imgsz * f / 32) * 32)
+                         for f in (0.5, 0.667, 0.833, 1.0, 1.167, 1.333, 1.5)})
         sz = random.Random(ni).choice(ladder)
         img = device_batch["img"]
         if sz != img.shape[1]:

@@ -75,3 +75,27 @@ def apply_fused_conv(x, kernel, bias, stride: int = 1, padding: int = 1,
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
     return act(y) if act is not None else y
+
+
+def fold_preproc_into_stem(variables, scale: float = 1.0 / 255.0,
+                           bgr_to_rgb: bool = True):
+    """Fold the inference preprocess (BGR->RGB channel flip + /255 scaling)
+    into the FIRST conv's kernel: conv(x_rgb * s, w) == conv(x_bgr, w') with
+    w' = w[:, :, ::-1, :] * s — exact, since conv is linear in its input.
+
+    Why this matters on TPU: a reversed-stride slice on the 3-wide minormost
+    channel dim forces a catastrophic relayout of the whole (B, H, W, 3)
+    activation before the stem (measured ~100 ms/batch at bs128 640px vs
+    ~0.4 ms folded — see BASELINE.md round-2 perf notes). After folding,
+    callers feed the raw uint8 tensor cast to the compute dtype, with NO
+    elementwise preprocessing pass.
+
+    Returns new `variables`; raises KeyError if layer 0 isn't a plain Conv.
+    """
+    params = variables["params"]
+    k = params["layers_0"]["conv"]["kernel"]  # (kh, kw, 3, c2)
+    if k.shape[2] not in (1, 3, 4):
+        raise KeyError(f"stem kernel has {k.shape[2]} input channels; not an image stem")
+    k2 = (k[:, :, ::-1, :] if bgr_to_rgb else k) * scale
+    new_l0 = {**params["layers_0"], "conv": {**params["layers_0"]["conv"], "kernel": k2}}
+    return {**variables, "params": {**params, "layers_0": new_l0}}

@@ -568,3 +568,40 @@ def classify_augmentations(size: int = 224, scale=(0.08, 1.0), hflip: float = 0.
         return im2
 
     return tf
+
+
+class RandomLoadText:
+    """Per-sample text (vocabulary) sampling for open-vocabulary training
+    (reference augment.py:2231 LoadVisualPrompt sibling, :2326 RandomLoadText):
+    keep the image's positive class names, fill with random negatives up to a
+    FIXED budget (static shapes for jit), remap `cls` into the sampled list.
+
+    Operates on a label dict carrying "cls" (N, 1) and "texts" (full
+    per-dataset class-name list, one entry per class id).
+    """
+
+    def __init__(self, max_samples: int = 80, padding_value: str = " "):
+        self.max_samples = max_samples
+        self.padding_value = padding_value
+
+    def __call__(self, labels: dict) -> dict:
+        import numpy as np
+
+        texts = labels.get("texts") or []
+        cls = np.asarray(labels.get("cls", np.zeros((0, 1))), np.float32).reshape(-1)
+        pos = sorted({int(c) for c in cls})
+        neg_pool = [i for i in range(len(texts)) if i not in pos]
+        n_neg = max(self.max_samples - len(pos), 0)
+        rng = np.random.default_rng(labels.get("seed"))
+        neg = list(rng.permutation(neg_pool)[:n_neg]) if neg_pool else []
+        chosen = pos + [int(i) for i in neg]
+        remap = {old: new for new, old in enumerate(chosen)}
+        new_cls = np.asarray([remap[int(c)] for c in cls], np.float32).reshape(-1, 1)
+        out_texts = [texts[i] if i < len(texts) else self.padding_value for i in chosen]
+        # pad to the fixed budget (static shape across the batch)
+        while len(out_texts) < self.max_samples:
+            out_texts.append(self.padding_value)
+        labels = dict(labels)
+        labels["cls"] = new_cls
+        labels["texts"] = out_texts[: self.max_samples]
+        return labels

@@ -405,9 +405,14 @@ class BaseTrainer(CallbackMixin):
                          for k, v in batch["dn"].items()}
         if "prompts" in batch:
             # prompts are pre-broadcast to (B, ...) by the attaching trainer,
-            # so they shard over the data axis like any other batch leaf
-            out["prompts"] = {k: jax.device_put(np.asarray(v), self._data_sharding)
-                              for k, v in batch["prompts"].items()}
+            # so they shard over the data axis like any other batch leaf.
+            # YOLOE passes a dict {tpe, vp, vpe}; world passes the raw
+            # (B, T, 512) text-feature array.
+            p = batch["prompts"]
+            out["prompts"] = (
+                {k: jax.device_put(np.asarray(v), self._data_sharding) for k, v in p.items()}
+                if isinstance(p, dict)
+                else jax.device_put(np.asarray(p), self._data_sharding))
         return out
 
     # -- checkpointing (reference save_model trainer.py:579) -------------------
@@ -476,6 +481,65 @@ class DetectionTrainer(BaseTrainer):
             )
         return v8DetectionLoss(
             nc=self.model.nc, reg_max=16, strides=self.model.stride,
+            hyp={"box": self.args.get("box", 7.5), "cls": self.args.get("cls", 0.5),
+                 "dfl": self.args.get("dfl", 1.5)},
+        )
+
+
+class WorldTrainer(DetectionTrainer):
+    """Open-vocabulary (grounding/multimodal) world training (reference
+    models/yolo/world/train_world.py:196 + RandomLoadText augment.py:2326):
+    every batch re-samples a fixed-size text vocabulary — the batch's positive
+    class names plus random negatives — remaps labels into it, and embeds it
+    with the text tower as the guide stream. Deviation from the reference
+    (documented): sampling is per-BATCH rather than per-image so the text
+    tensor keeps one static (B, T, 512) shape under jit.
+    """
+
+    def __init__(self, model, args, class_texts=None, max_texts: int = 32):
+        super().__init__(model, args)
+        names = getattr(model, "names", None) or {}
+        self.class_texts = list(class_texts) if class_texts else \
+            [str(names.get(i, f"object{i}")) for i in range(model.nc)]
+        self.max_texts = int(max_texts)
+        self._text_cache = {}
+
+    def _embed(self, texts):
+        from ultralytics_pro_tpu.nn.modules.world import encode_text
+
+        key = tuple(texts)
+        if key not in self._text_cache:
+            if len(self._text_cache) > 256:
+                self._text_cache.clear()
+            self._text_cache[key] = encode_text(list(texts))
+        return self._text_cache[key]
+
+    def host_preprocess_batch(self, batch):
+        cls = np.asarray(batch["cls"], np.float32)
+        mask = np.asarray(batch.get("mask_gt", np.ones(cls.shape[:2], bool)))
+        pos = sorted({int(c) for c in cls[mask].reshape(-1)})[: self.max_texts]
+        pool = [i for i in range(len(self.class_texts)) if i not in pos]
+        rng = np.random.default_rng(None)
+        neg = list(rng.permutation(pool)[: max(self.max_texts - len(pos), 0)])
+        chosen = pos + [int(i) for i in neg]
+        remap = np.zeros(max(len(self.class_texts), 1), np.float32)
+        for new, old in enumerate(chosen):
+            remap[old] = new
+        batch = dict(batch)
+        batch["cls"] = remap[cls.astype(np.int64).clip(0, len(remap) - 1)].reshape(cls.shape)
+        texts = [self.class_texts[i] for i in chosen]
+        texts += [" "] * (self.max_texts - len(texts))
+        tf = self._embed(texts)  # (T, 512)
+        b = cls.shape[0]
+        batch["prompts"] = np.broadcast_to(tf[None], (b, *tf.shape)).copy()
+        return batch
+
+    def criterion(self):
+        from ultralytics_pro_tpu.utils.loss import v8DetectionLoss
+
+        # classification logits span the sampled text budget, not model.nc
+        return v8DetectionLoss(
+            nc=self.max_texts, reg_max=16, strides=self.model.stride,
             hyp={"box": self.args.get("box", 7.5), "cls": self.args.get("cls", 0.5),
                  "dfl": self.args.get("dfl", 1.5)},
         )

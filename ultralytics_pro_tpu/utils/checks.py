@@ -79,9 +79,35 @@ def collect_system_info():
     }
 
 
-def check_amp(model=None) -> bool:
-    """bf16 is native on TPU MXUs — no loss-scaling or NaN sanity pass needed
-    (the reference's check_amp, checks.py:734, guards CUDA fp16)."""
+def check_amp(model=None, imgsz: int = 64, rel_tol: float = 0.10) -> bool:
+    """Mixed-precision numeric sanity (reference check_amp, checks.py:734:
+    forward an image in fp16 and fp32 and require close outputs before
+    enabling AMP). Here: the SAME params run through the model at compute
+    dtype bf16 vs f32; top scores must agree within `rel_tol` and stay
+    finite. bf16 needs no loss scaling on TPU, so a False only signals a
+    numerically fragile architecture — callers then train in f32."""
     import jax
 
-    return jax.default_backend() in ("tpu", "cpu")
+    if model is None:
+        return jax.default_backend() in ("tpu", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    variables = getattr(model, "variables", None) or model.init_params(imgsz=imgsz)
+    m16 = type(model)(model.yaml, dtype=jnp.bfloat16, verbose=False)
+    x = jnp.asarray(np.random.default_rng(0).normal(0.5, 0.25, (1, imgsz, imgsz, 3))
+                    .clip(0, 1).astype(np.float32))
+    y32 = model.apply(variables, x, train=False)
+    y16 = m16.apply(variables, x, train=False)
+    y32 = y32[0] if isinstance(y32, tuple) else y32
+    y16 = y16[0] if isinstance(y16, tuple) else y16
+    a32, a16 = np.asarray(y32, np.float32), np.asarray(y16, np.float32)
+    if not (np.isfinite(a16).all() and np.isfinite(a32).all()):
+        return False
+    # compare the strongest activations (scores dominate decisions)
+    k = min(64, a32.size)
+    top = np.argsort(a32.reshape(-1))[-k:]
+    denom = np.abs(a32.reshape(-1)[top]) + 1e-3
+    rel = np.abs(a16.reshape(-1)[top] - a32.reshape(-1)[top]) / denom
+    return bool(rel.max() < rel_tol)

@@ -473,6 +473,15 @@ class DetectionTrainer(BaseTrainer):
         from ultralytics_pro_tpu.utils.loss import E2EDetectLoss, v8DetectionLoss
 
         head = self.model._head_spec()
+        if head is not None and head.type_name == "AnchorDetect":
+            from ultralytics_pro_tpu.utils.loss import v5AnchorLoss
+
+            kw = dict(head.kwargs)
+            return v5AnchorLoss(
+                nc=self.model.nc, anchors=kw["anchors"], strides=self.model.stride,
+                hyp={"box": self.args.get("box", 0.05), "cls": self.args.get("cls", 0.5),
+                     "obj": self.args.get("obj", 1.0)},
+            )
         if head is not None and head.type_name == "v10Detect":
             return E2EDetectLoss(
                 nc=self.model.nc, reg_max=16, strides=self.model.stride,

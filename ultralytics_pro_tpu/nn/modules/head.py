@@ -641,3 +641,65 @@ class WorldDetect(Detect):
         dbox = dist2bbox(dist, anchors[None], xywh=True) * stride_t[None]
         y = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1)
         return y, {"feats": raw}
+
+
+# canonical COCO anchors (reference cfg/models/v5/yolov5.yaml anchors key)
+V5_ANCHORS = (
+    ((10, 13), (16, 30), (33, 23)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((116, 90), (156, 198), (373, 326)),
+)
+
+
+class AnchorDetect(ConvBase):
+    """TRUE anchor-based YOLOv5/v7 head (reference Detect-for-v5 lineage /
+    IDetect head.py:406 with anchors): one 1x1 conv per level emits
+    (B, H, W, na*(5+nc)); eval decode is the v5 grid formulation
+    xy = (2*sig(txy) - 0.5 + grid) * stride, wh = (2*sig(twh))^2 * anchor,
+    score = sig(obj) * sig(cls). Optional ImplicitA/M pre/post adds make it
+    the v7 IDetect. Output contract matches Detect: (B, A, 4+nc) with xywh
+    pixel boxes then per-class scores, so NMS/val/predict run unchanged."""
+
+    nc: int = 80
+    anchors: Any = V5_ANCHORS
+    strides: Tuple[int, ...] = (8, 16, 32)
+    implicit: bool = False
+    legacy: bool = True  # unused; kept for builder-signature parity
+
+    @property
+    def na(self):
+        return len(self.anchors[0])
+
+    @property
+    def no(self):
+        return 5 + self.nc
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.conv import ImplicitA, ImplicitM
+
+        raw = []
+        for i, x in enumerate(feats):
+            if self.implicit:
+                x = ImplicitA(name=f"ia_{i}")(x)
+            y = nn.Conv(self.na * self.no, (1, 1), dtype=self.dtype, name=f"m_{i}")(x)
+            if self.implicit:
+                y = ImplicitM(name=f"im_{i}")(y)
+            raw.append(y)  # (B, H, W, na*no)
+        if train:
+            return {"feats": raw, "anchor_feats": raw}
+        outs = []
+        for i, y in enumerate(raw):
+            b, h, w, _ = y.shape
+            s = self.strides[i]
+            t = y.reshape(b, h, w, self.na, self.no).astype(jnp.float32)
+            sig = jax.nn.sigmoid(t)
+            gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                  jnp.arange(w, dtype=jnp.float32), indexing="ij")
+            grid = jnp.stack([gx, gy], -1)[None, :, :, None, :]  # (1,H,W,1,2)
+            anc = jnp.asarray(self.anchors[i], jnp.float32)[None, None, None]  # (1,1,1,na,2)
+            xy = (sig[..., :2] * 2.0 - 0.5 + grid) * s
+            wh = (sig[..., 2:4] * 2.0) ** 2 * anc
+            score = sig[..., 5:] * sig[..., 4:5]
+            outs.append(jnp.concatenate([xy, wh, score], -1).reshape(b, -1, 4 + self.nc))
+        return jnp.concatenate(outs, axis=1), {"feats": raw}

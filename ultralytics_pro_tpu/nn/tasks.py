@@ -182,6 +182,16 @@ def _build_head_v10(args, n, w, d, mx, ctx):
     return v10Detect, _kw(nc=args[0], legacy=False)
 
 
+def _build_anchor_detect(args, n, w, d, mx, ctx):
+    from ultralytics_pro_tpu.nn.modules.head import V5_ANCHORS, AnchorDetect
+
+    ctx["head_index"] = ctx["i"]
+    anchors = args[1] if len(args) > 1 and isinstance(args[1], (list, tuple)) else V5_ANCHORS
+    anchors = tuple(tuple(tuple(p) for p in lvl) for lvl in anchors)
+    return AnchorDetect, _kw(nc=args[0], anchors=anchors,
+                             implicit=bool(_a(args, 2, False)))
+
+
 def _build_rtdetr_decoder(args, n, w, d, mx, ctx):
     from ultralytics_pro_tpu.nn.modules.head import RTDETRDecoder
 
@@ -445,6 +455,7 @@ BUILDERS: Dict[str, Callable] = {
     "ImplicitM": lambda a, n, w, d, mx, ctx: (
         __import__("ultralytics_pro_tpu.nn.modules.conv", fromlist=["ImplicitM"]).ImplicitM, _kw()),
     "Classify": lambda a, n, w, d, mx, ctx: (M.Classify, _kw(c2=a[0])),
+    "AnchorDetect": _build_anchor_detect,
 }
 
 
@@ -691,6 +702,7 @@ BUILDERS.update({
 # Modules that flip Detect heads off the legacy branch layout (reference
 # tasks.py:2862-2870: C3k2 family, A2C2f, C2fCIB).
 HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect", "WorldDetect",
+              "AnchorDetect",
               "IDetect", "ISegment", "IOBB", "IPose",
               "DDetect", "DSegment", "DOBB", "DPose",
               "YOLOEDetect", "YOLOESegment")

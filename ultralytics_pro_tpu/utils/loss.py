@@ -15,6 +15,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ultralytics_pro_tpu.ops.anchors import bbox2dist, dist2bbox, dist2rbox, make_anchors
 from ultralytics_pro_tpu.ops.boxes import xywh2xyxy
@@ -486,3 +487,111 @@ class TVPSegmentLoss(TVPDetectLoss):
         vp = {"feats": self._vp_feats(preds["feats"]),
               "mc": preds["mc"], "protos": preds["protos"]}
         return self.inner(vp, batch, imgsz_hw)
+
+
+class v5AnchorLoss:
+    """Anchor-based YOLOv5/v7 loss (reference v5 ComputeLoss / the fork's
+    anchor lineage): per-level anchor-ratio matching (r < 4), 3-cell
+    cross-grid assignment, CIoU box loss, objectness BCE with per-level
+    balance, class BCE — all with STATIC shapes: every (gt, anchor, offset)
+    candidate is scored and masked rather than gathered dynamically.
+
+    Consumes AnchorDetect's raw maps (B, H, W, na*(5+nc)).
+    """
+
+    BALANCE = (4.0, 1.0, 0.4)
+
+    def __init__(self, nc, anchors, strides, hyp=None, anchor_t: float = 4.0):
+        self.nc = int(nc)
+        self.anchors = [np.asarray(a, np.float32) for a in anchors]
+        self.strides = tuple(strides)
+        self.na = len(self.anchors[0])
+        h = hyp or {}
+        self.box_gain = h.get("box", 0.05)
+        self.cls_gain = h.get("cls", 0.5)
+        self.obj_gain = h.get("obj", 1.0)
+        self.anchor_t = anchor_t
+
+    def __call__(self, preds, batch, imgsz):
+        feats = preds["anchor_feats"] if isinstance(preds, dict) else preds
+        bboxes = batch["bboxes"].astype(jnp.float32)   # (B, G, 4) xywh normalized
+        cls = batch["cls"].astype(jnp.int32).reshape(bboxes.shape[0], -1)
+        gt_mask = batch["mask_gt"].astype(jnp.float32)  # (B, G)
+        bsz, G = gt_mask.shape
+
+        lbox = lcls = lobj = 0.0
+        for li, y in enumerate(feats):
+            b, hgt, wid, _ = y.shape
+            t = y.reshape(b, hgt, wid, self.na, 5 + self.nc).astype(jnp.float32)
+            s = self.strides[li]
+            anc = jnp.asarray(self.anchors[li] / s, jnp.float32)  # grid units
+
+            # GT in grid units of this level
+            gxy = bboxes[..., :2] * jnp.asarray([wid, hgt], jnp.float32)   # (B,G,2)
+            gwh = bboxes[..., 2:] * jnp.asarray([wid, hgt], jnp.float32)
+
+            # anchor-ratio filter (v5 build_targets): (B,G,na)
+            r = gwh[:, :, None, :] / (anc[None, None] + 1e-9)
+            ratio_ok = jnp.maximum(r, 1.0 / (r + 1e-9)).max(-1) < self.anchor_t
+
+            # 3-cell offsets (center + the 2 nearest neighbors), g=0.5:
+            # candidate mask per offset (B,G,5)
+            gx, gy = gxy[..., 0], gxy[..., 1]
+            fx, fy = gx % 1.0, gy % 1.0
+            off_ok = jnp.stack([
+                jnp.ones_like(gx, bool),
+                (fx < 0.5) & (gx > 1.0),          # left neighbor (offset -1 in x? v5: j)
+                (fx >= 0.5) & (gx < wid - 1.0),   # right
+                (fy < 0.5) & (gy > 1.0),          # up
+                (fy >= 0.5) & (gy < hgt - 1.0),   # down
+            ], -1)
+            # offsets applied to the CELL index (v5 subtracts off*g then floors)
+            off = jnp.asarray([[0, 0], [-1, 0], [1, 0], [0, -1], [0, 1]], jnp.float32) * 0.5
+            cell = jnp.floor(gxy[:, :, None, :] - off[None, None])  # (B,G,5,2)
+            cx = jnp.clip(cell[..., 0], 0, wid - 1).astype(jnp.int32)
+            cy = jnp.clip(cell[..., 1], 0, hgt - 1).astype(jnp.int32)
+
+            # full candidate mask (B,G,na,5)
+            m = (gt_mask[:, :, None, None] > 0) & ratio_ok[..., None] & off_ok[:, :, None, :]
+
+            # gather predictions at candidate cells: flatten grid per (b)
+            flat = t.reshape(b, hgt * wid, self.na, 5 + self.nc)
+            idx = (cy * wid + cx)  # (B,G,5)
+            bi = jnp.arange(b)[:, None, None]
+            pred = flat[bi, idx].transpose(0, 1, 3, 2, 4)  # (B,G,na,5,no)
+
+            sig = jax.nn.sigmoid(pred)
+            pxy = sig[..., :2] * 2.0 - 0.5 + jnp.stack([cx, cy], -1)[:, :, None, :, :]
+            pwh = (sig[..., 2:4] * 2.0) ** 2 * anc[None, None, :, None, :]
+            pbox = jnp.concatenate([pxy, pwh], -1)           # (B,G,na,5,4) grid xywh
+            tbox = jnp.concatenate([gxy, gwh], -1)[:, :, None, None, :]
+            iou = bbox_iou(pbox, jnp.broadcast_to(tbox, pbox.shape), xywh=True, CIoU=True)
+            iou = iou.squeeze(-1) if iou.shape[-1] == 1 else iou
+            mf = m.astype(jnp.float32)
+            npos = mf.sum() + 1e-6
+            lbox = lbox + (((1.0 - iou) * mf).sum() / npos)
+
+            # objectness target: scatter-max detached IoU into the obj map
+            tobj = jnp.zeros((b, hgt * wid, self.na), jnp.float32)
+            flat_idx = idx[:, :, None, :].repeat(self.na, 2)          # (B,G,na,5)
+            iou_pos = jnp.clip(jax.lax.stop_gradient(iou), 0.0) * mf
+            bidx = jnp.broadcast_to(jnp.arange(b)[:, None, None, None], flat_idx.shape)
+            aidx = jnp.broadcast_to(jnp.arange(self.na)[None, None, :, None], flat_idx.shape)
+            tobj = tobj.at[bidx.reshape(-1), flat_idx.reshape(-1), aidx.reshape(-1)].max(
+                iou_pos.reshape(-1))
+            obj_logit = t[..., 4].reshape(b, hgt * wid, self.na)
+            lobj_l = bce_logits(obj_logit, tobj).mean()
+            bal = self.BALANCE[li] if li < len(self.BALANCE) else 0.4
+            lobj = lobj + bal * lobj_l
+
+            if self.nc > 1:
+                tcls = jax.nn.one_hot(cls[:, :, None, None].repeat(self.na, 2)
+                                      .repeat(5, 3), self.nc)
+                lcls = lcls + ((bce_logits(pred[..., 5:], tcls) * mf[..., None]).sum()
+                               / (npos * self.nc))
+
+        nl = len(feats)
+        total = (self.box_gain * lbox + self.obj_gain * lobj +
+                 self.cls_gain * lcls) * bsz
+        return total, {"box": self.box_gain * lbox, "obj": self.obj_gain * lobj,
+                       "cls": self.cls_gain * lcls}

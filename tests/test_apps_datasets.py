@@ -1,0 +1,74 @@
+"""Solutions config/apps shells, auto-annotator, new dataset configs."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def test_solution_config_update_validates():
+    from ultralytics_pro_tpu.solutions.config import SolutionConfig
+
+    cfg = SolutionConfig()
+    cfg.update(conf=0.4, region=[(0, 0), (10, 0), (10, 10)])
+    assert cfg.conf == 0.4
+    with pytest.raises(ValueError, match="unknown solution args"):
+        cfg.update(confidense=0.4)
+    assert "tracker" in cfg.as_dict()
+
+
+def test_app_shells_importable_and_gated():
+    from ultralytics_pro_tpu.solutions.apps import Inference, ParkingPtsSelection, SearchApp
+
+    inf = Inference("yolov8n.yaml")
+    assert inf.model_path == "yolov8n.yaml"
+    try:
+        import streamlit  # noqa: F401
+        has_st = True
+    except ImportError:
+        has_st = False
+    if not has_st:
+        with pytest.raises(ImportError, match="streamlit"):
+            inf.inference()
+    # SearchApp headless search works without flask
+    app = SearchApp(data="/nonexistent_dir")
+    assert app.searcher.paths == []
+    try:
+        import tkinter  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="tkinter"):
+            ParkingPtsSelection()
+
+
+def test_annotator_importable():
+    from ultralytics_pro_tpu.data.annotator import auto_annotate
+
+    assert callable(auto_annotate)
+
+
+def test_new_dataset_yamls_resolve():
+    from ultralytics_pro_tpu.data.utils import check_det_dataset
+
+    d = check_det_dataset("coco128.yaml")
+    assert d["nc"] == 3
+    assert Path(d["train"]).exists()
+    imgs = list(Path(d["train"]).glob("*.jpg"))
+    assert len(imgs) >= 64  # synth_count honored (train split of 128)
+
+    for name in ("VOC.yaml", "DOTAv1.yaml"):
+        # path doesn't exist locally; the yaml itself must parse with names
+        import pytest as _p
+
+        try:
+            check_det_dataset(name)
+        except FileNotFoundError:
+            pass  # expected without the real dataset on disk
+
+
+def test_synth_classify_dataset():
+    from ultralytics_pro_tpu.data.utils import check_cls_dataset
+
+    d = check_cls_dataset("imagenette160.yaml")
+    assert d["nc"] == 4
+    assert Path(d["train"]).exists()
+    assert sorted(d["names"].values()) == ["class0", "class1", "class2", "class3"]

@@ -32,10 +32,15 @@ def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
     if not root.is_absolute():
         root = (Path(d.get("yaml_file", ".")).parent / root).resolve()
     d["path"] = root
+    def _resolve(v):
+        sp = Path(v)
+        return str(sp if sp.is_absolute() else root / sp)
+
     for split in ("train", "val", "test"):
         if d.get(split):
-            sp = Path(d[split])
-            d[split] = str(sp if sp.is_absolute() else root / sp)
+            # reference supports a LIST of image dirs per split (VOC.yaml)
+            d[split] = ([_resolve(v) for v in d[split]]
+                        if isinstance(d[split], (list, tuple)) else _resolve(d[split]))
 
     # zero-egress stand-in for the reference's dataset download hooks: bundled
     # tiny-dataset YAMLs carry `synth: <task>` and generate deterministically
@@ -46,7 +51,7 @@ def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
 
         task = d["synth"] if isinstance(d["synth"], str) else "detect"
         LOGGER.info(f"generating synthetic dataset at {root} (task={task})")
-        make_synth_dataset(root, n_images=8, imgsz=160,
+        make_synth_dataset(root, n_images=int(d.get("synth_count", 8)), imgsz=160,
                            nc=len(d.get("names") or [3]) or 3, task=task)
 
     names = d.get("names")
@@ -62,7 +67,21 @@ def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
 
 
 def check_cls_dataset(data: Union[str, Path]) -> Dict:
-    root = Path(data)
+    # classify yamls with `synth: classify` generate folder-per-class data at
+    # first use (imagenette160.yaml stand-in)
+    if str(data).endswith((".yaml", ".yml")):
+        p = Path(data)
+        if not p.exists():
+            cand = list((PKG_ROOT / "cfg" / "datasets").glob(p.name))
+            if not cand:
+                raise FileNotFoundError(f"classification dataset '{data}' not found")
+            p = cand[0]
+        d = yaml_load(p)
+        root = Path(d.get("path", ".")).expanduser()
+        if d.get("synth") == "classify" and not (root / "train").exists():
+            _make_synth_cls(root, nc=len(d.get("names") or {0: "a", 1: "b"}) or 2)
+        data = root
+    root = Path(data).expanduser()
     if not root.exists():
         raise FileNotFoundError(f"classification dataset '{data}' not found")
     train = root / "train" if (root / "train").exists() else root
@@ -70,3 +89,28 @@ def check_cls_dataset(data: Union[str, Path]) -> Dict:
     classes = sorted(d.name for d in train.iterdir() if d.is_dir())
     return {"path": root, "train": str(train), "val": str(val),
             "names": dict(enumerate(classes)), "nc": len(classes)}
+
+
+def _make_synth_cls(root: Path, nc: int = 4, n_per_class: int = 8, imgsz: int = 64):
+    """Folder-per-class synthetic classification data (imagenette160 stand-in)."""
+    import cv2
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for split, n in (("train", n_per_class), ("val", max(n_per_class // 2, 2))):
+        for c in range(nc):
+            d = root / split / f"class{c}"
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                im = np.full((imgsz, imgsz, 3), 30 * c + 40, np.uint8)
+                color = tuple(int(v) for v in rng.integers(64, 255, 3))
+                if c % 4 == 0:
+                    cv2.circle(im, (imgsz // 2, imgsz // 2), imgsz // 4 + i, color, -1)
+                elif c % 4 == 1:
+                    cv2.rectangle(im, (8 + i, 8), (imgsz - 8, imgsz - 8 - i), color, -1)
+                elif c % 4 == 2:
+                    cv2.line(im, (0, i * 4), (imgsz, imgsz - i * 4), color, 5)
+                else:
+                    cv2.ellipse(im, (imgsz // 2, imgsz // 2), (imgsz // 3, imgsz // 5 + i),
+                                30 * i, 0, 360, color, -1)
+                cv2.imwrite(str(d / f"{split}_{c}_{i}.jpg"), im)

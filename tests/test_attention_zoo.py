@@ -91,3 +91,32 @@ def test_carafe_upsamples_2x():
     v = jax.jit(lambda x: m.init(jax.random.PRNGKey(0), x, train=False))(x)
     y = m.apply(v, x, train=False)
     assert y.shape == (1, 32, 32, 32)
+
+
+def test_attention_stragglers_forward():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ultralytics_pro_tpu.nn.modules import attention as A
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 16, 16, 32)).astype(np.float32))
+    for cls, kw, shape in [
+        (A.LSKA, dict(k=11), (1, 16, 16, 32)),
+        (A.CPCA, dict(), (1, 16, 16, 32)),
+        (A.FocusedLinearAttention, dict(num_heads=4), (1, 16, 16, 32)),
+        (A.Yolov7_Tiny_E_ELAN, dict(c2=32), (1, 16, 16, 32)),
+        (A.Yolov7_E_ELAN, dict(c2=32, in_c=16), (1, 16, 16, 32)),
+        (A.V7DownSampling, dict(c2=32), (1, 8, 8, 32)),
+    ]:
+        mod = cls(**kw)
+        v = mod.init(jax.random.PRNGKey(0), x, train=False)
+        y = mod.apply(v, x, train=False)
+        assert y.shape == shape, cls.__name__
+        assert bool(jnp.isfinite(y).all()), cls.__name__
+
+    from ultralytics_pro_tpu.nn.tasks import BUILDERS
+
+    for nm in ("LSKA", "CPCA", "FocusedLinearAttention", "Yolov7_Tiny_E_ELAN",
+               "Yolov7_E_ELAN", "V7DownSampling"):
+        assert nm in BUILDERS

@@ -10,7 +10,7 @@ SimAM:5252, EMA:6213). Deformable sampling runs through ops/deform.py
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -660,3 +660,159 @@ class DAttention(ConvBase):
         lepe = nn.Conv(c, (3, 3), padding=1, feature_group_count=c,
                        dtype=self.dtype, name="rpe_table")(q)
         return nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out + lepe)
+
+
+class LSKA(ConvBase):
+    """Large separable kernel attention (reference block.py:6615): cascaded
+    (1,k)+(k,1) DW convs, then dilated pairs, then 1x1 — the product gates x."""
+
+    k: int = 11
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        d = max(self.k // 3, 2)  # dilation of the long-range pair
+        k0 = 5
+        a = nn.Conv(c, (1, k0), padding=((0, 0), (k0 // 2, k0 // 2)),
+                    feature_group_count=c, dtype=self.dtype, name="dw_h")(x)
+        a = nn.Conv(c, (k0, 1), padding=((k0 // 2, k0 // 2), (0, 0)),
+                    feature_group_count=c, dtype=self.dtype, name="dw_v")(a)
+        ke = self.k // d + 1
+        a = nn.Conv(c, (1, ke), padding="SAME", kernel_dilation=(1, d),
+                    feature_group_count=c, dtype=self.dtype, name="dwd_h")(a)
+        a = nn.Conv(c, (ke, 1), padding="SAME", kernel_dilation=(d, 1),
+                    feature_group_count=c, dtype=self.dtype, name="dwd_v")(a)
+        a = nn.Conv(c, (1, 1), dtype=self.dtype, name="pw")(a)
+        return x * a
+
+
+class CPCA(ConvBase):
+    """Channel-prior conv attention (reference CPCAChannelAttention
+    block.py:3538 + the multi-strip spatial stage): avg+max MLP channel gate,
+    then 5x5 + (1,7)/(7,1) + (1,11)/(11,1) + (1,21)/(21,1) DW strip convs
+    summed as the spatial gate."""
+
+    reduction: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        hid = max(c // self.reduction, 8)
+
+        def mlp(v, prefix):
+            v = jax.nn.relu(nn.Dense(hid, dtype=self.dtype, name=f"{prefix}_fc1")(v))
+            return nn.Dense(c, dtype=self.dtype, name=f"{prefix}_fc2")(v)
+
+        ca = jax.nn.sigmoid(mlp(x.mean(axis=(1, 2)), "ca") + mlp(x.max(axis=(1, 2)), "ca2"))
+        y = x * ca[:, None, None, :]
+        s = nn.Conv(c, (5, 5), padding=((2, 2), (2, 2)), feature_group_count=c,
+                    dtype=self.dtype, name="dw5")(y)
+        for i, k in enumerate((7, 11, 21)):
+            h = nn.Conv(c, (1, k), padding=((0, 0), (k // 2, k // 2)),
+                        feature_group_count=c, dtype=self.dtype, name=f"strip{i}_h")(y)
+            h = nn.Conv(c, (k, 1), padding=((k // 2, k // 2), (0, 0)),
+                        feature_group_count=c, dtype=self.dtype, name=f"strip{i}_v")(h)
+            s = s + h
+        s = nn.Conv(c, (1, 1), dtype=self.dtype, name="pw")(s)
+        return y * jax.nn.sigmoid(s)
+
+
+class FocusedLinearAttention(ConvBase):
+    """Focused linear attention (reference block.py:6270): relu feature maps
+    raised to a focusing power with norm restoration; O(N*d^2) linear
+    attention + a per-head DW conv on V."""
+
+    num_heads: int = 8
+    focusing: float = 3.0
+    dw_k: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh = self.num_heads if c % self.num_heads == 0 else 1
+        hd = c // nh
+        n = h * w
+        t = x.reshape(b, n, c)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(t)
+        kv = nn.Dense(2 * c, dtype=self.dtype, name="kv")(t)
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k + self.param("pos", nn.initializers.zeros, (1, 1, c))
+        scale = jax.nn.softplus(self.param("scale", nn.initializers.zeros, (1, 1, c)))
+        q = (jax.nn.relu(q) + 1e-6) / (scale + 1e-6)
+        k = (jax.nn.relu(k) + 1e-6) / (scale + 1e-6)
+        qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        kn = jnp.linalg.norm(k, axis=-1, keepdims=True)
+        q = (q ** self.focusing)
+        k = (k ** self.focusing)
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6) * qn
+        k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6) * kn
+        q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+        z = 1.0 / (jnp.einsum("bhnd,bhd->bhn", q, k.mean(axis=2)) * n + 1e-6)
+        kv_ctx = jnp.einsum("bhnd,bhne->bhde", k, vh) / n
+        out = jnp.einsum("bhnd,bhde->bhne", q, kv_ctx) * z[..., None]
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        # per-head DW conv on V (local detail branch)
+        vimg = v.reshape(b, h, w, c)
+        p = self.dw_k // 2
+        out = out + nn.Conv(c, (self.dw_k, self.dw_k), padding=((p, p), (p, p)),
+                            feature_group_count=c, dtype=self.dtype, name="dwc")(vimg)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out).reshape(b, h, w, c)
+
+
+class Yolov7_Tiny_E_ELAN(ConvBase):
+    """v7-tiny ELAN (reference block.py:5829): 2 stems + 2 cascaded 3x3,
+    concat all 4, 1x1 fuse."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        x1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(x, train)
+        x2 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
+        x3 = Conv(c2=c_, k=3, dtype=self.dtype, name="cv3")(x2, train)
+        x4 = Conv(c2=c_, k=3, dtype=self.dtype, name="cv4")(x3, train)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv5")(
+            jnp.concatenate([x1, x2, x3, x4], -1), train)
+
+
+class Yolov7_E_ELAN(ConvBase):
+    """v7 E-ELAN (reference block.py:5963): 2 stems + 4 cascaded 3x3 convs;
+    `layer` selects which intermediates aggregate (expand-merge cardinality)."""
+
+    c2: int = 0
+    in_c: int = 0
+    layer: Tuple[int, ...] = (0, 1, 3, 5)
+    backbone: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.in_c or self.c2 // 2
+        stem_c = c_ if self.backbone else self.c2
+        x1 = Conv(c2=stem_c, k=1, dtype=self.dtype, name="cv1")(x, train)
+        x2 = Conv(c2=stem_c, k=1, dtype=self.dtype, name="cv2")(x, train)
+        x3 = Conv(c2=c_, k=3, dtype=self.dtype, name="cv3")(x2, train)
+        x4 = Conv(c2=c_, k=3, dtype=self.dtype, name="cv4")(x3, train)
+        x5 = Conv(c2=c_, k=3, dtype=self.dtype, name="cv5")(x4, train)
+        x6 = Conv(c2=c_, k=3, dtype=self.dtype, name="cv6")(x5, train)
+        inter = [x1, x2, x3, x4, x5, x6]
+        y = jnp.concatenate([inter[i] for i in self.layer], -1)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv7")(y, train)
+
+
+class V7DownSampling(ConvBase):
+    """v7 dual-path downsample (reference block.py:6000): maxpool+1x1 branch
+    || 1x1+3x3s2 branch, concatenated."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        a = nn.max_pool(x, (2, 2), (2, 2), padding="VALID")
+        a = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(a, train)
+        b = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
+        b = Conv(c2=c_, k=3, s=2, dtype=self.dtype, name="cv3")(b, train)
+        return jnp.concatenate([a, b], -1)

@@ -545,6 +545,21 @@ BUILDERS.update({
         _dx().ARConv, _kw(c2=_sc(a[0], w, mx))),
 })
 
+BUILDERS.update({
+    # attention zoo stragglers + explicit E-ELAN family (nn/modules/attention.py)
+    "LSKA": lambda a, n, w, d, mx, ctx: (_att().LSKA, _kw(k=_a(a, 1, 11))),
+    "CPCA": lambda a, n, w, d, mx, ctx: (_att().CPCA, _kw()),
+    "FocusedLinearAttention": lambda a, n, w, d, mx, ctx: (
+        _att().FocusedLinearAttention, _kw(num_heads=_a(a, 2, 8))),
+    "Yolov7_Tiny_E_ELAN": lambda a, n, w, d, mx, ctx: (
+        _att().Yolov7_Tiny_E_ELAN, _kw(c2=_sc(a[0], w, mx))),
+    "Yolov7_E_ELAN": lambda a, n, w, d, mx, ctx: (
+        _att().Yolov7_E_ELAN, _kw(c2=_sc(a[0], w, mx), in_c=_sc(a[1], w, mx) if len(a) > 1 else 0,
+                                  layer=tuple(_a(a, 2, (0, 1, 3, 5))))),
+    "V7DownSampling": lambda a, n, w, d, mx, ctx: (
+        _att().V7DownSampling, _kw(c2=_sc(a[0], w, mx))),
+})
+
 
 def _cx():
     from ultralytics_pro_tpu.nn.modules import conv_extra

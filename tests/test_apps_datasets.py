@@ -72,3 +72,34 @@ def test_synth_classify_dataset():
     assert d["nc"] == 4
     assert Path(d["train"]).exists()
     assert sorted(d["names"].values()) == ["class0", "class1", "class2", "class3"]
+
+
+def test_verify_images_parallel(tmp_path):
+    import cv2
+    import numpy as np
+
+    from ultralytics_pro_tpu.data.utils import verify_images_parallel
+
+    ims, lbs = [], []
+    for i in range(3):
+        p = tmp_path / f"im{i}.jpg"
+        cv2.imwrite(str(p), np.full((32, 32, 3), 100, np.uint8))
+        lb = tmp_path / f"im{i}.txt"
+        lb.write_text("0 0.5 0.5 0.2 0.2\n" if i < 2 else "")
+        ims.append(str(p)); lbs.append(str(lb))
+    bad = tmp_path / "bad.jpg"
+    bad.write_text("not an image")
+    badlb = tmp_path / "bad.txt"
+    badlb.write_text("0 0.5 0.5 0.2 0.2\n")
+    ims.append(str(bad)); lbs.append(str(badlb))
+    nf, ne, nc, msgs = verify_images_parallel(ims, lbs)
+    assert (nf, ne, nc) == (2, 1, 1) and msgs
+
+
+def test_hub_auth_roundtrip(monkeypatch):
+    from ultralytics_pro_tpu.hub.auth import Auth, login, logout
+
+    assert login("validkey123", verbose=False) is True
+    assert Auth("validkey123").get_auth_header() == {"x-api-key": "validkey123"}
+    assert Auth("x").authenticate() is False
+    logout()

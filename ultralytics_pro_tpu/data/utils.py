@@ -114,3 +114,46 @@ def _make_synth_cls(root: Path, nc: int = 4, n_per_class: int = 8, imgsz: int = 
                     cv2.ellipse(im, (imgsz // 2, imgsz // 2), (imgsz // 3, imgsz // 5 + i),
                                 30 * i, 0, 360, color, -1)
                 cv2.imwrite(str(d / f"{split}_{c}_{i}.jpg"), im)
+
+
+def verify_image_label(args):
+    """Verify one (im_file, lb_file) pair (reference data/utils.py
+    verify_image_label): image opens and is >=10px; label rows are well-formed
+    normalized floats. Returns (im_file, nf, ne, ncorrupt, msg)."""
+    im_file, lb_file = args
+    try:
+        import cv2
+
+        im = cv2.imread(str(im_file))
+        if im is None:
+            return im_file, 0, 0, 1, f"unreadable image {im_file}"
+        h, w = im.shape[:2]
+        if h < 10 or w < 10:
+            return im_file, 0, 0, 1, f"image too small {w}x{h}"
+        if lb_file and Path(lb_file).is_file():
+            rows = [r.split() for r in Path(lb_file).read_text().strip().splitlines() if r]
+            for r in rows:
+                vals = [float(v) for v in r]
+                if len(vals) < 5 or vals[0] < 0 or any(v < -0.01 or v > 1.01 for v in vals[1:5]):
+                    return im_file, 0, 0, 1, f"malformed label row in {lb_file}"
+            return im_file, 1 if rows else 0, 0 if rows else 1, 0, ""
+        return im_file, 0, 1, 0, ""
+    except Exception as e:  # pragma: no cover - defensive
+        return im_file, 0, 0, 1, f"{type(e).__name__}: {e}"
+
+
+def verify_images_parallel(im_files, lb_files, workers: int = 8):
+    """Threaded dataset scan (reference uses a process Pool + TQDM); returns
+    (n_found, n_empty, n_corrupt, msgs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    nf = ne = nc = 0
+    msgs = []
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for _, f, e, c, msg in pool.map(verify_image_label, zip(im_files, lb_files)):
+            nf += f
+            ne += e
+            nc += c
+            if msg:
+                msgs.append(msg)
+    return nf, ne, nc, msgs

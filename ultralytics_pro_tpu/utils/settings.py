@@ -44,6 +44,7 @@ class SettingsManager(dict):
             "neptune": False,
             "raytune": False,
             "hub": False,
+            "api_key": "",
         }
         self.update(self.defaults)
         if self.file.exists():

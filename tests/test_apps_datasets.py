@@ -103,3 +103,14 @@ def test_hub_auth_roundtrip(monkeypatch):
     assert Auth("validkey123").get_auth_header() == {"x-api-key": "validkey123"}
     assert Auth("x").authenticate() is False
     logout()
+
+
+def test_cli_special_verbs(capsys, tmp_path, monkeypatch):
+    monkeypatch.setenv("UPT_CONFIG_DIR", str(tmp_path))
+    from ultralytics_pro_tpu.cfg import entrypoint
+
+    entrypoint(["settings"])          # prints current settings JSON
+    entrypoint(["solutions"])         # lists solutions
+    entrypoint(["login", "cli_key_123"])
+    entrypoint(["logout"])
+    entrypoint(["hub"])               # verb help

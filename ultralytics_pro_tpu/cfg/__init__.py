@@ -28,7 +28,7 @@ MODES = {"train", "val", "predict", "export", "track", "benchmark"}
 TASK2DATA = {
     "detect": "coco8.yaml",
     "segment": "coco8-seg.yaml",
-    "classify": "imagenet10",
+    "classify": "imagenette160.yaml",
     "pose": "coco8-pose.yaml",
     "obb": "dota8.yaml",
 }
@@ -189,7 +189,11 @@ def entrypoint(argv: Optional[List[str]] = None):
         "help": lambda: LOGGER.info("yolo TASK MODE k=v ..."),
         "version": lambda: LOGGER.info(__import__("ultralytics_pro_tpu").__version__),
         "checks": lambda: LOGGER.info(f"jax devices: {__import__('jax').devices()}"),
-        "settings": lambda: LOGGER.info("settings are file-based; see cfg/default.yaml"),
+        "settings": lambda: _handle_yolo_settings(args[1:]),
+        "login": lambda: _handle_hub("login", args[1:]),
+        "logout": lambda: _handle_hub("logout", args[1:]),
+        "hub": lambda: _handle_hub(args[1] if len(args) > 1 else "", args[2:]),
+        "solutions": lambda: _handle_yolo_solutions(args[1:]),
         "cfg": lambda: LOGGER.info((Path(__file__).parent / "default.yaml").read_text()),
         "copy-cfg": lambda: __import__("shutil").copy(
             Path(__file__).parent / "default.yaml", "default_copy.yaml"),
@@ -235,3 +239,72 @@ def entrypoint(argv: Optional[List[str]] = None):
     if mode in ("train", "val") and "data" not in overrides and task:
         overrides["data"] = TASK2DATA[task]
     return getattr(model, mode)(**overrides)
+
+
+def _handle_yolo_settings(args: List[str]):
+    """`yolo settings [reset | key=value ...]` (reference
+    handle_yolo_settings cfg/__init__.py:585)."""
+    import json
+
+    from ultralytics_pro_tpu.utils.settings import SETTINGS
+
+    if args and args[0] == "reset":
+        SETTINGS.reset()
+        LOGGER.info("settings reset to defaults")
+        return
+    updates = dict(parse_key_value_pair(a) for a in args if "=" in a)
+    if updates:
+        SETTINGS.update_and_save(**updates)
+    LOGGER.info(json.dumps({k: v for k, v in SETTINGS.items()}, indent=2, default=str))
+
+
+def _handle_hub(verb: str, args: List[str]):
+    """`yolo login|logout|hub ...` (reference entrypoint special verbs)."""
+    from ultralytics_pro_tpu.hub.auth import login, logout
+
+    if verb == "login":
+        key = args[0] if args else ""
+        ok = login(key)
+        LOGGER.info("HUB login ok" if ok else "HUB login failed (key format)")
+    elif verb == "logout":
+        logout()
+    else:
+        LOGGER.info("hub verbs: login <api_key> | logout")
+
+
+def _handle_yolo_solutions(args: List[str]):
+    """`yolo solutions [NAME k=v ...]` (reference handle_yolo_solutions
+    cfg/__init__.py:631): run a named analytics solution over a source."""
+    import ultralytics_pro_tpu.solutions as S
+
+    names = {
+        "count": S.ObjectCounter, "heatmap": S.Heatmap, "speed": S.SpeedEstimator,
+        "queue": S.QueueManager, "workout": S.AIGym, "analytics": S.Analytics,
+        "trackzone": S.TrackZone, "crop": S.ObjectCropper, "blur": S.ObjectBlurrer,
+        "visioneye": S.VisionEye, "isegment": S.InstanceSegmentation,
+        "inference": S.Inference,
+    }
+    if not args or args[0] not in names:
+        LOGGER.info(f"solutions: {sorted(names)} — `yolo solutions NAME source=...`")
+        return
+    kwargs = dict(parse_key_value_pair(a) for a in args[1:] if "=" in a)
+    source = kwargs.pop("source", None)
+    sol = names[args[0]](**kwargs)
+    if args[0] == "inference":
+        sol.inference()
+        return
+    if source is None:
+        LOGGER.info("pass source=<video/image> to run the solution")
+        return sol
+    import cv2
+
+    cap = cv2.VideoCapture(source)
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            sol(frame)
+    finally:
+        cap.release()
+    return sol

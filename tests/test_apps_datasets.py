@@ -114,3 +114,21 @@ def test_cli_special_verbs(capsys, tmp_path, monkeypatch):
     entrypoint(["login", "cli_key_123"])
     entrypoint(["logout"])
     entrypoint(["hub"])               # verb help
+
+
+def test_hub_dataset_stats():
+    from ultralytics_pro_tpu.data.utils import HUBDatasetStats
+
+    st = HUBDatasetStats("coco8.yaml").get_json()
+    assert st["nc"] == 3
+    assert st["train"]["image_stats"]["total"] > 0
+    assert sum(st["train"]["instance_stats"]["per_class"]) == st["train"]["instance_stats"]["total"]
+
+
+def test_run_ray_tune_gated():
+    import pytest as _p
+
+    from ultralytics_pro_tpu.engine.tuner import run_ray_tune
+
+    with _p.raises(ModuleNotFoundError, match="ray"):
+        run_ray_tune(model=None)

@@ -60,3 +60,24 @@ def test_swap_yaml_builds(yaml_name):
     v = m.init_params(imgsz=64)
     y, _ = m.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
     assert y.shape[-1] == 4 + m.nc and bool(jnp.isfinite(y).all()), yaml_name
+
+
+def test_ssm_backbones_four_stages():
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.modules.backbones2 import MambaVision, VSSDNet
+
+    x = jnp.zeros((1, 64, 64, 3))
+    for cls in (MambaVision, VSSDNet):
+        mod = cls()
+        v = mod.init(jax.random.PRNGKey(0), x, train=False)
+        outs = mod.apply(v, x, train=False)
+        assert len(outs) == 4, cls.__name__
+        hs = [o.shape[1] for o in outs]
+        assert hs == sorted(hs, reverse=True), (cls.__name__, hs)
+
+    from ultralytics_pro_tpu.nn.tasks import BUILDERS
+
+    for nm in ("mamba_vision_T", "MambaVision", "VSSD", "GroupMamba"):
+        assert nm in BUILDERS

@@ -157,3 +157,52 @@ def verify_images_parallel(im_files, lb_files, workers: int = 8):
             if msg:
                 msgs.append(msg)
     return nf, ne, nc, msgs
+
+
+class HUBDatasetStats:
+    """Dataset statistics for HUB upload (reference data/utils.py
+    HUBDatasetStats): per-split per-class instance counts + unlabelled tally,
+    written as stats.json next to the dataset."""
+
+    def __init__(self, path: str = "coco8.yaml", task: str = "detect"):
+        self.task = task
+        self.data = check_det_dataset(path)
+        self.stats = None
+
+    def get_json(self, save: bool = False) -> dict:
+        import json
+
+        nc = self.data["nc"]
+        out = {"nc": nc, "names": self.data["names"]}
+        for split in ("train", "val", "test"):
+            sp = self.data.get(split)
+            if not sp:
+                out[split] = None
+                continue
+            img_dirs = sp if isinstance(sp, list) else [sp]
+            counts = [0] * nc
+            n_imgs = n_unlabelled = 0
+            for d in img_dirs:
+                for im in sorted(Path(d).glob("*")):
+                    if im.suffix.lower() not in {".jpg", ".jpeg", ".png", ".bmp"}:
+                        continue
+                    n_imgs += 1
+                    lb = Path(str(im).replace(f"{im.suffix}", ".txt")
+                              .replace("images", "labels"))
+                    rows = [r.split() for r in lb.read_text().strip().splitlines()] \
+                        if lb.is_file() else []
+                    if not rows:
+                        n_unlabelled += 1
+                    for r in rows:
+                        c = int(float(r[0]))
+                        if 0 <= c < nc:
+                            counts[c] += 1
+            out[split] = {
+                "instance_stats": {"total": sum(counts), "per_class": counts},
+                "image_stats": {"total": n_imgs, "unlabelled": n_unlabelled},
+            }
+        self.stats = out
+        if save:
+            p = Path(self.data["path"]) / "stats.json"
+            p.write_text(json.dumps(out, indent=2))
+        return out

@@ -113,3 +113,54 @@ class Tuner:
                 best = (fitness, hyp)
         LOGGER.info(f"tuning complete; best fitness {best[0]:.4f}")
         return best
+
+
+def run_ray_tune(model, space: dict = None, grace_period: int = 10,
+                 gpu_per_trial=None, max_samples: int = 10, **train_args):
+    """Ray Tune hyperparameter search (reference utils/tuner.py:9
+    run_ray_tune): ASHA scheduler over the same search space; requires `ray`.
+    The raytune session-report callback (utils/callbacks.py) streams each
+    epoch's fitness to the scheduler."""
+    try:
+        from ray import tune
+        from ray.air import RunConfig
+        from ray.tune.schedulers import ASHAScheduler
+    except ImportError as e:
+        raise ModuleNotFoundError(
+            "ray tune not installed; run `pip install ray[tune]` in a "
+            "networked environment (the in-repo Tuner covers single-machine "
+            "evolution without it)") from e
+
+    space = space or {
+        "lr0": tune.uniform(1e-5, 1e-1),
+        "lrf": tune.uniform(0.01, 1.0),
+        "momentum": tune.uniform(0.6, 0.98),
+        "weight_decay": tune.uniform(0.0, 0.001),
+        "warmup_epochs": tune.uniform(0.0, 5.0),
+        "box": tune.uniform(0.02, 0.2),
+        "cls": tune.uniform(0.2, 4.0),
+        "hsv_h": tune.uniform(0.0, 0.1),
+        "hsv_s": tune.uniform(0.0, 0.9),
+        "hsv_v": tune.uniform(0.0, 0.9),
+        "translate": tune.uniform(0.0, 0.9),
+        "scale": tune.uniform(0.0, 0.9),
+        "fliplr": tune.uniform(0.0, 1.0),
+        "mosaic": tune.uniform(0.0, 1.0),
+    }
+
+    def _train(config):
+        from ultralytics_pro_tpu.utils.settings import SETTINGS
+
+        SETTINGS["raytune"] = True  # enables the session.report callback
+        model.train(**{**train_args, **config})
+
+    tuner = tune.Tuner(
+        _train,
+        param_space=space,
+        tune_config=tune.TuneConfig(
+            scheduler=ASHAScheduler(metric="metrics/fitness", mode="max",
+                                    grace_period=grace_period),
+            num_samples=max_samples),
+        run_config=RunConfig(name="tune"),
+    )
+    return tuner.fit()

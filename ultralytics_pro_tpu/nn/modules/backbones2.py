@@ -479,3 +479,92 @@ BACKBONE_VARIANTS2 = {
     "efficientnetv2_s": (EfficientNetV2, ()),
     "efficientnet_v2": (EfficientNetV2, ()),
 }
+
+
+# ------------------------------------------------------------ SSM hybrids --
+
+class _ConvStageBlock(ConvBase):
+    """3x3 conv-BN-GELU x2 with residual (MambaVision conv stages)."""
+
+    dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="c1")(x)
+        y = jax.nn.gelu(_bn(self, "bn1", y, train))
+        y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="c2")(y)
+        y = _bn(self, "bn2", y, train)
+        return x + y
+
+
+class MambaVision(ConvBase):
+    """MambaVision-T-style hybrid backbone (reference MambaVision.py): conv
+    blocks in stages 1-2, selective-scan (SS2D) mixers then windowed
+    self-attention in stages 3-4. The CUDA selective_scan becomes
+    jax.lax.associative_scan (nn/modules/mamba.py)."""
+
+    depths: Sequence[int] = (1, 2, 4, 2)
+    dims: Sequence[int] = (40, 80, 160, 320)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.attention import MHSA
+        from ultralytics_pro_tpu.nn.modules.mamba import VSSBlock
+
+        x = Conv(c2=self.dims[0] // 2, k=3, s=2, dtype=self.dtype, name="stem1")(x, train)
+        x = Conv(c2=self.dims[0], k=3, s=2, dtype=self.dtype, name="stem2")(x, train)
+        outs = []
+        for s in range(4):
+            if s > 0:
+                x = nn.Conv(self.dims[s], (2, 2), strides=(2, 2), use_bias=False,
+                            dtype=self.dtype, name=f"down{s}")(x)
+                x = _bn(self, f"down{s}_bn", x, train)
+            for b in range(self.depths[s]):
+                if s < 2:
+                    x = _ConvStageBlock(dim=self.dims[s], dtype=self.dtype,
+                                        name=f"s{s}_b{b}")(x, train)
+                elif b < self.depths[s] // 2:
+                    x = VSSBlock(dtype=self.dtype, name=f"s{s}_b{b}")(x, train)
+                else:
+                    x = x + MHSA(heads=max(self.dims[s] // 40, 1), dtype=self.dtype,
+                                 name=f"s{s}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+class VSSDNet(ConvBase):
+    """Pure-SSM pyramid (reference VSSD.py / GroupMamba.py lineage): VSS
+    blocks every stage with strided patch merges."""
+
+    depths: Sequence[int] = (1, 2, 4, 2)
+    dims: Sequence[int] = (48, 96, 192, 384)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.mamba import VSSBlock
+
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), use_bias=False,
+                    dtype=self.dtype, name="stem")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="stem_ln")(x)
+        outs = []
+        for s in range(4):
+            if s > 0:
+                x = nn.Conv(self.dims[s], (2, 2), strides=(2, 2), use_bias=False,
+                            dtype=self.dtype, name=f"merge{s}")(x)
+                x = nn.LayerNorm(dtype=self.dtype, name=f"merge{s}_ln")(x)
+            for b in range(self.depths[s]):
+                x = VSSBlock(dtype=self.dtype, name=f"s{s}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+# SSM hybrids registered after their definitions
+BACKBONE_VARIANTS2.update({
+    # reference MambaVision.py / VSSD.py / GroupMamba.py
+    "mamba_vision_T": (MambaVision, ()),
+    "MambaVision": (MambaVision, ()),
+    "VSSD": (VSSDNet, ()),
+    "GroupMamba": (VSSDNet, ()),
+})

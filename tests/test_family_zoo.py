@@ -54,3 +54,39 @@ def test_family_train_mode_smoke():
     variables = m.init_params(imgsz=64)
     out, mut = m.module.apply(variables, X, train=True, mutable=["batch_stats"])
     assert mut["batch_stats"]
+
+
+@pytest.mark.parametrize("yaml_name", [
+    "rtmdet-s-seg.yaml", "hyper-yolo-n-seg.yaml", "picodet-s-seg.yaml",
+    "heydet-n-seg.yaml",
+])
+def test_family_seg_variants(yaml_name):
+    from ultralytics_pro_tpu.nn.tasks import SegmentationModel
+
+    m = SegmentationModel(yaml_name)
+    v = m.init_params(imgsz=64)
+    out, aux = m.apply(v, X, train=False)
+    assert bool(jnp.isfinite(out).all()), yaml_name
+
+
+def test_channel_variants_build():
+    """Grayscale (ch=1) and multispectral (ch=10) model builds (reference
+    coco8-grayscale / coco8-multispectral dataset lineage)."""
+    from ultralytics_pro_tpu.nn.tasks import DetectionModel
+
+    for ch in (1, 10):
+        m = DetectionModel("yolov8n.yaml", ch=ch)
+        v = m.init_params(imgsz=64)
+        y, _ = m.apply(v, jnp.zeros((1, 64, 64, ch)), train=False)
+        assert y.shape[-1] == 4 + m.nc, ch
+
+
+def test_profile_layers_table():
+    from ultralytics_pro_tpu.nn.tasks import DetectionModel
+    from ultralytics_pro_tpu.utils.jax_utils import profile_layers
+
+    m = DetectionModel("yolov8n.yaml")
+    m.init_params(imgsz=64)
+    rows = profile_layers(m, imgsz=64, repeats=1)
+    assert len(rows) == 23 and rows[-1]["type"] == "Detect"
+    assert all(r["ms"] >= 0 and r["params"] >= 0 for r in rows)

@@ -153,6 +153,13 @@ class Exporter:
         if self.args.get("half"):
             converter.optimizations = [tf.lite.Optimize.DEFAULT]
             converter.target_spec.supported_types = [tf.float16]
+        if self.args.get("int8"):
+            # INT8 post-training quantization with a real calibration stream
+            # (reference get_int8_calibration_dataloader exporter.py:590):
+            # `data` yaml -> up to 100 letterboxed images as the
+            # representative dataset; synthetic fallback keeps it hermetic.
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.representative_dataset = self._int8_calibration(tf, imgsz, batch)
         blob = converter.convert()
         out = Path(f"{name}.tflite")
         out.parent.mkdir(parents=True, exist_ok=True)
@@ -160,6 +167,44 @@ class Exporter:
         Path(f"{name}.tflite.json").write_text(
             json.dumps(self._metadata(imgsz, batch, "tflite"), indent=2))
         return out
+
+    def _int8_calibration(self, tf, imgsz: int, batch: int, n: int = 100):
+        """Representative-dataset generator for INT8 calibration."""
+        import numpy as np
+
+        paths = []
+        data = self.args.get("data")
+        if data:
+            try:
+                from ultralytics_pro_tpu.data.utils import check_det_dataset
+
+                d = check_det_dataset(data)
+                split = d.get("val") or d.get("train")
+                for sp in (split if isinstance(split, list) else [split]):
+                    paths += sorted(Path(sp).glob("*.jpg")) + sorted(Path(sp).glob("*.png"))
+            except Exception:
+                paths = []
+        paths = paths[:n]
+
+        def gen():
+            import cv2
+
+            from ultralytics_pro_tpu.data.augment import LetterBox
+
+            lb = LetterBox((imgsz, imgsz), scaleup=False)
+            if paths:
+                for p in paths:
+                    im = lb(image=cv2.imread(str(p)))
+                    im = im["img"] if isinstance(im, dict) else im
+                    x = np.tile(im[None], (batch, 1, 1, 1)).astype(np.uint8)
+                    yield [tf.constant(x)]
+            else:  # hermetic fallback: structured noise
+                rng = np.random.default_rng(0)
+                for _ in range(min(n, 20)):
+                    yield [tf.constant(rng.integers(0, 255, (batch, imgsz, imgsz, 3),
+                                                    dtype=np.uint8))]
+
+        return gen
 
     def export_ckpt(self, imgsz: int, batch: int, name: Path):
         from ultralytics_pro_tpu.engine.trainer import save_pickle

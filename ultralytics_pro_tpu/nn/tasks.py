@@ -936,9 +936,13 @@ def split_scale(stem: str):
     for i, tok in enumerate(parts):
         if tok and tok[-1] in "nslmx" and len(tok) > 1 and tok[-2].isdigit():
             return "-".join([*parts[:i], tok[:-1], *parts[i + 1:]]), tok[-1]
-    # standalone scale token: 'GOLDYOLO-n' -> ('GOLDYOLO', 'n')
+    # standalone scale token: 'GOLDYOLO-n' -> ('GOLDYOLO', 'n'); also mid-stem
+    # for task variants: 'rtmdet-s-seg' -> ('rtmdet-seg', 's')
     if len(parts) > 1 and parts[-1] in set("nslmxt"):
         return "-".join(parts[:-1]), parts[-1]
+    for i in range(1, len(parts) - 1):
+        if parts[i] in set("nslmxt"):
+            return "-".join(parts[:i] + parts[i + 1:]), parts[i]
     return stem, None
 
 

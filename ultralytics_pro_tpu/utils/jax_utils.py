@@ -93,3 +93,54 @@ def strip_optimizer(ckpt_path, save_path=None):
 
 def get_flops(model, imgsz: int = 640) -> Optional[float]:
     return model_info(model, imgsz=imgsz).get("GFLOPs")
+
+
+def profile_layers(model, imgsz: int = 640, batch: int = 1, repeats: int = 3):
+    """Per-layer timing + shape/param table (reference BaseModel
+    _profile_one_layer, tasks.py:1095: per-module FLOPs + 10x timing under
+    `profile=True`). Runs the real y-cache wiring eagerly on a bound module;
+    returns rows of dicts {i, type, params, ms, out_shape}."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    bound = model.module.bind(model.variables)
+    x = jnp.zeros((batch, imgsz, imgsz, getattr(model, "ch", 3)))
+    y = {}
+    out = x
+    rows = []
+    for spec, layer in zip(bound.specs, bound.layers):
+        f = spec.f
+        if isinstance(f, tuple):
+            inp = [out if j == -1 else y[j] for j in f]
+        elif f == -1:
+            inp = out
+        else:
+            inp = y[f]
+        def run(inp=inp, layer=layer):
+            return layer(inp, train=False)
+        res = run()  # warm (tracing/dispatch)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            res = run()
+            jax.block_until_ready(res)
+        dt = (time.perf_counter() - t0) / repeats * 1e3
+        if spec.multi:
+            for k, o in enumerate(res):
+                slot = spec.i - spec.multi + 1 + k
+                if slot in bound.save:
+                    y[slot] = o
+            out = res[-1]
+            shape = tuple(res[-1].shape)
+        else:
+            out = res
+            first = res[0] if isinstance(res, tuple) else res
+            shape = tuple(first.shape) if hasattr(first, "shape") else type(res).__name__
+            if spec.i in bound.save:
+                y[spec.i] = out
+        n_params = sum(p.size for p in jax.tree.leaves(
+            model.variables["params"].get(f"layers_{spec.i}", {})))
+        rows.append({"i": spec.i, "type": spec.type_name, "params": int(n_params),
+                     "ms": round(dt, 3), "out_shape": shape})
+    return rows

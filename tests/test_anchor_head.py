@@ -118,3 +118,17 @@ def test_yolov7_anchor_builds_with_implicit():
     head_key = [k for k in v["params"] if "ia_0" in str(v["params"][k].keys())]
     y, _ = m.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
     assert bool(jnp.isfinite(y).all())
+
+
+def test_anchor_model_e2e_train_val(tmp_path):
+    """Facade-level: yolov5-anchor trains one epoch on coco8 and produces a
+    finite mAP through the standard validator/NMS path."""
+    from ultralytics_pro_tpu.engine.model import Model
+
+    m = Model("yolov5-anchor.yaml", task="detect")
+    m.train(data="coco8.yaml", epochs=1, imgsz=64, batch=4,
+            project=str(tmp_path), name="anchor_e2e", workers=0,
+            warmup_epochs=0.0, val=False, plots=False)
+    metrics = m.val(data="coco8.yaml", imgsz=64, batch=4)
+    fit = metrics.fitness if hasattr(metrics, "fitness") else metrics
+    assert np.isfinite(float(fit))

@@ -132,3 +132,17 @@ def test_run_ray_tune_gated():
 
     with _p.raises(ModuleNotFoundError, match="ray"):
         run_ray_tune(model=None)
+
+
+def test_results_to_df_csv():
+    import numpy as np
+
+    from ultralytics_pro_tpu.engine.model import Model
+
+    m = Model("yolov8n.yaml")
+    m.model.init_params(imgsz=64)
+    img = np.zeros((64, 64, 3), np.uint8)
+    r = m.predict(img, imgsz=64, verbose=False)[0]
+    df = r.to_df()
+    csv = r.to_csv()
+    assert hasattr(df, "columns") and isinstance(csv, str)

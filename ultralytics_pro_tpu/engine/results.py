@@ -291,3 +291,19 @@ def _color_palette():
     """Deterministic bright BGR palette."""
     rng = np.random.default_rng(5)
     return [tuple(int(c) for c in rng.integers(64, 255, 3)) for _ in range(80)]
+
+
+def _results_to_df(self, normalize: bool = False):
+    """Detections as a pandas DataFrame (reference results.py to_df)."""
+    import pandas as pd
+
+    return pd.DataFrame(self.summary(normalize=normalize))
+
+
+def _results_to_csv(self, normalize: bool = False, **kwargs) -> str:
+    """Detections as CSV text (reference results.py to_csv)."""
+    return _results_to_df(self, normalize).to_csv(index=False, **kwargs)
+
+
+Results.to_df = _results_to_df
+Results.to_csv = _results_to_csv

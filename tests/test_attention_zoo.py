@@ -120,3 +120,45 @@ def test_attention_stragglers_forward():
     for nm in ("LSKA", "CPCA", "FocusedLinearAttention", "Yolov7_Tiny_E_ELAN",
                "Yolov7_E_ELAN", "V7DownSampling"):
         assert nm in BUILDERS
+
+
+def test_asf_afpn_modules():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ultralytics_pro_tpu.nn.modules import asf_afpn as M
+
+    rng = np.random.default_rng(0)
+    p3 = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 32)).astype(np.float32))
+    p4 = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 64)).astype(np.float32))
+    p5 = jnp.asarray(rng.normal(0, 1, (1, 4, 4, 128)).astype(np.float32))
+
+    zc = M.Zoom_cat()
+    v = zc.init(jax.random.PRNGKey(0), [p3, p4, p5], train=False)
+    y = zc.apply(v, [p3, p4, p5], train=False)
+    assert y.shape == (1, 8, 8, 32 + 64 + 128)
+
+    ss = M.ScalSeq(channel=64)
+    v = ss.init(jax.random.PRNGKey(0), [p3, p4, p5], train=False)
+    y = ss.apply(v, [p3, p4, p5], train=False)
+    assert y.shape == (1, 16, 16, 64)
+
+    am = M.attention_model()
+    v = am.init(jax.random.PRNGKey(0), p3, train=False)
+    assert am.apply(v, p3, train=False).shape == p3.shape
+
+    a2 = M.ASFF_2()
+    v = a2.init(jax.random.PRNGKey(0), [p3, p3], train=False)
+    assert a2.apply(v, [p3, p3], train=False).shape == p3.shape
+
+    afpn = M.AFPN(c2=64, n=1)
+    v = afpn.init(jax.random.PRNGKey(0), [p3, p4, p5], train=False)
+    outs = afpn.apply(v, [p3, p4, p5], train=False)
+    assert [o.shape for o in outs] == [(1, 16, 16, 64), (1, 8, 8, 64), (1, 4, 4, 64)]
+
+    from ultralytics_pro_tpu.nn.tasks import BUILDERS
+
+    for nm in ("Zoom_cat", "ScalSeq", "Add", "attention_model", "ASFF_2",
+               "ASFF_3", "AFPN"):
+        assert nm in BUILDERS

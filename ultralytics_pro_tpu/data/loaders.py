@@ -131,8 +131,52 @@ def load_inference_source(source, vid_stride: int = 1):
                                              and source and isinstance(source[0], np.ndarray)):
         return LoadPilAndNumpy(source)
     s = str(source)
+    if "youtube.com/" in s or "youtu.be/" in s:
+        # reference resolves YouTube URLs to stream URLs via pafy/yt_dlp
+        # (loaders.py:647 get_best_youtube_url); both need network + package
+        try:
+            import yt_dlp
+
+            with yt_dlp.YoutubeDL({"quiet": True}) as ydl:
+                info = ydl.extract_info(s, download=False)
+            best = max((f for f in info["formats"] if f.get("vcodec") != "none"),
+                       key=lambda f: f.get("height") or 0)
+            return LoadStreams(best["url"], vid_stride=vid_stride)
+        except ImportError as e:
+            raise ImportError("YouTube sources need `yt_dlp` (networked env); "
+                              "download the video and pass the file instead") from e
     if s.isdigit() or s.startswith(("rtsp://", "rtmp://", "http://", "https://")):
         return LoadStreams(source, vid_stride=vid_stride)
     if s.lower().startswith("screen"):
-        raise NotImplementedError("screenshot capture requires `mss`, not present in this environment")
+        try:
+            import mss  # noqa: F401
+        except ImportError as e:
+            raise ImportError("screenshot capture needs `mss` (desktop env); "
+                              "pass image/video files instead") from e
+        return LoadScreenshots(s)
     return LoadImagesAndVideos(source, vid_stride=vid_stride)
+
+
+class LoadScreenshots:
+    """Screen-capture source via mss (reference loaders.py:226): 'screen' or
+    'screen N' selects a monitor; yields frames forever."""
+
+    def __init__(self, source: str = "screen"):
+        import mss
+
+        parts = source.split()
+        self.monitor_i = int(parts[1]) if len(parts) > 1 else 1
+        self.sct = mss.mss()
+        self.monitor = self.sct.monitors[self.monitor_i]
+        self.frame = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        im = np.asarray(self.sct.grab(self.monitor))[:, :, :3]
+        self.frame += 1
+        return f"screen{self.monitor_i}_{self.frame}", np.ascontiguousarray(im)
+
+    def __len__(self):
+        return 1 << 30  # endless stream

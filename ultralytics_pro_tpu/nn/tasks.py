@@ -676,6 +676,30 @@ BUILDERS.update({
 })
 
 
+def _asf():
+    from ultralytics_pro_tpu.nn.modules import asf_afpn
+
+    return asf_afpn
+
+
+def _build_afpn(a, n, w, d, mx, ctx):
+    ctx["multi_output"] = 3  # emits fused P3/P4/P5 into 3 y-slots
+    return _asf().AFPN, _kw(c2=_sc(a[0], w, mx) if a else 256, n=max(n, 1))
+
+
+BUILDERS.update({
+    # ASF-YOLO + AFPN (nn/modules/asf_afpn.py)
+    "Zoom_cat": lambda a, n, w, d, mx, ctx: (_asf().Zoom_cat, _kw()),
+    "ScalSeq": lambda a, n, w, d, mx, ctx: (
+        _asf().ScalSeq, _kw(channel=_sc(a[-1], w, mx) if a else 256)),
+    "Add": lambda a, n, w, d, mx, ctx: (_asf().ASFAdd, _kw()),
+    "attention_model": lambda a, n, w, d, mx, ctx: (_asf().attention_model, _kw()),
+    "ASFF_2": lambda a, n, w, d, mx, ctx: (_asf().ASFF_2, _kw()),
+    "ASFF_3": lambda a, n, w, d, mx, ctx: (_asf().ASFF_3, _kw()),
+    "AFPN": _build_afpn,
+})
+
+
 def _register_backbones():
     from ultralytics_pro_tpu.nn.modules.backbones import BACKBONE_VARIANTS
 

@@ -605,3 +605,50 @@ class RandomLoadText:
         labels["cls"] = new_cls
         labels["texts"] = out_texts[: self.max_samples]
         return labels
+
+
+class Albumentations:
+    """Optional Albumentations wrapper (reference augment.py:1823): applies an
+    A.Compose pipeline with bbox-aware transforms when the package is
+    installed; a clean no-op otherwise (the reference logs and disables the
+    same way)."""
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+        self.transform = None
+        try:
+            import albumentations as A
+
+            self.transform = A.Compose(
+                [
+                    A.Blur(p=0.01),
+                    A.MedianBlur(p=0.01),
+                    A.ToGray(p=0.01),
+                    A.CLAHE(p=0.01),
+                    A.RandomBrightnessContrast(p=0.0),
+                    A.RandomGamma(p=0.0),
+                    A.ImageCompression(quality_lower=75, p=0.0),
+                ],
+                bbox_params=A.BboxParams(format="yolo", label_fields=["class_labels"]),
+            )
+        except ImportError:
+            pass
+        except Exception as e:  # pragma: no cover
+            from ultralytics_pro_tpu.utils import LOGGER
+
+            LOGGER.info(f"Albumentations disabled: {e}")
+
+    def __call__(self, labels: dict) -> dict:
+        import numpy as np
+
+        if self.transform is None or np.random.random() > self.p:
+            return labels
+        bboxes = np.asarray(labels.get("bboxes_n", np.zeros((0, 4))))
+        cls = np.asarray(labels.get("cls", np.zeros((0,)))).reshape(-1)
+        new = self.transform(image=labels["img"], bboxes=bboxes.tolist(),
+                             class_labels=cls.tolist())
+        labels = dict(labels)
+        labels["img"] = new["image"]
+        labels["bboxes_n"] = np.asarray(new["bboxes"], np.float32).reshape(-1, 4)
+        labels["cls"] = np.asarray(new["class_labels"], np.float32)
+        return labels

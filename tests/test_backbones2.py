@@ -81,3 +81,28 @@ def test_ssm_backbones_four_stages():
 
     for nm in ("mamba_vision_T", "MambaVision", "VSSD", "GroupMamba"):
         assert nm in BUILDERS
+
+
+@pytest.mark.parametrize("name", [
+    "MobileViT", "HorNet", "InceptionNext", "MogaNet", "VanillaNet",
+    "CSWin", "MaxViT", "WTConvNeXt",
+])
+def test_tranche3_backbones_four_stages(name):
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.modules.backbones3 import BACKBONE_VARIANTS3
+
+    cls, kw = BACKBONE_VARIANTS3[name]
+    mod = cls(**dict(kw))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = mod.init(jax.random.PRNGKey(0), x, train=False)
+    outs = mod.apply(v, x, train=False)
+    assert len(outs) == 4, name
+    hs = [o.shape[1] for o in outs]
+    assert hs == sorted(hs, reverse=True), (name, hs)
+    assert all(bool(jnp.isfinite(o).all()) for o in outs), name
+
+    from ultralytics_pro_tpu.nn.tasks import BUILDERS
+
+    assert name in BUILDERS

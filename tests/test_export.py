@@ -74,3 +74,18 @@ def test_saved_model_and_tflite_roundtrip(tmp_path):
     assert tfl.endswith(".tflite")
     y_tfl = AutoBackend(tfl)(img)
     np.testing.assert_allclose(y_tfl, y_live, atol=5e-3, rtol=5e-3)
+
+
+def test_tflite_int8_quantized_export(tmp_path):
+    """INT8 post-training quantization with the coco8 calibration stream:
+    artifact converts and is materially smaller than fp32."""
+    from ultralytics_pro_tpu.engine.model import Model
+
+    m = Model("yolov8n.yaml")
+    m.model.init_params(imgsz=64)
+    fp = m.export(format="tflite", imgsz=64, batch=1, name=str(tmp_path / "fp"))
+    q = m.export(format="tflite", imgsz=64, batch=1, int8=True,
+                 data="coco8.yaml", name=str(tmp_path / "q"))
+    import pathlib
+
+    assert pathlib.Path(q).stat().st_size < pathlib.Path(fp).stat().st_size * 0.55

@@ -720,6 +720,20 @@ def _register_backbones():
     for _name in BACKBONE_VARIANTS2:
         BUILDERS[_name] = _backbone2_builder(_name)
 
+    def _backbone3_builder(name):
+        def build(a, n, w, d, mx, ctx):
+            from ultralytics_pro_tpu.nn.modules.backbones3 import BACKBONE_VARIANTS3
+
+            cls, kw = BACKBONE_VARIANTS3[name]
+            ctx["multi_output"] = 4
+            return cls, kw
+        return build
+
+    from ultralytics_pro_tpu.nn.modules.backbones3 import BACKBONE_VARIANTS3
+
+    for _name in BACKBONE_VARIANTS3:
+        BUILDERS[_name] = _backbone3_builder(_name)
+
 
 _register_backbones()
 

@@ -18,7 +18,17 @@ def make_tracker(tracker_cfg="botsort.yaml", frame_rate=30, args=None):
     name = str(tracker_cfg).replace(".yaml", "").rsplit("/", 1)[-1]
     if name not in TRACKER_MAP:
         raise ValueError(f"unknown tracker '{tracker_cfg}'; choose from {list(TRACKER_MAP)}")
-    args = dict(args or {})
+    # layer the bundled tracker yaml under any explicit args (reference loads
+    # cfg/trackers/<name>.yaml in on_predict_start)
+    from pathlib import Path
+
+    from ultralytics_pro_tpu.utils import PKG_ROOT, yaml_load
+
+    cfg_path = Path(str(tracker_cfg))
+    if not cfg_path.exists():
+        cfg_path = PKG_ROOT / "cfg" / "trackers" / f"{name}.yaml"
+    base = yaml_load(cfg_path) if cfg_path.exists() else {}
+    args = {**base, **dict(args or {})}
     encoder = None
     if name == "botsort" and args.get("with_reid"):
         from ultralytics_pro_tpu.trackers.bot_sort import ReID

@@ -162,3 +162,48 @@ def test_asf_afpn_modules():
     for nm in ("Zoom_cat", "ScalSeq", "Add", "attention_model", "ASFF_2",
                "ASFF_3", "AFPN"):
         assert nm in BUILDERS
+
+
+def test_misc_blocks_forward():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ultralytics_pro_tpu.nn.modules import misc_blocks as M
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 16, 16, 32)).astype(np.float32))
+    for cls, kw, shape in [
+        (M.DySample, dict(scale=2, groups=4), (1, 32, 32, 32)),
+        (M.ContextGuidedBlock, dict(c2=32), (1, 16, 16, 32)),
+        (M.C2f_Context, dict(c2=32, n=1), (1, 16, 16, 32)),
+        (M.DWR, dict(c2=32), (1, 16, 16, 32)),
+        (M.C2f_DWRSeg, dict(c2=32, n=1), (1, 16, 16, 32)),
+        (M.EVCBlock, dict(c2=32), (1, 16, 16, 32)),
+        (M.Conv2FormerBlock, dict(), (1, 16, 16, 32)),
+        (M.EPSA, dict(c2=32), (1, 16, 16, 32)),
+        (M.FocalModulation, dict(), (1, 16, 16, 32)),
+    ]:
+        mod = cls(**kw)
+        v = mod.init(jax.random.PRNGKey(0), x, train=False)
+        y = mod.apply(v, x, train=False)
+        assert y.shape == shape, cls.__name__
+        assert bool(jnp.isfinite(y).all()), cls.__name__
+
+
+def test_dysample_zero_offsets_is_nearest_like():
+    """Zero offsets: each 2x2 output block samples inside its source pixel's
+    neighborhood — upsampled map must interpolate the source smoothly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ultralytics_pro_tpu.nn.modules.misc_blocks import DySample
+
+    x = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    mod = DySample(scale=2, groups=1)
+    v = mod.init(jax.random.PRNGKey(0), x, train=False)
+    v = jax.tree.map(jnp.zeros_like, v)  # zero the offset conv entirely
+    y = np.asarray(mod.apply(v, x, train=False))[0, :, :, 0]
+    assert y.shape == (8, 8)
+    # means preserved under bilinear resampling of the interior
+    assert abs(y[2:6, 2:6].mean() - np.asarray(x)[0, 1:3, 1:3, 0].mean()) < 0.6

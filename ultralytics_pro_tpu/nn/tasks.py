@@ -700,6 +700,31 @@ BUILDERS.update({
 })
 
 
+def _misc():
+    from ultralytics_pro_tpu.nn.modules import misc_blocks
+
+    return misc_blocks
+
+
+BUILDERS.update({
+    # misc community blocks (nn/modules/misc_blocks.py)
+    "DySample": lambda a, n, w, d, mx, ctx: (
+        _misc().DySample, _kw(scale=int(_a(a, 1, 2)), groups=_a(a, 2, 4))),
+    "ContextGuidedBlock": lambda a, n, w, d, mx, ctx: (
+        _misc().ContextGuidedBlock, _kw(c2=_sc(a[0], w, mx))),
+    "C2f_Context": lambda a, n, w, d, mx, ctx: (
+        _misc().C2f_Context, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "DWR": lambda a, n, w, d, mx, ctx: (_misc().DWR, _kw(c2=_sc(a[0], w, mx))),
+    "DWRSeg_Conv": lambda a, n, w, d, mx, ctx: (_misc().DWR, _kw(c2=_sc(a[0], w, mx))),
+    "C2f_DWRSeg": lambda a, n, w, d, mx, ctx: (
+        _misc().C2f_DWRSeg, _kw(c2=_sc(a[0], w, mx), n=n)),
+    "EVCBlock": lambda a, n, w, d, mx, ctx: (_misc().EVCBlock, _kw(c2=_sc(a[0], w, mx))),
+    "Conv2FormerBlock": lambda a, n, w, d, mx, ctx: (_misc().Conv2FormerBlock, _kw()),
+    "EPSA": lambda a, n, w, d, mx, ctx: (_misc().EPSA, _kw(c2=_sc(a[0], w, mx))),
+    "FocalModulation": lambda a, n, w, d, mx, ctx: (_misc().FocalModulation, _kw()),
+})
+
+
 def _register_backbones():
     from ultralytics_pro_tpu.nn.modules.backbones import BACKBONE_VARIANTS
 

@@ -106,3 +106,18 @@ def test_tranche3_backbones_four_stages(name):
     from ultralytics_pro_tpu.nn.tasks import BUILDERS
 
     assert name in BUILDERS
+
+
+@pytest.mark.parametrize("name", ["FocalNet", "Conv2Former", "UniRepLKNet"])
+def test_tranche3b_assembled_backbones(name):
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.modules.backbones3 import BACKBONE_VARIANTS3
+
+    cls, kw = BACKBONE_VARIANTS3[name]
+    mod = cls(**dict(kw))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = mod.init(jax.random.PRNGKey(0), x, train=False)
+    outs = mod.apply(v, x, train=False)
+    assert len(outs) == 4 and all(bool(jnp.isfinite(o).all()) for o in outs), name

@@ -401,3 +401,43 @@ BACKBONE_VARIANTS3 = {
     "wtconvnext_tiny": (WTConvNeXt, ()),
     "WTConvNeXt": (WTConvNeXt, ()),
 }
+
+
+def _import_block(modpath, clsname):
+    import importlib
+
+    return getattr(importlib.import_module(modpath), clsname)
+
+
+def _focalnet_block(d, dt, nm):
+    FocalModulation = _import_block("ultralytics_pro_tpu.nn.modules.misc_blocks",
+                                    "FocalModulation")
+    return FocalModulation(dtype=dt, name=nm)
+
+
+def _conv2former_block(d, dt, nm):
+    Conv2FormerBlock = _import_block("ultralytics_pro_tpu.nn.modules.misc_blocks",
+                                     "Conv2FormerBlock")
+    return Conv2FormerBlock(dtype=dt, name=nm)
+
+
+def _unireplk_block(d, dt, nm):
+    UniRepLKNetBlock = _import_block("ultralytics_pro_tpu.nn.modules.reparam",
+                                     "UniRepLKNetBlock")
+    return UniRepLKNetBlock(k=7, dtype=dt, name=nm)
+
+
+# whole backbones assembled from blocks defined elsewhere in the zoo
+FocalNet = _stage_backbone("FocalNet", _focalnet_block)
+Conv2Former = _stage_backbone("Conv2Former", _conv2former_block)
+UniRepLKNet = _stage_backbone("UniRepLKNet", _unireplk_block, depths=(1, 1, 2, 1))
+
+BACKBONE_VARIANTS3.update({
+    # reference FocalNet.py / Conv2Former.py / DilatedReparam.py UniRepLKNet
+    "focalnet_tiny": (FocalNet, ()),
+    "FocalNet": (FocalNet, ()),
+    "conv2former_n": (Conv2Former, ()),
+    "Conv2Former": (Conv2Former, ()),
+    "unireplknet_a": (UniRepLKNet, ()),
+    "UniRepLKNet": (UniRepLKNet, ()),
+})

@@ -90,3 +90,11 @@ def test_profile_layers_table():
     rows = profile_layers(m, imgsz=64, repeats=1)
     assert len(rows) == 23 and rows[-1]["type"] == "Detect"
     assert all(r["ms"] >= 0 and r["params"] >= 0 for r in rows)
+
+
+@pytest.mark.parametrize("yaml_name", ["yolov8n-asf.yaml", "yolov8n-afpn.yaml"])
+def test_asf_afpn_yamls(yaml_name):
+    m = DetectionModel(yaml_name)
+    v = m.init_params(imgsz=64)
+    y, _ = m.apply(v, X, train=False)
+    assert y.shape[-1] == 4 + m.nc and bool(jnp.isfinite(y).all()), yaml_name

@@ -207,3 +207,16 @@ def test_dysample_zero_offsets_is_nearest_like():
     assert y.shape == (8, 8)
     # means preserved under bilinear resampling of the interior
     assert abs(y[2:6, 2:6].mean() - np.asarray(x)[0, 1:3, 1:3, 0].mean()) < 0.6
+
+
+def test_c3x_c3tr_blocks():
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.modules.block import C3TR, C3x
+
+    x = jnp.zeros((1, 16, 16, 32))
+    for cls in (C3x, C3TR):
+        m = cls(c2=32, n=1)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        assert m.apply(v, x, train=False).shape == (1, 16, 16, 32)

@@ -604,3 +604,36 @@ class SPPFCSPC(ConvBase):
         y2 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
         return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv7")(
             jnp.concatenate([y1, y2], -1), train)
+
+
+class C3x(C3):
+    """C3 with cross convolutions — bottleneck kernels (1,3)/(3,1)
+    (reference block.py:535)."""
+
+    k: Any = ((1, 3), (3, 1))
+
+
+class C3TR(ConvBase):
+    """C3 whose bottleneck chain is a TransformerBlock (reference
+    block.py:578): learned positional embedding + n MHSA/MLP layers."""
+
+    c2: int = 0
+    n: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
+        bb, h, w, c = a.shape
+        t = a.reshape(bb, h * w, c)
+        t = t + nn.Dense(c, dtype=self.dtype, name="pos")(t)  # learned pos (ref conv embed)
+        heads = max(c // 32, 1)
+        for i in range(self.n):
+            q = nn.SelfAttention(num_heads=heads, dtype=self.dtype, name=f"attn_{i}")(t)
+            t = t + q
+            m = nn.Dense(4 * c, dtype=self.dtype, name=f"fc1_{i}")(t)
+            t = t + nn.Dense(c, dtype=self.dtype, name=f"fc2_{i}")(jax.nn.gelu(m))
+        a = t.reshape(bb, h, w, c)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)

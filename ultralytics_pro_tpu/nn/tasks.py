@@ -235,6 +235,11 @@ BUILDERS: Dict[str, Callable] = {
     "C2f": _csp_like(M.C2f, shortcut_default=False),
     "C3": _csp_like(M.C3),
     "C3k": _csp_like(M.C3k),
+    "C3x": _csp_like(__import__("ultralytics_pro_tpu.nn.modules.block",
+                                fromlist=["C3x"]).C3x),
+    "C3TR": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.block", fromlist=["C3TR"]).C3TR,
+        _kw(c2=_sc(a[0], w, mx), n=n)),
     "C3Ghost": _csp_like(M.C3Ghost),
     "C3k2": _build_c3k2,
     "BottleneckCSP": _csp_like(M.BottleneckCSP),

@@ -98,3 +98,45 @@ def test_asf_afpn_yamls(yaml_name):
     v = m.init_params(imgsz=64)
     y, _ = m.apply(v, X, train=False)
     assert y.shape[-1] == 4 + m.nc and bool(jnp.isfinite(y).all()), yaml_name
+
+
+@pytest.mark.parametrize("yaml_name", ["rtmdet-s-pose.yaml", "hyper-yolo-n-pose.yaml"])
+def test_family_pose_variants(yaml_name):
+    from ultralytics_pro_tpu.nn.tasks import PoseModel
+
+    m = PoseModel(yaml_name)
+    v = m.init_params(imgsz=64)
+    out, aux = m.apply(v, X, train=False)
+    assert bool(jnp.isfinite(out).all()), yaml_name
+
+
+def test_hyper_yolo_train_step(tmp_path):
+    """HyperComputeModule (hypergraph message passing) under grad: one
+    jitted train step stays finite."""
+    import jax
+
+    from ultralytics_pro_tpu.engine.trainer import DetectionTrainer
+
+    m = DetectionModel("hyper-yolo-n.yaml", nc=3)
+    m.init_params(imgsz=64)
+    tr = DetectionTrainer(m, {"epochs": 1, "batch": 2, "imgsz": 64,
+                              "project": str(tmp_path), "name": "h"})
+    step = tr.build_train_step()
+    variables = m.variables
+    params = variables["params"]
+    state = (params, variables["batch_stats"],
+             jax.tree.map(jnp.zeros_like, params),
+             jax.tree.map(jnp.copy, params),
+             jnp.zeros((), jnp.int32),
+             jax.tree.map(jnp.zeros_like, params))
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8),
+        "cls": rng.integers(0, 3, (2, 4)).astype(np.float32),
+        "bboxes": np.tile(np.array([[0.5, 0.5, 0.4, 0.4]], np.float32), (2, 4, 1)),
+        "mask_gt": np.tile(np.array([1, 1, 0, 0], bool), (2, 1)),
+    }
+    db = tr.put_batch(batch)
+    state, total, parts = step(state, db, jnp.asarray([0.01] * 3, jnp.float32),
+                               jnp.float32(0.9), jnp.asarray(True))
+    assert np.isfinite(float(total)), parts

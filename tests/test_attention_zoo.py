@@ -220,3 +220,27 @@ def test_c3x_c3tr_blocks():
         m = cls(c2=32, n=1)
         v = m.init(jax.random.PRNGKey(0), x, train=False)
         assert m.apply(v, x, train=False).shape == (1, 16, 16, 32)
+
+
+def test_generic_csp_wrappers():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ultralytics_pro_tpu.nn.modules.csp_wrappers import INNER_REGISTRY, GenericC2f, GenericC3
+    from ultralytics_pro_tpu.nn.tasks import BUILDERS
+
+    # every registry entry produced 3 builders
+    for suffix in INNER_REGISTRY:
+        for topo in ("C2f", "C3", "C3k2"):
+            assert f"{topo}_{suffix}" in BUILDERS, f"{topo}_{suffix}"
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 16, 16, 32)).astype(np.float32))
+    # forward a representative sample of inners across all three modes
+    for suffix in ("ODConv", "TripletAt", "Star", "UniRepLKNetBlock", "RepVGG", "WTConv"):
+        for cls in (GenericC2f, GenericC3):
+            m = cls(c2=32, suffix=suffix, n=1)
+            v = m.init(jax.random.PRNGKey(0), x, train=False)
+            y = m.apply(v, x, train=False)
+            assert y.shape == (1, 16, 16, 32), (cls.__name__, suffix)
+            assert bool(jnp.isfinite(y).all()), (cls.__name__, suffix)

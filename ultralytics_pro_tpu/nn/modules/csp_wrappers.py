@@ -1,0 +1,148 @@
+"""Generic CSP wrappers: the reference ships hundreds of `C2f_X` / `C3_X` /
+`C3k2_X` classes that are all the same two topologies with a different inner
+block X (bottleneck second-conv replacement for channel-mapping X's,
+post-bottleneck gate for channel-preserving attention X's). One factory here
+serves them all; INNER_REGISTRY maps the reference class-name suffix to the
+inner module and its calling convention.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ultralytics_pro_tpu.nn.modules.block import Bottleneck
+from ultralytics_pro_tpu.nn.modules.conv import Conv, ConvBase
+
+
+def _get(mod: str, cls: str):
+    import importlib
+
+    return getattr(importlib.import_module(f"ultralytics_pro_tpu.nn.modules.{mod}"), cls)
+
+
+# suffix -> (loader, mode): mode "c2" = inner maps channels (takes c2=),
+# "dim" = channel-preserving block taking dim=, "gate" = attention applied
+# after a standard bottleneck (no channel args)
+INNER_REGISTRY: Dict[str, Tuple[Callable, str]] = {
+    "ODConv": (lambda: _get("conv_extra", "ODConv2d"), "c2"),
+    "RFAConv": (lambda: _get("conv_extra", "RFAConv"), "c2"),
+    "RFCAConv": (lambda: _get("conv_extra", "RFCAConv"), "c2"),
+    "RFCBAMConv": (lambda: _get("conv_extra", "RFCBAMConv"), "c2"),
+    "OREPA": (lambda: _get("reparam", "OREPA"), "c2"),
+    "REPVGGOREPA": (lambda: _get("reparam", "OREPA"), "c2"),
+    "RepVGG": (lambda: _get("goldyolo", "RepVGGBlock"), "c2"),
+    "DSConv": (lambda: _get("attention", "DSConv"), "c2"),
+    "DLKA": (lambda: _get("attention", "deformable_LKA"), "gate"),
+    "TripletAt": (lambda: _get("attention", "TripletAttention"), "gate"),
+    "SENetV1": (lambda: _get("attention", "SEAttention"), "gate"),
+    "SENetV2": (lambda: _get("attention", "SEAttention"), "gate"),
+    "DAttention": (lambda: _get("attention", "DAttention"), "gate"),
+    "FLA": (lambda: _get("attention", "FocusedLinearAttention"), "gate"),
+    "Star": (lambda: _get("backbones2", "StarBlock"), "dim"),
+    "FasterBlock": (lambda: _get("backbones2", "PConvBlock"), "dim"),
+    "RVB": (lambda: _get("backbones2", "RepViTBlock"), "dim"),
+    "UIB": (lambda: _get("backbones2", "UIB"), "c2"),
+    "WT": (lambda: _get("backbones3", "WTConv"), "dim"),
+    "WTConv": (lambda: _get("backbones3", "WTConv"), "dim"),
+    "ConvNeXtV2Block": (lambda: _get("backbones", "ConvNeXtBlock"), "dim"),
+    "iRMB": (lambda: _get("backbones2", "MBConvV2"), "c2"),
+    "DynamicConv": (lambda: _get("conv_extra", "ODConv2d"), "c2"),
+    "MSDA": (lambda: _get("misc_blocks", "EPSA"), "c2"),
+    "UniRepLKNetBlock": (lambda: _get("reparam", "UniRepLKNetBlock"), "dimk"),
+}
+
+
+class GenericBottleneck(ConvBase):
+    """Bottleneck with an arbitrary second stage (the reference
+    Bottleneck_X pattern: cv1 = Conv k3, cv2 = X)."""
+
+    c2: int = 0
+    suffix: str = ""
+    shortcut: bool = True
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        loader, mode = INNER_REGISTRY[self.suffix]
+        cls = loader()
+        if mode == "gate":
+            y = Bottleneck(c2=self.c2, shortcut=False, k=(3, 3), e=self.e,
+                           dtype=self.dtype, name="bottleneck")(x, train)
+            y = cls(dtype=self.dtype, name="gate")(y, train)
+        else:
+            c_ = int(self.c2 * self.e)
+            y = Conv(c2=c_, k=3, dtype=self.dtype, name="cv1")(x, train)
+            if mode == "c2":
+                y = cls(c2=self.c2, dtype=self.dtype, name="inner")(y, train)
+            elif mode == "dimk":
+                y = Conv(c2=self.c2, k=1, dtype=self.dtype, name="expand")(y, train)
+                y = cls(dtype=self.dtype, name="inner")(y, train)
+            else:  # dim: channel-preserving
+                y = Conv(c2=self.c2, k=1, dtype=self.dtype, name="expand")(y, train)
+                y = cls(dim=self.c2, dtype=self.dtype, name="inner")(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class GenericC2f(ConvBase):
+    """C2f topology with GenericBottleneck inners."""
+
+    c2: int = 0
+    suffix: str = ""
+    n: int = 1
+    shortcut: bool = False
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(c2=2 * c, k=1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            ys.append(GenericBottleneck(c2=c, suffix=self.suffix, shortcut=self.shortcut,
+                                        e=1.0, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class GenericC3(ConvBase):
+    """C3 topology with GenericBottleneck inners."""
+
+    c2: int = 0
+    suffix: str = ""
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = GenericBottleneck(c2=c_, suffix=self.suffix, shortcut=self.shortcut,
+                                  e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+def register_csp_wrappers(builders: Dict[str, Any], sc, kw, a_get):
+    """Register C2f_X / C3_X / C3k2_X builders for every inner in
+    INNER_REGISTRY (C3k2_X maps onto the C2f topology, matching the
+    reference's C3k2-as-C2f-subclass pattern)."""
+
+    def make(topology, suffix):
+        cls = GenericC2f if topology in ("C2f", "C3k2") else GenericC3
+        shortcut_default = topology == "C3"
+
+        def build(a, n, w, d, mx, ctx):
+            return cls, kw(c2=sc(a[0], w, mx), suffix=suffix, n=n,
+                           shortcut=a_get(a, 1, shortcut_default)
+                           if topology != "C3k2" else shortcut_default)
+        return build
+
+    for suffix in INNER_REGISTRY:
+        for topo in ("C2f", "C3", "C3k2"):
+            name = f"{topo}_{suffix}"
+            if name not in builders:
+                builders[name] = make(topo, suffix)

@@ -767,6 +767,12 @@ def _register_backbones():
 
 _register_backbones()
 
+# generic C2f_X / C3_X / C3k2_X wrapper builders (reference ships one class
+# per inner module; csp_wrappers.py serves them from one factory)
+from ultralytics_pro_tpu.nn.modules.csp_wrappers import register_csp_wrappers  # noqa: E402
+
+register_csp_wrappers(BUILDERS, _sc, _kw, _a)
+
 BUILDERS.update({
     # KAN convolutions (reference kan_convs/fast_kan.py)
     "FastKANConv2D": lambda a, n, w, d, mx, ctx: (

@@ -773,6 +773,22 @@ from ultralytics_pro_tpu.nn.modules.csp_wrappers import register_csp_wrappers  #
 
 register_csp_wrappers(BUILDERS, _sc, _kw, _a)
 
+# reference-name aliases onto equivalent implementations
+BUILDERS.update({
+    # v7 DownC == dual-path downsample (block.py V7DownSampling topology)
+    "DownC": lambda a, n, w, d, mx, ctx: (
+        _att().V7DownSampling, _kw(c2=_sc(a[0], w, mx))),
+    # CNeB: C3 with ConvNeXt blocks (reference CNeB)
+    "CNeB": lambda a, n, w, d, mx, ctx: (
+        __import__("ultralytics_pro_tpu.nn.modules.csp_wrappers",
+                   fromlist=["GenericC3"]).GenericC3,
+        _kw(c2=_sc(a[0], w, mx), suffix="ConvNeXtV2Block", n=n)),
+    # LDConv==AKConv alias family already present; DWConvTranspose2d
+    "DWConvTranspose2d": lambda a, n, w, d, mx, ctx: (
+        M.ConvTranspose, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 2), s=_a(a, 2, 2),
+                             p=_a(a, 3, 0))),
+})
+
 BUILDERS.update({
     # KAN convolutions (reference kan_convs/fast_kan.py)
     "FastKANConv2D": lambda a, n, w, d, mx, ctx: (

@@ -146,3 +146,38 @@ def test_results_to_df_csv():
     df = r.to_df()
     csv = r.to_csv()
     assert hasattr(df, "columns") and isinstance(csv, str)
+
+
+def test_tuner_mutation_and_ledger(tmp_path):
+    from ultralytics_pro_tpu.engine.tuner import Tuner
+
+    t = Tuner({"lr0": 0.01}, save_dir=tmp_path)
+    h1 = t._mutate({"lr0": 0.01})
+    assert set(h1) == set(t.space)
+    for k, (g, lo, hi) in t.space.items():
+        assert lo <= h1[k] <= hi, k
+    # write a fake ledger row and verify parent selection uses it
+    import csv
+
+    with open(t.csv, "w", newline="") as f:
+        wtr = csv.writer(f)
+        wtr.writerow(["fitness", *t.space.keys()])
+        wtr.writerow([0.5, *[(lo + hi) / 2 for (_, lo, hi) in t.space.values()]])
+    h2 = t._mutate({})
+    assert set(h2) == set(t.space)
+
+
+def test_obb_dota_submission_format(tmp_path):
+    import numpy as np
+
+    from ultralytics_pro_tpu.engine.validator import OBBValidator
+
+    v = OBBValidator({"save_json": True, "save_dir": str(tmp_path)})
+    v._dota = [("P0001.png",
+                np.array([[50.0, 50.0, 20.0, 10.0, 0.3]], np.float32),
+                np.array([0.9], np.float32), np.array([1.0], np.float32))]
+    out = v.save_dota(tmp_path, {0: "plane", 1: "ship"})
+    f = out / "Task1_ship.txt"
+    assert f.exists()
+    row = f.read_text().strip().split()
+    assert row[0] == "P0001" and float(row[1]) == 0.9 and len(row) == 10

@@ -404,13 +404,41 @@ class OBBValidator(DetectionValidator):
         names = names or model.names
         metrics = OBBMetrics(names)
         run = self._build_jit(model)
+        self._dota = [] if self.save_json else None
         for batch in TQDM(dataloader, total=len(dataloader), desc="val"):
             out = run(model.variables, batch["img"])
             out = {k: np.asarray(v) for k, v in out.items()}
             self.update_metrics_rotated(out, batch, metrics)
         metrics.process()
         self.print_results(metrics, names)
+        if self._dota is not None:
+            self.save_dota(self.args.get("save_dir", "."), names)
         return metrics
+
+    def save_dota(self, save_dir, names):
+        """DOTA submission format, merged by image (reference obb/val.py:291
+        eval path): one Task1_<class>.txt per class with
+        `image_id conf x1 y1 x2 y2 x3 y3 x4 y4` polygon rows."""
+        from collections import defaultdict
+        from pathlib import Path
+
+        from ultralytics_pro_tpu.ops.boxes import xywhr2xyxyxyxy
+
+        per_class = defaultdict(list)
+        for (im_file, rb, conf, cls) in self._dota:
+            if not len(rb):
+                continue
+            polys = np.asarray(xywhr2xyxyxyxy(rb)).reshape(len(rb), 8)
+            stem = Path(im_file).stem if im_file else "image"
+            for p8, cf, c in zip(polys, conf, cls):
+                name = str(names.get(int(c), int(c))).replace(" ", "-")
+                per_class[name].append(
+                    f"{stem} {cf:.4f} " + " ".join(f"{v:.2f}" for v in p8))
+        out = Path(save_dir) / "predictions_dota"
+        out.mkdir(parents=True, exist_ok=True)
+        for name, rows in per_class.items():
+            (out / f"Task1_{name}.txt").write_text("\n".join(rows) + "\n")
+        return out
 
     def update_metrics_rotated(self, out, batch, metrics):
         import jax.numpy as jnp
@@ -437,6 +465,10 @@ class OBBValidator(DetectionValidator):
                    if n and len(gt_rb) else np.zeros((len(gt_rb), n)))
             tp = match_predictions(pred_cls, gt_cls, iou)
             metrics.update_stats(tp, pred_conf, pred_cls, gt_cls)
+            if getattr(self, "_dota", None) is not None:
+                im_files = batch.get("im_file") or [""] * (i + 1)
+                self._dota.append((im_files[i] if i < len(im_files) else "",
+                                   pred_rb, pred_conf, pred_cls))
 
 
 class ClassificationValidator:

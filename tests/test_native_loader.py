@@ -74,3 +74,26 @@ def test_fastloader_parallel_faster_or_equal(img_dir):
     # same work in parallel native threads must not be slower than the serial
     # python loop (loose 2x bound: CI boxes run other jobs concurrently)
     assert native < python * 2.0, (native, python)
+
+
+def test_predict_files_matches_standard_path(img_dir, tmp_path):
+    """Native batched predict_files: boxes in the ORIGINAL frame must agree
+    with the standard per-image python predict path."""
+    import numpy as np
+
+    from ultralytics_pro_tpu.engine.model import Model
+    from ultralytics_pro_tpu.native import available
+
+    if not available():
+        pytest.skip("no native toolchain")
+    m = Model("yolov8n.yaml")
+    m.model.init_params(imgsz=320)
+    fast = m.predict_files(img_dir, imgsz=320, conf=0.01, batch=4)
+    slow = m.predict(list(img_dir), imgsz=320, conf=0.01)
+    assert len(fast) == len(slow) == len(img_dir)
+    for rf, rs in zip(fast, slow):
+        bf = np.asarray(rf.boxes.xyxy) if rf.boxes is not None else np.zeros((0, 4))
+        bs = np.asarray(rs.boxes.xyxy) if rs.boxes is not None else np.zeros((0, 4))
+        assert len(bf) == len(bs)
+        if len(bf):
+            np.testing.assert_allclose(bf, bs, atol=1.0)  # decode identical; fp tolerance

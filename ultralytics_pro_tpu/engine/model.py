@@ -304,3 +304,21 @@ class Model:
 
 class YOLO(Model):
     """YOLO entry point (reference models/yolo/model.py)."""
+
+
+def _model_predict_files(self, paths, batch: int = 16, **kwargs):
+    """Batched file prediction over the native C++ loader (predictor
+    predict_files); same Results contract as predict()."""
+    from ultralytics_pro_tpu.models import task_map
+
+    if self.model.variables is None:
+        self.model.init_params(imgsz=int(kwargs.get("imgsz", 640)))
+    args = self._merged_args(**kwargs)
+    args["conf"] = args.get("conf") or 0.25
+    predictor_cls = task_map[self.task]["predictor"]
+    if self.predictor is None or self.predictor.args != args:
+        self.predictor = predictor_cls(self.model, args)
+    return self.predictor.predict_files(paths, batch=batch)
+
+
+Model.predict_files = _model_predict_files

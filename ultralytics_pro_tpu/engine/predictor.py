@@ -332,3 +332,55 @@ class OBBPredictor(BasePredictor):
             )
             results.append(Results(im0, paths[i], self.model.names, obb=data))
         return results
+
+
+def predict_files(self, paths, batch: int = 16):
+    """High-throughput batched file prediction on the native C++ loader
+    (native/fastloader.cpp): decode + letterbox happen in C++ threads, the
+    model runs real batches, and boxes are rescaled to each ORIGINAL frame
+    from the loader's (h0, w0, r, dw, dh) metadata. Returns one Results per
+    file; `orig_img` holds the letterboxed frame (decode once), so `.plot()`
+    renders on the letterboxed canvas while `.boxes` are original-frame.
+
+    Falls back to the standard per-image python path when the native
+    toolchain is unavailable.
+    """
+    from ultralytics_pro_tpu.engine.results import Boxes, Results
+
+    try:
+        from ultralytics_pro_tpu.native import FastLoader
+    except Exception:
+        FastLoader = None
+    if FastLoader is None:
+        return list(self.stream_inference(list(paths)))
+    try:
+        fl = FastLoader(imgsz=self.imgsz, scaleup=False)
+    except RuntimeError:
+        return list(self.stream_inference(list(paths)))
+
+    if self._jitted is None:
+        self._jitted = self._build_jit()
+    paths = [str(p) for p in paths]
+    results = []
+    for i in range(0, len(paths), batch):
+        chunk = paths[i:i + batch]
+        imgs, meta = fl.load(chunk)
+        out = self._jitted(self.model.variables, imgs)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for j, p in enumerate(chunk):
+            valid = out["valid"][j]
+            n = int(valid.sum())
+            boxes = out["boxes"][j][:n].copy()
+            h0, w0, r, dw, dh = meta[j]
+            if h0 > 0:
+                boxes[:, [0, 2]] = (boxes[:, [0, 2]] - dw) / max(r, 1e-9)
+                boxes[:, [1, 3]] = (boxes[:, [1, 3]] - dh) / max(r, 1e-9)
+                boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w0)
+                boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h0)
+            data = np.concatenate(
+                [boxes, out["scores"][j][:n, None], out["cls"][j][:n, None]], 1)
+            results.append(Results(imgs[j], p, self.model.names, boxes=data))
+    return results
+
+
+BasePredictor.predict_files = predict_files

@@ -420,3 +420,25 @@ class ARConv(ConvBase):
         y = jnp.einsum("bhwkc,kco->bhwo", cols, weight.astype(jnp.float32),
                        precision="default").astype(x.dtype)
         return y * m + bias
+
+
+class DySnakeRepNCSPELAN4(ConvBase):
+    """GELAN block with DySnakeConv branch tails (reference
+    DySnakeConv.py:392), mirroring DCNV3RepNCSPELAN4 above."""
+
+    c2: int = 0
+    c3: int = 0
+    c4: int = 0
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.v9v10v12 import RepNCSP
+
+        y = Conv(c2=self.c3, k=1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(2):
+            z = RepNCSP(c2=self.c4, n=self.n, dtype=self.dtype, name=f"cv{i + 2}_csp")(ys[-1], train)
+            z = DySnakeConv(c2=self.c4, k=3, dtype=self.dtype, name=f"cv{i + 2}_snake")(z, train)
+            ys.append(z)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)

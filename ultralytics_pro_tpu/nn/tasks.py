@@ -533,6 +533,9 @@ BUILDERS.update({
     "DCNV3RepNCSPELAN4": lambda a, n, w, d, mx, ctx: (
         _dx().DCNV3RepNCSPELAN4, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
                                      c4=_sc(a[2], w, mx), n=_a(a, 3, 1))),
+    "DySnakeRepNCSPELAN4": lambda a, n, w, d, mx, ctx: (
+        _dx().DySnakeRepNCSPELAN4, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
+                                       c4=_sc(a[2], w, mx), n=_a(a, 3, 1))),
     "DySnakeConv": lambda a, n, w, d, mx, ctx: (
         _dx().DySnakeConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3))),
     "C3k_DSConv": lambda a, n, w, d, mx, ctx: (

@@ -132,3 +132,27 @@ def test_anchor_model_e2e_train_val(tmp_path):
     metrics = m.val(data="coco8.yaml", imgsz=64, batch=4)
     fit = metrics.fitness if hasattr(metrics, "fitness") else metrics
     assert np.isfinite(float(fit))
+
+
+def test_v5_anchor_neighbor_cell_assignment():
+    """The 3-cell cross-grid rule must select the CORRECT neighbor: a GT at
+    fractional x=0.3 (fx<0.5) assigns its center cell AND the left cell."""
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.utils.loss import v5AnchorLoss
+
+    wid = hgt = 8
+    # gt centered at grid (4.3, 4.6) normalized on an 8x8 level at stride 8
+    bboxes = np.array([[[4.3 / wid, 4.6 / hgt, 0.25, 0.25]]], np.float32)
+    gxy = bboxes[..., :2] * np.array([wid, hgt], np.float32)
+    gx, gy = gxy[..., 0], gxy[..., 1]
+    fx, fy = gx % 1.0, gy % 1.0
+    off = np.array([[0, 0], [1, 0], [-1, 0], [0, 1], [0, -1]], np.float32) * 0.5
+    cell = np.floor(gxy[:, :, None, :] - off[None, None])
+    cx = cell[..., 0].astype(int)[0, 0]
+    cy = cell[..., 1].astype(int)[0, 0]
+    # offset 0: center (4,4); offset 1 (fx<0.5 -> left): (3,4);
+    # offset 4 (fy>=0.5 -> down... ): y-neighbor cell 5
+    assert (cx[0], cy[0]) == (4, 4)
+    assert (cx[1], cy[1]) == (3, 4)      # left neighbor for fx=0.3
+    assert (cx[4], cy[4]) == (4, 5)      # lower neighbor for fy=0.6

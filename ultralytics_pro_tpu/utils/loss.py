@@ -545,8 +545,10 @@ class v5AnchorLoss:
                 (fy < 0.5) & (gy > 1.0),          # up
                 (fy >= 0.5) & (gy < hgt - 1.0),   # down
             ], -1)
-            # offsets applied to the CELL index (v5 subtracts off*g then floors)
-            off = jnp.asarray([[0, 0], [-1, 0], [1, 0], [0, -1], [0, 1]], jnp.float32) * 0.5
+            # offsets applied to the CELL index: v5 computes floor(gxy - off*g),
+            # so the LEFT neighbor (fx < 0.5) needs off = +0.5 -> floor(gx-0.5)
+            # = cell-1, and the RIGHT neighbor (fx >= 0.5) off = -0.5
+            off = jnp.asarray([[0, 0], [1, 0], [-1, 0], [0, 1], [0, -1]], jnp.float32) * 0.5
             cell = jnp.floor(gxy[:, :, None, :] - off[None, None])  # (B,G,5,2)
             cx = jnp.clip(cell[..., 0], 0, wid - 1).astype(jnp.int32)
             cy = jnp.clip(cell[..., 1], 0, hgt - 1).astype(jnp.int32)

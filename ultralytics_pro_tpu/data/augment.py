@@ -589,13 +589,19 @@ class RandomLoadText:
 
         texts = labels.get("texts") or []
         cls = np.asarray(labels.get("cls", np.zeros((0, 1))), np.float32).reshape(-1)
-        pos = sorted({int(c) for c in cls})
+        pos = sorted({int(c) for c in cls})[: self.max_samples]  # budget-capped
         neg_pool = [i for i in range(len(texts)) if i not in pos]
         n_neg = max(self.max_samples - len(pos), 0)
         rng = np.random.default_rng(labels.get("seed"))
         neg = list(rng.permutation(neg_pool)[:n_neg]) if neg_pool else []
         chosen = pos + [int(i) for i in neg]
         remap = {old: new for new, old in enumerate(chosen)}
+        # labels whose class fell past the budget are DROPPED with their rows
+        keep = np.asarray([int(c) in remap for c in cls], bool)
+        cls = cls[keep]
+        for key in ("bboxes", "bboxes_n"):
+            if key in labels and len(np.asarray(labels[key])) == len(keep):
+                labels = {**labels, key: np.asarray(labels[key])[keep]}
         new_cls = np.asarray([remap[int(c)] for c in cls], np.float32).reshape(-1, 1)
         out_texts = [texts[i] if i < len(texts) else self.padding_value for i in chosen]
         # pad to the fixed budget (static shape across the batch)

@@ -379,7 +379,17 @@ def predict_files(self, paths, batch: int = 16):
                 boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h0)
             data = np.concatenate(
                 [boxes, out["scores"][j][:n, None], out["cls"][j][:n, None]], 1)
-            results.append(Results(imgs[j], p, self.model.names, boxes=data))
+            im = imgs[j]
+            if h0 > 0:
+                import cv2
+
+                nw, nh = int(round(w0 * r)), int(round(h0 * r))
+                top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+                crop = im[max(top, 0):max(top, 0) + nh, max(left, 0):max(left, 0) + nw]
+                if crop.size:
+                    im = cv2.resize(crop, (int(w0), int(h0)),
+                                    interpolation=cv2.INTER_LINEAR)
+            results.append(Results(im, p, self.model.names, boxes=data))
     return results
 
 

@@ -531,11 +531,15 @@ class WorldTrainer(DetectionTrainer):
         rng = np.random.default_rng(None)
         neg = list(rng.permutation(pool)[: max(self.max_texts - len(pos), 0)])
         chosen = pos + [int(i) for i in neg]
-        remap = np.zeros(max(len(self.class_texts), 1), np.float32)
+        # classes beyond the text budget are DROPPED (masked), never silently
+        # remapped to another class
+        remap = np.full(max(len(self.class_texts), 1), -1.0, np.float32)
         for new, old in enumerate(chosen):
             remap[old] = new
         batch = dict(batch)
-        batch["cls"] = remap[cls.astype(np.int64).clip(0, len(remap) - 1)].reshape(cls.shape)
+        mapped = remap[cls.astype(np.int64).clip(0, len(remap) - 1)].reshape(cls.shape)
+        batch["mask_gt"] = mask & (mapped >= 0)
+        batch["cls"] = np.maximum(mapped, 0.0)
         texts = [self.class_texts[i] for i in chosen]
         texts += [" "] * (self.max_texts - len(texts))
         tf = self._embed(texts)  # (T, 512)

@@ -466,9 +466,20 @@ class OBBValidator(DetectionValidator):
             tp = match_predictions(pred_cls, gt_cls, iou)
             metrics.update_stats(tp, pred_conf, pred_cls, gt_cls)
             if getattr(self, "_dota", None) is not None:
-                im_files = batch.get("im_file") or [""] * (i + 1)
+                im_files = batch.get("im_files") or [""] * (i + 1)
+                ori_shapes = batch.get("ori_shapes") or [None] * (i + 1)
+                rb = pred_rb.copy()
+                ori = ori_shapes[i] if i < len(ori_shapes) else None
+                if ori is not None and len(rb):
+                    # undo the letterbox: centers unpad+unscale, sizes unscale
+                    h0, w0 = ori
+                    r = min(h / h0, w / w0)
+                    dw, dh = (w - w0 * r) / 2, (h - h0 * r) / 2
+                    rb[:, 0] = (rb[:, 0] - dw) / r
+                    rb[:, 1] = (rb[:, 1] - dh) / r
+                    rb[:, 2:4] /= r
                 self._dota.append((im_files[i] if i < len(im_files) else "",
-                                   pred_rb, pred_conf, pred_cls))
+                                   rb, pred_conf, pred_cls))
 
 
 class ClassificationValidator:

@@ -19,7 +19,7 @@ class Auth:
         self.api_key = api_key or str(SETTINGS.get("api_key", "") or "")
         if self.api_key:
             if self.authenticate():
-                SETTINGS["api_key"] = self.api_key
+                SETTINGS.update_and_save(api_key=self.api_key)
                 if verbose:
                     LOGGER.info("HUB: authenticated (local ledger)")
         elif verbose:
@@ -45,5 +45,5 @@ def login(api_key: str = "", verbose: bool = True) -> bool:
 def logout():
     from ultralytics_pro_tpu.utils.settings import SETTINGS
 
-    SETTINGS["api_key"] = ""
+    SETTINGS.update_and_save(api_key="")
     LOGGER.info("HUB: logged out")

@@ -749,8 +749,9 @@ class FocusedLinearAttention(ConvBase):
         q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
         vh = v.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
-        z = 1.0 / (jnp.einsum("bhnd,bhd->bhn", q, k.mean(axis=2)) * n + 1e-6)
-        kv_ctx = jnp.einsum("bhnd,bhne->bhde", k, vh) / n
+        # linear attention: out_i = (q_i @ sum_j k_j v_j^T) / (q_i . sum_j k_j)
+        z = 1.0 / (jnp.einsum("bhnd,bhd->bhn", q, k.sum(axis=2)) + 1e-6)
+        kv_ctx = jnp.einsum("bhnd,bhne->bhde", k, vh)
         out = jnp.einsum("bhnd,bhde->bhne", q, kv_ctx) * z[..., None]
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
         # per-head DW conv on V (local detail branch)

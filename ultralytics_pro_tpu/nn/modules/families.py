@@ -401,7 +401,9 @@ class HyperComputeModule(ConvBase):
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
         t = x.reshape(b, h * w, c).astype(jnp.float32)
-        d2 = ((t[:, :, None, :] - t[:, None, :, :]) ** 2).sum(-1)
+        # |a-b|^2 = |a|^2 + |b|^2 - 2ab^T: two matmuls, no (N,N,C) intermediate
+        sq = (t ** 2).sum(-1)
+        d2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * (t @ t.swapaxes(1, 2)), 0.0)
         hg = (jnp.sqrt(jnp.maximum(d2, 0.0)) < self.threshold).astype(jnp.float32)
         f = nn.Dense(self.c2, dtype=self.dtype, name="fc")(t).astype(jnp.float32)
         # v -> e (mean over member vertices), then e -> v

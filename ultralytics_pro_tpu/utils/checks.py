@@ -95,10 +95,13 @@ def check_amp(model=None, imgsz: int = 64, rel_tol: float = 0.10) -> bool:
     import numpy as np
 
     variables = getattr(model, "variables", None) or model.init_params(imgsz=imgsz)
+    # rebuild BOTH sides at explicit dtypes: the caller's model may itself be
+    # bf16, which would make a same-model comparison trivially pass
+    m32 = type(model)(model.yaml, dtype=jnp.float32, verbose=False)
     m16 = type(model)(model.yaml, dtype=jnp.bfloat16, verbose=False)
     x = jnp.asarray(np.random.default_rng(0).normal(0.5, 0.25, (1, imgsz, imgsz, 3))
                     .clip(0, 1).astype(np.float32))
-    y32 = model.apply(variables, x, train=False)
+    y32 = m32.apply(variables, x, train=False)
     y16 = m16.apply(variables, x, train=False)
     y32 = y32[0] if isinstance(y32, tuple) else y32
     y16 = y16[0] if isinstance(y16, tuple) else y16

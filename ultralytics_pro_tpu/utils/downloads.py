@@ -97,7 +97,11 @@ def safe_download(
     dest.parent.mkdir(parents=True, exist_ok=True)
 
     src = Path(url.replace("file://", "")) if url.startswith("file://") or "://" not in url else None
-    if dest.exists() and dest.stat().st_size >= min_bytes and not exist_ok:
+    # reuse an existing download only if it passes size AND archive-integrity
+    # checks — a truncated zip from an interrupted fetch must re-download
+    reusable = (dest.exists() and dest.stat().st_size >= min_bytes
+                and (dest.suffix != ".zip" or zipfile.is_zipfile(dest)))
+    if reusable:
         pass
     elif src is not None:
         if not src.exists():

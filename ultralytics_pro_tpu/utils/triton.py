@@ -43,7 +43,8 @@ class TritonRemoteModel:
         if scheme == "grpc":
             raise ImportError("gRPC needs tritonclient[grpc]; use the HTTP scheme here")
         self.endpoint = endpoint
-        self.url = f"http://{url}" if "://" not in url else url
+        proto = scheme if scheme in ("http", "https") else "http"
+        self.url = f"{proto}://{url}" if "://" not in url else url
         meta = self._get(f"/v2/models/{endpoint}")
         self.metadata = meta
         inputs = meta.get("inputs", [])

@@ -121,3 +121,20 @@ def test_tranche3b_assembled_backbones(name):
     v = mod.init(jax.random.PRNGKey(0), x, train=False)
     outs = mod.apply(v, x, train=False)
     assert len(outs) == 4 and all(bool(jnp.isfinite(o).all()) for o in outs), name
+
+
+def test_tranche3_backbones_non_divisible_size():
+    """52x52 (13x13 at stride 4) exercises the pad-and-crop paths in
+    MobileViT/CSWin/MaxViT/WTConvNeXt (regression: hard reshapes crashed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.modules.backbones3 import BACKBONE_VARIANTS3
+
+    x = jnp.zeros((1, 104, 104, 3))  # stage maps 26/13/6|7... odd sizes
+    for name in ("MobileViT", "CSWin", "MaxViT", "WTConvNeXt"):
+        cls, kw = BACKBONE_VARIANTS3[name]
+        mod = cls(**dict(kw))
+        v = mod.init(jax.random.PRNGKey(0), x, train=False)
+        outs = mod.apply(v, x, train=False)
+        assert len(outs) == 4 and all(bool(jnp.isfinite(o).all()) for o in outs), name

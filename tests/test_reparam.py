@@ -127,3 +127,13 @@ def test_yaml_builders_resolve():
                  "MobileOneBlock", "DilatedReparamBlock", "UniRepLKNetBlock",
                  "C2f_DRB", "C3_DRB", "C2f_UniRepLKNetBlock", "OREPA"):
         assert name in BUILDERS
+
+
+def test_qarepvgg_stride2_same_width_fuse_exact():
+    """Regression: s=2 with c1 == c2 has NO identity branch in the forward;
+    the fuse must mirror that (pass s=2)."""
+    mod = R.QARepVGGBlockV2(c2=8, k=3, s=2, act=False)
+    variables, y = _init_eval(mod, X)
+    k, b = R.qarepvgg_fuse(variables["params"], variables["batch_stats"], s=2)
+    yf = apply_fused_conv(X, k, b, stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yf), atol=2e-4)

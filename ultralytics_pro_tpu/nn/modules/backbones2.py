@@ -43,10 +43,10 @@ class GhostModuleV2(ConvBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        init = self.c2 // 2
+        init = (self.c2 + 1) // 2  # ceil: odd c2 still yields c2 channels
         y1 = Conv(c2=init, k=1, act="relu", dtype=self.dtype, name="primary")(x, train)
         y2 = Conv(c2=init, k=3, g=init, act="relu", dtype=self.dtype, name="cheap")(y1, train)
-        out = jnp.concatenate([y1, y2], -1)
+        out = jnp.concatenate([y1, y2], -1)[..., :self.c2]
         if self.mode == "attn":
             # DFC: downsample 2x, 1x1 + horizontal(1,5) + vertical(5,1) DW
             b, h, w, _ = x.shape

@@ -46,6 +46,8 @@ class MobileViTBlock(ConvBase):
             m = nn.Dense(2 * d, dtype=self.dtype, name=f"fc{i}a")(m)
             t = t + nn.Dense(d, dtype=self.dtype, name=f"fc{i}b")(jax.nn.silu(m))
         t = t.reshape(b, p, p, nh, nw, d).transpose(0, 3, 1, 4, 2, 5).reshape(b, nh * p, nw * p, d)
+        if t.shape[1] != h or t.shape[2] != w:  # restore non-divisible sizes
+            t = jax.image.resize(t, (b, h, w, d), method="nearest")
         y = Conv(c2=c, k=1, dtype=self.dtype, name="proj")(t, train)
         return Conv(c2=c, k=3, dtype=self.dtype, name="fuse")(
             jnp.concatenate([x, y], -1), train)
@@ -199,6 +201,11 @@ class CSWinBlock(ConvBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        b, h0, w0, c = x.shape
+        sw0 = min(self.stripe, h0, w0)
+        ph, pw = (-h0) % sw0, (-w0) % sw0
+        if ph or pw:  # pad to stripe multiples, crop at the end
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
         b, h, w, c = x.shape
         y = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
@@ -239,7 +246,8 @@ class CSWinBlock(ConvBase):
         x = x + nn.Dense(c, dtype=self.dtype, name="proj")(y)
         y = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
         y = nn.Dense(4 * c, dtype=self.dtype, name="fc1")(y)
-        return x + nn.Dense(c, dtype=self.dtype, name="fc2")(jax.nn.gelu(y))
+        out = x + nn.Dense(c, dtype=self.dtype, name="fc2")(jax.nn.gelu(y))
+        return out[:, :h0, :w0]
 
 
 # ------------------------------------------------------------------ MaxViT --
@@ -260,8 +268,12 @@ class MaxViTBlock(ConvBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        b, h0, w0, c = x.shape
+        g = min(self.window, h0, w0)
+        ph, pw = (-h0) % g, (-w0) % g
+        if ph or pw:  # pad to window multiples, crop at the end
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
         b, h, w, c = x.shape
-        g = min(self.window, h, w)
         # MBConv
         y = Conv(c2=c * 2, k=1, dtype=self.dtype, name="mb_expand")(x, train)
         y = DWConv(c2=c * 2, k=3, dtype=self.dtype, name="mb_dw")(y, train)
@@ -277,7 +289,7 @@ class MaxViTBlock(ConvBase):
         t = t.reshape(-1, g * g, c)
         t = self._attn(t, "grid")
         x = t.reshape(b, h // g, w // g, g, g, c).transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, c)
-        return x
+        return x[:, :h0, :w0]
 
 
 # ------------------------------------------------------------------ WTConv --
@@ -291,6 +303,9 @@ class WTConv(ConvBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        b, h0, w0, c = x.shape
+        if h0 % 2 or w0 % 2:  # DWT needs even sizes; pad then crop
+            x = jnp.pad(x, ((0, 0), (0, h0 % 2), (0, w0 % 2), (0, 0)))
         b, h, w, c = x.shape
         p = self.k // 2
         direct = nn.Conv(c, (self.k, self.k), padding=((p, p), (p, p)),
@@ -312,7 +327,7 @@ class WTConv(ConvBase):
         dd = (ll - lh - hl + hh) / 2
         rec = jnp.stack([jnp.stack([a, bb], 3), jnp.stack([cc, dd], 3)], 2)
         rec = rec.reshape(b, h, w, c)
-        return direct + rec
+        return (direct + rec)[:, :h0, :w0]
 
 
 def _stage_backbone(name, block_fn, dims=(32, 64, 128, 256), depths=(1, 2, 3, 1)):

@@ -10,7 +10,10 @@ Parity targets (reference ultralytics/nn/modules/conv.py):
 - RFAConv :1641, RFCBAMConv :1688, RFCAConv :1724   receptive-field-attention
   convs — the torch versions expand to an (h*k, w*k) image and run a
   stride-k conv; here the k^2 taps stay as a tap axis and the contraction is
-  one einsum (identical math, no layout blowup)
+  one einsum. The final contraction is identical math; RFCBAMConv's SPATIAL
+  attention branch is a documented deviation (a 3x3 conv mixing all k^2 tap
+  statistics per coarse cell, vs the reference's conv over the unfolded fine
+  grid) — same receptive-field-gating role, not weight-compatible
 - FCM :2043 (+_1/_2/_3 variants)  split-path spatial/channel cross-attention
 - BatchChannelNorm :73, DynamicTanh :127
 """
@@ -269,7 +272,6 @@ class FCM(ConvBase):
     deep 3x3 path and shallow 1x1 path exchange spatial/channel attention."""
 
     c2: int = 0
-    split: float = 0.25  # fraction on the shallow path
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -288,7 +290,11 @@ class FCM(ConvBase):
         ch = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
                      dtype=self.dtype, name="channel_dw")(x3)
         ch = jax.nn.sigmoid(ch.mean(axis=(1, 2), keepdims=True))
-        return sp * x3 + ch * x4
+        out = sp * x3 + ch * x4
+        if self.c2 and self.c2 != c:  # reference FCM is channel-preserving;
+            # project when a yaml asks for a different width
+            out = Conv(c2=self.c2, k=1, dtype=self.dtype, name="proj")(out, train)
+        return out
 
 
 class BatchChannelNorm(ConvBase):

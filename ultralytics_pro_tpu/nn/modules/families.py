@@ -76,11 +76,13 @@ class RTMBlock(ConvBase):
         for i in range(self.n):
             a = CSPNeXtBlock(c2=c_, shortcut=self.shortcut, k=(3, 5),
                              dtype=self.dtype, name=f"m_{i}")(a, train)
-        y = Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
-        # ChannelAttention (reference conv.py:746): gap -> 1x1 -> sigmoid
-        g = y.mean(axis=(1, 2), keepdims=True)
-        g = jax.nn.sigmoid(nn.Conv(self.c2, (1, 1), dtype=self.dtype, name="attn_fc")(g))
-        return y * g
+        cat = jnp.concatenate([a, b], -1)
+        # ChannelAttention on the CONCATENATED branches BEFORE the fuse conv
+        # (mmdet CSPLayer order: attention(cat) -> final_conv)
+        g = cat.mean(axis=(1, 2), keepdims=True)
+        g = jax.nn.sigmoid(nn.Conv(cat.shape[-1], (1, 1), dtype=self.dtype,
+                                   name="attn_fc")(g))
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(cat * g, train)
 
 
 # --------------------------------------------------------------------------
@@ -124,9 +126,11 @@ class DWConvblock(ConvBase):
 
 
 def _se_hswish(mod, x, c, train, prefix):
+    """SE with a hard-sigmoid gate (reference ES_SEModule: the gate must be
+    bounded to [0, 1])."""
     s = x.mean(axis=(1, 2))
     s = jax.nn.relu(nn.Dense(c // 4, dtype=mod.dtype, name=f"{prefix}_fc0", parent=mod)(s))
-    s = jax.nn.silu(nn.Dense(c, dtype=mod.dtype, name=f"{prefix}_fc1", parent=mod)(s))
+    s = jax.nn.hard_sigmoid(nn.Dense(c, dtype=mod.dtype, name=f"{prefix}_fc1", parent=mod)(s))
     return x * s[:, None, None, :]
 
 
@@ -405,7 +409,9 @@ class HyperComputeModule(ConvBase):
         sq = (t ** 2).sum(-1)
         d2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * (t @ t.swapaxes(1, 2)), 0.0)
         hg = (jnp.sqrt(jnp.maximum(d2, 0.0)) < self.threshold).astype(jnp.float32)
-        f = nn.Dense(self.c2, dtype=self.dtype, name="fc")(t).astype(jnp.float32)
+        # hypergraph conv is channel-preserving (c2 == c1 in the reference
+        # yamls); the residual `v + t` requires matching widths
+        f = nn.Dense(c, dtype=self.dtype, name="fc")(t).astype(jnp.float32)
         # v -> e (mean over member vertices), then e -> v
         ht = hg.swapaxes(1, 2)
         e = (ht @ f) / jnp.maximum(ht.sum(-1, keepdims=True), 1.0)

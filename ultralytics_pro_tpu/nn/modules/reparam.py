@@ -460,14 +460,17 @@ def _pad_to(kernel, k):
     return jnp.pad(kernel, ((p, p), (p, p), (0, 0), (0, 0)))
 
 
-def qarepvgg_fuse(params: Dict, stats: Dict, g: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """QARepVGGBlockV2 -> one (k,k,I,O) kernel + bias (QARepVGG.py:303)."""
+def qarepvgg_fuse(params: Dict, stats: Dict, g: int = 1,
+                  s: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """QARepVGGBlockV2 -> one (k,k,I,O) kernel + bias (QARepVGG.py:303).
+    `s` must match the block's stride: the identity branch only exists in the
+    forward when s == 1 (AND c1 == c2), so the fuse mirrors that condition."""
     k3, b3 = _fuse_bn(params["rbr_dense"]["conv"]["kernel"],
                       params["rbr_dense"]["bn"], stats["rbr_dense"]["bn"], eps=1e-3)
     kernel = k3 + _pad_to(params["rbr_1x1"]["kernel"], k3.shape[0])
     bias = b3
     c2, c1 = kernel.shape[-1], kernel.shape[-2] * g
-    if c1 == c2:  # raw identity branch
+    if c1 == c2 and s == 1:  # raw identity branch (forward adds x only then)
         ci = c1 // g
         ident = np.zeros(kernel.shape, np.float32)
         for o in range(c2):

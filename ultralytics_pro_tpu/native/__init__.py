@@ -25,22 +25,26 @@ _LIB_FAILED = False
 
 
 def _build_lib() -> Optional[Path]:
-    """Compile fastloader.cpp into a cached .so keyed by source hash."""
-    tag = hashlib.sha1(_SRC.read_bytes()).hexdigest()[:12]
-    cache = Path(os.environ.get("UPT_NATIVE_CACHE",
-                                Path.home() / ".cache" / "ultralytics_pro_tpu" / "native"))
-    cache.mkdir(parents=True, exist_ok=True)
-    so = cache / f"libfastloader_{tag}.so"
-    if so.exists():
-        return so
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-I/usr/include/opencv4", str(_SRC), "-o", str(so),
-           "-lopencv_core", "-lopencv_imgcodecs", "-lopencv_imgproc"]
+    """Compile fastloader.cpp into a cached .so keyed by source hash. The
+    build writes to a temp path and renames atomically, so a killed g++ can
+    never leave a truncated .so that poisons the cache."""
     try:
+        tag = hashlib.sha1(_SRC.read_bytes()).hexdigest()[:12]
+        cache = Path(os.environ.get("UPT_NATIVE_CACHE",
+                                    Path.home() / ".cache" / "ultralytics_pro_tpu" / "native"))
+        cache.mkdir(parents=True, exist_ok=True)
+        so = cache / f"libfastloader_{tag}.so"
+        if so.exists():
+            return so
+        tmp = so.with_suffix(f".tmp{os.getpid()}.so")
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+               "-I/usr/include/opencv4", str(_SRC), "-o", str(tmp),
+               "-lopencv_core", "-lopencv_imgcodecs", "-lopencv_imgproc"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        os.replace(tmp, so)  # atomic publish
         LOGGER.info(f"built native fastloader -> {so}")
         return so
-    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError) as e:
+    except Exception as e:
         LOGGER.info(f"native fastloader unavailable ({type(e).__name__}); using python loader")
         return None
 
@@ -53,7 +57,12 @@ def _get_lib():
     if so is None:
         _LIB_FAILED = True
         return None
-    lib = ctypes.CDLL(str(so))
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError as e:  # stale cache from another environment
+        LOGGER.info(f"native fastloader .so unloadable ({e}); using python loader")
+        _LIB_FAILED = True
+        return None
     lib.fl_create.restype = ctypes.c_void_p
     lib.fl_create.argtypes = [ctypes.c_int] * 4
     lib.fl_load_batch.restype = ctypes.c_int

@@ -43,8 +43,11 @@ class MHSA(ConvBase):
         v = nn.Conv(c, (1, 1), name="value", dtype=self.dtype)(x).reshape(b, n, self.heads, hd)
         energy = jnp.einsum("bnhd,bmhd->bhnm", q, k)
         if self.pos_emb:
-            rel_h = self.param("rel_h", nn.initializers.normal(1.0), (1, self.heads, hd, 1, h))
-            rel_w = self.param("rel_w", nn.initializers.normal(1.0), (1, self.heads, hd, w, 1))
+            # rel_h varies along the H axis, rel_w along W; broadcast to
+            # (h, w) THEN flatten so position m = y*w + x matches the q/k
+            # token order from x.reshape(b, h*w, ...)
+            rel_h = self.param("rel_h", nn.initializers.normal(1.0), (1, self.heads, hd, h, 1))
+            rel_w = self.param("rel_w", nn.initializers.normal(1.0), (1, self.heads, hd, 1, w))
             pos = (rel_h + rel_w).reshape(1, self.heads, hd, n)  # (1, heads, hd, N)
             energy = energy + jnp.einsum("bnhd,ohdm->bhnm", q, pos.transpose(0, 1, 2, 3))
         attn = jax.nn.softmax(energy, axis=-1)
@@ -245,7 +248,7 @@ class SEAttention(ConvBase):
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         y = x.mean(axis=(1, 2))
-        y = jax.nn.relu(nn.Dense(c // self.reduction, dtype=self.dtype, name="fc_0")(y))
+        y = jax.nn.relu(nn.Dense(max(c // self.reduction, 4), dtype=self.dtype, name="fc_0")(y))
         y = jax.nn.sigmoid(nn.Dense(c, dtype=self.dtype, name="fc_1")(y))
         return x * y[:, None, None, :]
 
@@ -477,7 +480,9 @@ class ASPP(ConvBase):
 
 class CARAFE(ConvBase):
     """Content-aware upsampling: predicted k x k reassembly kernels applied to
-    the 2x-upsampled neighborhood (reference block.py:6170). Formulated as a
+    a kxk source-resolution neighborhood (the
+    reference reassembles a k_up=5 window in UPSAMPLED space — same
+    content-aware-reassembly role, different neighborhood geometry) (reference block.py:6170). Formulated as a
     one-hot-free gather: unfold via conv patches, weight, and sum on the MXU."""
 
     c2: int = 0
@@ -489,7 +494,7 @@ class CARAFE(ConvBase):
         b, h, w, c = x.shape
         k, up = self.kernel_size, self.up_factor
         comp = nn.Conv(c // 4, (1, 1), dtype=self.dtype, name="down")(x)
-        wgt = nn.Conv((up * k) ** 0 * k * k * up * up, (k, k), padding=k // 2,
+        wgt = nn.Conv(k * k * up * up, (k, k), padding=k // 2,
                       dtype=self.dtype, name="encoder")(comp)  # (b,h,w,k*k*up*up)
         wgt = wgt.reshape(b, h, w, up * up, k * k)
         wgt = jax.nn.softmax(wgt, axis=-1)

@@ -50,7 +50,6 @@ INNER_REGISTRY: Dict[str, Tuple[Callable, str]] = {
     "ConvNeXtV2Block": (lambda: _get("backbones", "ConvNeXtBlock"), "dim"),
     "iRMB": (lambda: _get("backbones2", "MBConvV2"), "c2"),
     "DynamicConv": (lambda: _get("conv_extra", "ODConv2d"), "c2"),
-    "MSDA": (lambda: _get("misc_blocks", "EPSA"), "c2"),
     "UniRepLKNetBlock": (lambda: _get("reparam", "UniRepLKNetBlock"), "dimk"),
 }
 
@@ -133,7 +132,9 @@ def register_csp_wrappers(builders: Dict[str, Any], sc, kw, a_get):
 
     def make(topology, suffix):
         cls = GenericC2f if topology in ("C2f", "C3k2") else GenericC3
-        shortcut_default = topology == "C3"
+        # reference defaults: C2f_X shortcut=False, C3_X/C3k2_X shortcut=True
+        # (this repo's own _build_c3k2 likewise defaults True)
+        shortcut_default = topology in ("C3", "C3k2")
 
         def build(a, n, w, d, mx, ctx):
             return cls, kw(c2=sc(a[0], w, mx), suffix=suffix, n=n,

@@ -72,7 +72,8 @@ class ContextGuidedBlock(ConvBase):
                       name="F_sur")(y)
         j = jnp.concatenate([loc, sur], -1)
         j = _bn(self, "bn", j, train)
-        j = jnp.where(j >= 0, j, j * self.param("prelu", nn.initializers.constant(0.25), (1,)))
+        j = jnp.where(j >= 0, j, j * self.param("prelu", nn.initializers.constant(0.25),
+                                                 (2 * n,)))  # per-channel (reference nn.PReLU(2n))
         g = j.mean(axis=(1, 2))
         g = jax.nn.relu(nn.Dense(max(self.c2 // 16, 4), dtype=self.dtype, name="fglo_fc1")(g))
         g = jax.nn.sigmoid(nn.Dense(self.c2, dtype=self.dtype, name="fglo_fc2")(g))

@@ -901,7 +901,8 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
             offset += multi
             i = row + offset
             ctx["i"] = i
-        if n > 1 and m_name not in REPEAT_MODULES:
+        consumes_n = m_name in REPEAT_MODULES or any(k == "n" for k, _ in kwargs)
+        if n > 1 and not consumes_n:
             # non-internally-repeating module stacked n times (reference wraps
             # in nn.Sequential, tasks.py:3116)
             kwargs = _kw(cls=cls, kwargs=kwargs, n=n)

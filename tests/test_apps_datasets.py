@@ -181,3 +181,18 @@ def test_obb_dota_submission_format(tmp_path):
     assert f.exists()
     row = f.read_text().strip().split()
     assert row[0] == "P0001" and float(row[1]) == 0.9 and len(row) == 10
+
+
+def test_grayscale_dataset_loads_luminance(tmp_path):
+    from ultralytics_pro_tpu.data.dataset import YOLODataset
+    from ultralytics_pro_tpu.data.utils import check_det_dataset
+
+    d = check_det_dataset("coco8-grayscale.yaml")
+    assert d.get("channels") == 1
+    ds = YOLODataset(d["train"], imgsz=64, augment=False, data=d)
+    im, ori, resized = ds.load_image(0)
+    import numpy as np
+
+    # all three channels identical == luminance replicated
+    np.testing.assert_array_equal(im[..., 0], im[..., 1])
+    np.testing.assert_array_equal(im[..., 1], im[..., 2])

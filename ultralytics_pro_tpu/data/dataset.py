@@ -293,10 +293,17 @@ class YOLODataset:
 
     # -- loading --------------------------------------------------------------
     def _read_resized(self, i: int):
-        """Read + long-side resize to imgsz (reference base.py:208)."""
+        """Read + long-side resize to imgsz (reference base.py:208). The
+        dataset yaml's `channels:` key converts at load: 1 = grayscale
+        replicated to 3 (reference coco8-grayscale), >3 = the first 3 bands
+        of a multichannel stack (coco8-multispectral stand-in)."""
         im = cv2.imread(self.im_files[i])
         if im is None:
             raise FileNotFoundError(f"Image not found {self.im_files[i]}")
+        ch = int(self.data.get("channels", 3) or 3)
+        if ch == 1:
+            g = cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)
+            im = cv2.cvtColor(g, cv2.COLOR_GRAY2BGR)
         h0, w0 = im.shape[:2]
         r = self.imgsz / max(h0, w0)
         if r != 1:

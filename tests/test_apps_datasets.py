@@ -196,3 +196,17 @@ def test_grayscale_dataset_loads_luminance(tmp_path):
     # all three channels identical == luminance replicated
     np.testing.assert_array_equal(im[..., 0], im[..., 1])
     np.testing.assert_array_equal(im[..., 1], im[..., 2])
+
+
+def test_tuner_e2e_two_iterations(tmp_path):
+    """Tuner end-to-end: two mutate->train->ledger iterations on coco8."""
+    from ultralytics_pro_tpu.engine.tuner import Tuner
+
+    t = Tuner({"lr0": 0.01}, save_dir=tmp_path)
+    best = t(model_cfg="yolov8n.yaml", data="coco8.yaml", iterations=2,
+             epochs=1, imgsz=64, batch=4, project=str(tmp_path), name="tune",
+             warmup_epochs=0.0, plots=False, workers=0)
+    assert t.csv.exists()
+    rows = t.csv.read_text().strip().splitlines()
+    assert len(rows) >= 3  # header + 2 iterations
+    assert best[1] is None or isinstance(best[1], dict)

@@ -138,3 +138,19 @@ def test_tranche3_backbones_non_divisible_size():
         v = mod.init(jax.random.PRNGKey(0), x, train=False)
         outs = mod.apply(v, x, train=False)
         assert len(outs) == 4 and all(bool(jnp.isfinite(o).all()) for o in outs), name
+
+
+@pytest.mark.parametrize("name", ["EfficientFormer", "EdgeViT"])
+def test_tranche3c_backbones(name):
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.modules.backbones3 import BACKBONE_VARIANTS3
+
+    cls, kw = BACKBONE_VARIANTS3[name]
+    mod = cls(**dict(kw))
+    for size in (64, 104):  # divisible and odd-stage sizes
+        x = jnp.zeros((1, size, size, 3))
+        v = mod.init(jax.random.PRNGKey(0), x, train=False)
+        outs = mod.apply(v, x, train=False)
+        assert len(outs) == 4 and all(bool(jnp.isfinite(o).all()) for o in outs), (name, size)

@@ -456,3 +456,67 @@ BACKBONE_VARIANTS3.update({
     "unireplknet_a": (UniRepLKNet, ()),
     "UniRepLKNet": (UniRepLKNet, ()),
 })
+
+
+class PoolFormerBlock(ConvBase):
+    """Pool-mixer metaformer block (reference EfficientFormerV2.py lineage):
+    token mixing = avg-pool residual, channel mixing = MLP."""
+
+    dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        mix = nn.avg_pool(y, (3, 3), (1, 1), padding=((1, 1), (1, 1))) - y
+        x = x + mix * self.param("ls1", nn.initializers.constant(1e-5), (self.dim,))
+        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="fc1")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(jax.nn.gelu(y))
+        return x + y * self.param("ls2", nn.initializers.constant(1e-5), (self.dim,))
+
+
+class EdgeViTBlock(ConvBase):
+    """Local-global-local block (reference EdgeViT.py): DW local aggregation,
+    sparse global attention on a subsampled token grid, DW local propagation."""
+
+    dim: int = 0
+    sr: int = 2  # global-token subsample stride
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        # local aggregation
+        y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                    dtype=self.dtype, name="local_agg")(x)
+        x = x + y
+        # sparse global attention over the subsampled grid
+        r = min(self.sr, h, w)
+        g = x[:, ::r, ::r]
+        gh, gw = g.shape[1], g.shape[2]
+        t = nn.LayerNorm(dtype=self.dtype, name="ln")(g.reshape(b, gh * gw, c))
+        t = nn.SelfAttention(num_heads=max(c // 32, 1), dtype=self.dtype,
+                             name="attn")(t)
+        g = t.reshape(b, gh, gw, c)
+        g = jax.image.resize(g, (b, h, w, c), method="nearest")
+        x = x + g
+        # local propagation + MLP
+        y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                    dtype=self.dtype, name="local_prop")(x)
+        x = x + y
+        m = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        m = nn.Dense(4 * c, dtype=self.dtype, name="fc1")(m)
+        return x + nn.Dense(c, dtype=self.dtype, name="fc2")(jax.nn.gelu(m))
+
+
+EfficientFormer = _stage_backbone(
+    "EfficientFormer", lambda d, dt, nm: PoolFormerBlock(dim=d, dtype=dt, name=nm))
+EdgeViT = _stage_backbone(
+    "EdgeViT", lambda d, dt, nm: EdgeViTBlock(dim=d, dtype=dt, name=nm))
+
+BACKBONE_VARIANTS3.update({
+    # reference EfficientFormerV2.py / EdgeViT.py
+    "efficientformerv2_s0": (EfficientFormer, ()),
+    "EfficientFormer": (EfficientFormer, ()),
+    "edgevit_xxs": (EdgeViT, ()),
+    "EdgeViT": (EdgeViT, ()),
+})

@@ -5,6 +5,7 @@ missing dataset raises with the path it looked for."""
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Dict, Union
 
@@ -187,8 +188,12 @@ class HUBDatasetStats:
                     if im.suffix.lower() not in {".jpg", ".jpeg", ".png", ".bmp"}:
                         continue
                     n_imgs += 1
-                    lb = Path(str(im).replace(f"{im.suffix}", ".txt")
-                              .replace("images", "labels"))
+                    # Mirror the reference img2label_paths: swap only the LAST
+                    # /images/ path component and only the final extension, so
+                    # dirs like "images_raw" or stems containing ".jpg" map
+                    # correctly (ADVICE r2).
+                    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+                    lb = Path(sb.join(str(im.with_suffix(".txt")).rsplit(sa, 1)))
                     rows = [r.split() for r in lb.read_text().strip().splitlines()] \
                         if lb.is_file() else []
                     if not rows:

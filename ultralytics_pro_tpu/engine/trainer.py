@@ -477,9 +477,15 @@ class DetectionTrainer(BaseTrainer):
             from ultralytics_pro_tpu.utils.loss import v5AnchorLoss
 
             kw = dict(head.kwargs)
+            # v5/v7 anchor-based lineage uses its own gain scale (box=0.05 CIoU,
+            # obj=1.0 BCE) — the v8 default box=7.5 from default.yaml would
+            # overweight the box term ~150x (ADVICE r2, high). Only honour the
+            # shared "box"/"cls" keys when the user actually overrode them.
+            box = self.args.get("box", 7.5)
+            cls = self.args.get("cls", 0.5)
             return v5AnchorLoss(
                 nc=self.model.nc, anchors=kw["anchors"], strides=self.model.stride,
-                hyp={"box": self.args.get("box", 0.05), "cls": self.args.get("cls", 0.5),
+                hyp={"box": 0.05 if box == 7.5 else box, "cls": cls,
                      "obj": self.args.get("obj", 1.0)},
             )
         if head is not None and head.type_name == "v10Detect":

@@ -158,6 +158,14 @@ def dcnv3_sample(
         mask: (B, Ho, Wo, groups*K), softmax over K within each group.
 
     Returns (B, Ho, Wo, C).
+
+    DECLARED DEVIATION (ADVICE r2): the reference dcnv3_core_pytorch emits
+    offsets in (x, y) order scaled by 1/spatial_norm; we use (dy, dx) in
+    absolute pixels. Training from scratch is unaffected (the offset head is
+    learned), but importing pretrained DCNv3 weights requires swapping the
+    per-tap offset channel pairs and rescaling by the spatial norm — handled
+    by `dcnv3_offset_proj_to_tpu` below, which tools/convert_pt.py applies to
+    DCNv3 offset-projection weights.
     """
     b, h, w, c = x.shape
     ho, wo = offsets.shape[1], offsets.shape[2]
@@ -180,3 +188,37 @@ def dcnv3_sample(
     m = mask.reshape(b, ho, wo, groups, kk).transpose(0, 3, 1, 2, 4).reshape(b * groups, ho, wo, kk)
     out = (cols * m[..., None]).sum(axis=3)  # (B*g, Ho, Wo, cg)
     return out.reshape(b, groups, ho, wo, cg).transpose(0, 2, 3, 1, 4).reshape(b, ho, wo, c)
+
+
+def dcnv3_offset_proj_to_tpu(weight, bias=None, groups: int = 1, k: int = 3, scale: float = 1.0):
+    """Convert a reference DCNv3 offset-projection (linear layer emitting
+    (x, y)-ordered, spatial-normalized offsets) to this module's (dy, dx)
+    absolute-pixel convention.
+
+    For each of the groups*k*k taps the reference emits [x, y]; we expect
+    [dy, dx], so the output-channel pairs are swapped and multiplied by
+    `scale` (the reference's offset_scale / spatial-norm factor for the
+    layer). Applied by tools/convert_pt.py when importing pretrained DCNv3
+    weights (declared deviation — see dcnv3_sample docstring).
+
+    Args:
+        weight: (out, in) or (out, ...) array whose leading dim is
+            groups*k*k*2 ordered [g, tap, (x, y)].
+        bias: optional (out,) array, same channel order.
+        groups, k: DCNv3 group count and kernel size.
+        scale: multiplier converting normalized offsets to pixels.
+
+    Returns (weight, bias) in [g, tap, (dy, dx)] order, pixel units.
+    """
+    import numpy as np
+
+    kk = k * k
+    w = np.asarray(weight)
+    out = w.reshape(groups, kk, 2, *w.shape[1:])
+    out = out[:, :, ::-1] * scale  # (x, y) -> (y, x), normalized -> pixels
+    w2 = out.reshape(w.shape)
+    b2 = None
+    if bias is not None:
+        b = np.asarray(bias)
+        b2 = (b.reshape(groups, kk, 2)[:, :, ::-1] * scale).reshape(b.shape)
+    return w2, b2

@@ -72,10 +72,12 @@ class SearchApp:
 
         @app.route("/", methods=["GET", "POST"])
         def index():
+            from html import escape
+
             q = request.form.get("query", "") if request.method == "POST" else ""
             hits = self.search(q) if q else []
-            items = "".join(f"<li>{h}</li>" for h in hits)
-            return (f"<form method=post><input name=query value='{q}'>"
+            items = "".join(f"<li>{escape(str(h))}</li>" for h in hits)
+            return (f'<form method=post><input name=query value="{escape(q, quote=True)}">'
                     f"<button>Search</button></form><ul>{items}</ul>")
 
         app.run(debug=debug)

@@ -118,6 +118,13 @@ def load_torch_state_dict(variables, state_dict: Dict[str, "object"], strict: bo
             missing.append(tkey)
             continue
         w = np.asarray(w, dtype=np.float32)
+        if "dcnv3" in tkey.lower() and ".offset" in tkey and w.shape[0] % 18 == 0:
+            # Reference DCNv3 offset projections emit (x, y)-ordered pairs;
+            # our dcnv3_sample expects (dy, dx) — swap each tap's channel pair
+            # (declared deviation, ops/deform.py dcnv3_sample docstring).
+            from ultralytics_pro_tpu.ops.deform import dcnv3_offset_proj_to_tpu
+
+            w, _ = dcnv3_offset_proj_to_tpu(w, None, groups=w.shape[0] // 18, k=3)
         new_flat[fkey] = _convert_array(w, flat[fkey].shape)
         used.add(fkey)
 

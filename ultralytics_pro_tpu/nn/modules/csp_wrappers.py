@@ -38,7 +38,7 @@ INNER_REGISTRY: Dict[str, Tuple[Callable, str]] = {
     "DLKA": (lambda: _get("attention", "deformable_LKA"), "gate"),
     "TripletAt": (lambda: _get("attention", "TripletAttention"), "gate"),
     "SENetV1": (lambda: _get("attention", "SEAttention"), "gate"),
-    "SENetV2": (lambda: _get("attention", "SEAttention"), "gate"),
+    "SENetV2": (lambda: _get("zoo_r3", "SELayerV2"), "gate"),
     "DAttention": (lambda: _get("attention", "DAttention"), "gate"),
     "FLA": (lambda: _get("attention", "FocusedLinearAttention"), "gate"),
     "Star": (lambda: _get("backbones2", "StarBlock"), "dim"),
@@ -51,6 +51,28 @@ INNER_REGISTRY: Dict[str, Tuple[Callable, str]] = {
     "iRMB": (lambda: _get("backbones2", "MBConvV2"), "c2"),
     "DynamicConv": (lambda: _get("conv_extra", "ODConv2d"), "c2"),
     "UniRepLKNetBlock": (lambda: _get("reparam", "UniRepLKNetBlock"), "dimk"),
+    # round-3 inners (zoo_r3.py): mode "unit" = channel-preserving block that
+    # fully replaces the bottleneck after a 1x1 expand
+    "MLLABlock": (lambda: _get("zoo_r3", "MLLABlock"), "dim"),
+    "DiTBlock": (lambda: _get("zoo_r3", "DiTBlock"), "unit"),
+    "CGA": (lambda: _get("zoo_r3", "CascadedGroupAttention"), "unit"),
+    "DAT": (lambda: _get("attention", "DAttention"), "gate"),
+    "EMSC": (lambda: _get("zoo_r3", "EMSConv"), "c2"),
+    "EMSCP": (lambda: _get("zoo_r3", "EMSConvP"), "c2"),
+    "EMBC": (lambda: _get("backbones2", "MBConvV2"), "c2"),
+    "MSBlock": (lambda: _get("zoo_r3", "MSBlock"), "c2"),
+    "MSBlockv2": (lambda: _get("zoo_r3", "MSBlock"), "c2"),
+    "RetBlock": (lambda: _get("zoo_r3", "RetBlock"), "unit"),
+    "Star_CAA": (lambda: _get("zoo_r3", "StarCAA"), "dim"),
+    "RVB_EMA": (lambda: _get("zoo_r3", "RVB_EMA"), "dim"),
+    "Faster_CGLU": (lambda: _get("zoo_r3", "FasterCGLU"), "dim"),
+    "Faster_EMA": (lambda: _get("zoo_r3", "FasterEMA"), "dim"),
+    "GhostModule_DynamicConv": (lambda: _get("zoo_r3", "GhostDynamicConv"), "c2"),
+    "SCConv": (lambda: _get("zoo_r3", "SCConv"), "c2"),
+    "CGLU": (lambda: _get("zoo_r3", "CGLU"), "unit"),
+    "CAA": (lambda: _get("zoo_r3", "CAA"), "unit"),
+    "Het": (lambda: _get("zoo_r3", "DualConv"), "c2"),
+    "PPC": (lambda: _get("backbones2", "PConvBlock"), "dim"),
 }
 
 
@@ -71,6 +93,10 @@ class GenericBottleneck(ConvBase):
             y = Bottleneck(c2=self.c2, shortcut=False, k=(3, 3), e=self.e,
                            dtype=self.dtype, name="bottleneck")(x, train)
             y = cls(dtype=self.dtype, name="gate")(y, train)
+        elif mode == "unit":
+            # channel-preserving block that IS the bottleneck body
+            y = Conv(c2=self.c2, k=1, dtype=self.dtype, name="expand")(x, train)
+            y = cls(dtype=self.dtype, name="inner")(y, train)
         else:
             c_ = int(self.c2 * self.e)
             y = Conv(c2=c_, k=3, dtype=self.dtype, name="cv1")(x, train)
@@ -125,6 +151,31 @@ class GenericC3(ConvBase):
         return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
 
 
+class GenericC2PSA(ConvBase):
+    """C2PSA topology with an arbitrary channel-preserving inner (the
+    reference C2PSA_X pattern: cv1 split a/b, n X blocks on b, concat, cv2)."""
+
+    c2: int = 0
+    suffix: str = ""
+    n: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(c2=2 * c, k=1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :c], y[..., c:]
+        loader, mode = INNER_REGISTRY[self.suffix]
+        cls = loader()
+        for i in range(self.n):
+            if mode == "dim":
+                b = cls(dim=c, dtype=self.dtype, name=f"m_{i}")(b, train)
+            else:
+                b = cls(dtype=self.dtype, name=f"m_{i}")(b, train)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype,
+                    name="cv2")(jnp.concatenate([a, b], -1), train)
+
+
 def register_csp_wrappers(builders: Dict[str, Any], sc, kw, a_get):
     """Register C2f_X / C3_X / C3k2_X builders for every inner in
     INNER_REGISTRY (C3k2_X maps onto the C2f topology, matching the
@@ -147,3 +198,24 @@ def register_csp_wrappers(builders: Dict[str, Any], sc, kw, a_get):
             name = f"{topo}_{suffix}"
             if name not in builders:
                 builders[name] = make(topo, suffix)
+
+    def make_psa(suffix):
+        def build(a, n, w, d, mx, ctx):
+            return GenericC2PSA, kw(c2=sc(a[0], w, mx), suffix=suffix, n=n)
+        return build
+
+    # C2PSA_X family (reference C2PSA_DAT/CGA/SENetV2/DiTBlock/... classes)
+    for suffix in ("DAT", "CGA", "SENetV2", "DiTBlock", "MLLABlock", "DLKA", "FLA"):
+        name = f"C2PSA_{suffix}"
+        if name not in builders:
+            builders[name] = make_psa(suffix)
+    # reference spellings that drop the underscore or rename the inner
+    builders.setdefault("C2PSAMLLA", make_psa("MLLABlock"))
+    builders.setdefault("C2fMLLABlock", make("C2f", "MLLABlock"))
+    builders.setdefault("C3k2_MLLABlock1", make("C3k2", "MLLABlock"))
+    builders.setdefault("C3k2_MLLABlock2", make("C3k2", "MLLABlock"))
+    builders.setdefault("C3k2_DiTBlock", make("C3k2", "DiTBlock"))
+    builders.setdefault("C2PSA_CGA", make_psa("CGA"))
+    builders.setdefault("CSPHet", make("C2f", "Het"))
+    builders.setdefault("CSPPC", make("C2f", "PPC"))
+    builders.setdefault("C2f_GhostModule", make("C2f", "GhostModule_DynamicConv"))

@@ -571,3 +571,647 @@ class ResXCSPA(ConvBase):
         y2 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
         return Conv(c2=self.c2, k=1, dtype=self.dtype,
                     name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: CSP-A, shuffle/lite stems, GELAN variants, MLLA, misc gates
+# ---------------------------------------------------------------------------
+
+
+class Dense(ConvBase):
+    """PPLCNet classify tail (reference block.py:3410): 1x1 conv (bias-free,
+    no padding) + HardSwish; dropout is a train-time no-op here."""
+
+    c2: int = 0
+    k: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.c2, (self.k, self.k), padding="VALID", use_bias=False,
+                    dtype=self.dtype, name="dense_conv")(x)
+        return jax.nn.hard_swish(y)
+
+
+def channel_shuffle(x, groups: int):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, groups, c // groups)
+    return x.swapaxes(3, 4).reshape(b, h, w, c)
+
+
+class Shuffle_Block(ConvBase):
+    """ShuffleNetV2 unit (reference block.py:3468): stride-1 splits channels
+    (identity || pw-dw-pw), stride-2 runs both branches on x; channel shuffle
+    of 2 groups after concat. YAML args [c2, stride]."""
+
+    c2: int = 0
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bf = self.c2 // 2
+
+        def pw(y, c, name, act):
+            y = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name=f"{name}_conv")(y)
+            y = _bn(self, f"{name}_bn", y, train)
+            return jax.nn.relu(y) if act else y
+
+        def dw(y, name):
+            c = y.shape[-1]
+            y = nn.Conv(c, (3, 3), strides=(self.s, self.s), padding=((1, 1), (1, 1)),
+                        feature_group_count=c, use_bias=False, dtype=self.dtype,
+                        name=f"{name}_conv")(y)
+            return _bn(self, f"{name}_bn", y, train)
+
+        if self.s == 1:
+            x1, x2 = jnp.split(x, 2, axis=-1)
+            y2 = pw(dw(pw(x2, bf, "b2_pw1", True), "b2_dw"), bf, "b2_pw2", True)
+            out = jnp.concatenate([x1, y2], -1)
+        else:
+            y1 = pw(dw(x, "b1_dw"), bf, "b1_pw", True)
+            y2 = pw(dw(pw(x, bf, "b2_pw1", True), "b2_dw"), bf, "b2_pw2", True)
+            out = jnp.concatenate([y1, y2], -1)
+        return channel_shuffle(out, 2)
+
+
+class BottleneckCSPA(ConvBase):
+    """CSP-A topology (reference block.py:739): Conv stem -> bottleneck chain;
+    parallel plain 1x1; BN+SiLU on concat; final Conv."""
+
+    c2: int = 0
+    n: int = 1
+    shortcut: bool = True
+    inner: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            if self.inner is None:
+                y1 = Bottleneck(c2=c_, shortcut=self.shortcut, e=1.0,
+                                dtype=self.dtype, name=f"m_{i}")(y1, train)
+            else:
+                y1 = self.inner(c2=c_, shortcut=self.shortcut, dtype=self.dtype,
+                                name=f"m_{i}")(y1, train)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv2")(x)
+        y = jax.nn.silu(_bn(self, "bn", jnp.concatenate([y1, y2], -1), train))
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class Shortcut(ConvBase):
+    """Elementwise sum of two feature maps (reference block.py:2410)."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        if isinstance(xs, (list, tuple)):
+            return xs[0] + xs[1]
+        return xs
+
+
+class EffStem(ConvBase):
+    """EfficientNet stem (reference EfficientNet.py:38 `stem`): conv3x3 s2 +
+    BN + ReLU6."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.c2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        return jnp.clip(jax.nn.relu(_bn(self, "bn", y, train)), 0, 6)
+
+
+class PatchEmbed(ConvBase):
+    """ViT patch embed as a yaml layer (reference SwinTransformer.py:350):
+    conv k=patch s=patch projection + LayerNorm. YAML args [c2, patch]."""
+
+    c2: int = 0
+    patch: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.patch
+        y = nn.Conv(self.c2, (p, p), strides=(p, p), padding="VALID",
+                    dtype=self.dtype, name="proj")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(y)
+
+
+class VanillaBlock(ConvBase):
+    """VanillaNet block (reference VanillaNet.py:114): 1x1+BN, deep-train
+    leaky, 1x1+BN, maxpool stride, then the learned DW-conv activation."""
+
+    c2: int = 0
+    s: int = 2
+    act_num: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        y = nn.Conv(c1, (1, 1), dtype=self.dtype, name="conv1")(x)
+        y = jax.nn.leaky_relu(_bn(self, "bn1", y, train))
+        y = nn.Conv(self.c2, (1, 1), dtype=self.dtype, name="conv2")(y)
+        y = _bn(self, "bn2", y, train)
+        if self.s > 1:
+            y = nn.max_pool(y, (self.s, self.s), strides=(self.s, self.s))
+        # VanillaNet 'activation': ReLU then a learned DW conv (series-informed)
+        y = jax.nn.relu(y)
+        k = 2 * self.act_num + 1
+        y = nn.Conv(self.c2, (k, k), padding="SAME", feature_group_count=self.c2,
+                    use_bias=False, dtype=self.dtype, name="act_dw")(y)
+        return _bn(self, "bn3", y, train)
+
+
+class Down_wt(ConvBase):
+    """Haar wavelet downsample (reference Haar.py:9): one DWT level gives
+    LL/HL/LH/HH quarter-res bands, concat -> 1x1 BN ReLU."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = x[:, 0::2, 0::2]
+        b = x[:, 1::2, 0::2]
+        c = x[:, 0::2, 1::2]
+        d = x[:, 1::2, 1::2]
+        ll = (a + b + c + d) * 0.5
+        hl = (-a - b + c + d) * 0.5
+        lh = (-a + b - c + d) * 0.5
+        hh = (a - b - c + d) * 0.5
+        y = jnp.concatenate([ll, hl, lh, hh], -1)
+        y = nn.Conv(self.c2, (1, 1), dtype=self.dtype, name="conv")(y)
+        return jax.nn.relu(_bn(self, "bn", y, train))
+
+
+class MLLABlock(ConvBase):
+    """Mamba-like linear attention block (reference MLLABLock.py): CPE dwconv
+    residual, LN, gated (SiLU) linear attention with elu+1 kernel and LePE
+    dwconv, out proj, CPE2, LN + MLP. RoPE omitted (declared approximation:
+    COVERAGE.md). Channel-preserving; accepts NHWC."""
+
+    dim: int = 0  # inferred from input; kept for wrapper-kwarg compat
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh = max(1, c // 64)
+        hd = c // nh
+        x = x + nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+                        dtype=self.dtype, name="cpe1")(x)
+        t = x.reshape(b, h * w, c)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(t)
+        gate = jax.nn.silu(nn.Dense(c, dtype=self.dtype, name="act_proj")(y))
+        v = nn.Dense(c, dtype=self.dtype, name="in_proj")(y)
+        v = v.reshape(b, h, w, c)
+        v = jax.nn.silu(nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+                                dtype=self.dtype, name="dwc")(v)).reshape(b, h * w, c)
+        qk = nn.Dense(2 * c, dtype=self.dtype, name="qk")(v)
+        q, k = jnp.split(qk, 2, axis=-1)
+        q = jax.nn.elu(q) + 1.0
+        k = jax.nn.elu(k) + 1.0
+        n = h * w
+        qh = q.reshape(b, n, nh, hd).swapaxes(1, 2)
+        kh = k.reshape(b, n, nh, hd).swapaxes(1, 2)
+        vh = v.reshape(b, n, nh, hd).swapaxes(1, 2)
+        z = 1.0 / (jnp.einsum("bhnd,bhd->bhn", qh, kh.mean(2)) + 1e-6)
+        kv = jnp.einsum("bhnd,bhne->bhde", kh / n ** 0.5, vh / n ** 0.5)
+        att = jnp.einsum("bhnd,bhde->bhne", qh, kv) * z[..., None]
+        att = att.swapaxes(1, 2).reshape(b, n, c)
+        # LePE positional term on v
+        lepe = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+                       dtype=self.dtype, name="lepe")(v.reshape(b, h, w, c)).reshape(b, n, c)
+        y = nn.Dense(c, dtype=self.dtype, name="out_proj")((att + lepe) * gate)
+        t = t + y
+        x = t.reshape(b, h, w, c)
+        x = x + nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+                        dtype=self.dtype, name="cpe2")(x)
+        t = x.reshape(b, h * w, c)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(t)
+        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(jax.nn.gelu(y))
+        return (t + y).reshape(b, h, w, c)
+
+
+class SELayerV2(ConvBase):
+    """SENetV2 multi-branch squeeze-excite (reference SENetv2.py): 4 parallel
+    squeeze FCs, concat, excite FC, sigmoid gate."""
+
+    reduction: int = 32
+    branches: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        r = max(c // self.reduction, 4)
+        g = x.mean(axis=(1, 2))
+        outs = [jax.nn.relu(nn.Dense(r, use_bias=False, dtype=self.dtype,
+                                     name=f"sq_{i}")(g)) for i in range(self.branches)]
+        e = jax.nn.sigmoid(nn.Dense(c, use_bias=False, dtype=self.dtype,
+                                    name="excite")(jnp.concatenate(outs, -1)))
+        return x * e[:, None, None, :]
+
+
+class SEAM(ConvBase):
+    """Separated + enhancement attention (reference SEAM.py:17): n x (residual
+    DW3x3-GELU-BN + PW-GELU-BN), SE with exp gate."""
+
+    n: int = 1
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = x
+        for i in range(self.n):
+            z = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+                        dtype=self.dtype, name=f"dw_{i}")(y)
+            z = _bn(self, f"dwbn_{i}", jax.nn.gelu(z), train)
+            y = y + z
+            y = nn.Conv(c, (1, 1), dtype=self.dtype, name=f"pw_{i}")(y)
+            y = _bn(self, f"pwbn_{i}", jax.nn.gelu(y), train)
+        g = y.mean(axis=(1, 2))
+        g = jax.nn.relu(nn.Dense(c // self.reduction or 1, use_bias=False,
+                                 dtype=self.dtype, name="fc1")(g))
+        g = jax.nn.sigmoid(nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(g))
+        return x * jnp.exp(g)[:, None, None, :]
+
+
+class MultiSEAM(ConvBase):
+    """Multi-patch SEAM (reference SEAM.py:90): three patch-embedded DcovN
+    towers (p=3/5/7), averaged exp-SE gates upsampled onto x."""
+
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        gates = []
+        for pi, p in enumerate((3, 5, 7)):
+            y = nn.Conv(c, (p, p), strides=(p, p), padding="VALID",
+                        dtype=self.dtype, name=f"patch_{pi}")(x)
+            y = _bn(self, f"pbn_{pi}", jax.nn.silu(y), train)
+            z = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+                        dtype=self.dtype, name=f"dw_{pi}")(y)
+            y = y + _bn(self, f"dwbn_{pi}", jax.nn.silu(z), train)
+            gates.append(y.mean(axis=(1, 2)))
+        g = sum(gates) / 3.0
+        g = jax.nn.relu(nn.Dense(c // self.reduction or 1, use_bias=False,
+                                 dtype=self.dtype, name="fc1")(g))
+        g = jax.nn.sigmoid(nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(g))
+        return x * jnp.exp(g)[:, None, None, :]
+
+
+class CascadedGroupAttention(ConvBase):
+    """EfficientViT cascaded group attention (CGA): heads run sequentially,
+    each head's input = its channel slice + previous head's output; per-head
+    DW conv on q. Channel-preserving."""
+
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh = self.num_heads if c % self.num_heads == 0 else 1
+        hd = c // nh
+        feats = jnp.split(x, nh, axis=-1)
+        outs = []
+        prev = None
+        for i in range(nh):
+            f = feats[i] if prev is None else feats[i] + prev
+            q = nn.Conv(hd, (1, 1), dtype=self.dtype, name=f"q_{i}")(f)
+            q = q + nn.Conv(hd, (3, 3), padding="SAME", feature_group_count=hd,
+                            dtype=self.dtype, name=f"qdw_{i}")(q)
+            k = nn.Conv(hd, (1, 1), dtype=self.dtype, name=f"k_{i}")(f)
+            v = nn.Conv(hd, (1, 1), dtype=self.dtype, name=f"v_{i}")(f)
+            qt = q.reshape(b, h * w, hd)
+            kt = k.reshape(b, h * w, hd)
+            vt = v.reshape(b, h * w, hd)
+            att = jax.nn.softmax(qt @ kt.swapaxes(1, 2) * hd ** -0.5, axis=-1)
+            o = (att @ vt).reshape(b, h, w, hd)
+            prev = o
+            outs.append(o)
+        y = jnp.concatenate(outs, -1)
+        return nn.Conv(c, (1, 1), dtype=self.dtype, name="proj")(y)
+
+
+class InstanceNorm2d(ConvBase):
+    """Per-channel spatial instance norm (yaml module `IN`, v11-RGBIR)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        m = x.mean(axis=(1, 2), keepdims=True)
+        v = x.var(axis=(1, 2), keepdims=True)
+        return (x - m) / jnp.sqrt(v + 1e-5)
+
+
+class ELAN4V(ConvBase):
+    """GELAN (RepNCSPELAN4) with selectable branch blocks — serves the
+    reference's OREPANCSPELAN4 / RepNCSPELAN4AKConv / KANRepNCSPELAN4 /
+    FasterRepNCSPELAN4 variant classes (block.py:5593-5650) from one
+    topology. variant picks the per-branch tail op; the RepNCSP core is
+    shared (declared approximation for AKConv stems: COVERAGE.md)."""
+
+    c2: int = 0
+    c3: int = 0
+    c4: int = 0
+    n: int = 1
+    variant: str = "rep"
+
+    def _tail(self, c4, i):
+        from ultralytics_pro_tpu.nn.modules import conv_extra, reparam
+        from ultralytics_pro_tpu.nn.modules.backbones2 import FastKANConv2D, PConvBlock
+
+        if self.variant == "orepa":
+            return reparam.OREPA(c2=c4, k=3, s=1, dtype=self.dtype, name=f"tail_{i}")
+        if self.variant == "ak":
+            return conv_extra.AKConv(c2=c4, num_param=5, s=1, dtype=self.dtype, name=f"tail_{i}")
+        if self.variant == "kan":
+            return FastKANConv2D(c2=c4, k=3, s=1, dtype=self.dtype, name=f"tail_{i}")
+        if self.variant == "faster":
+            return None  # handled via PConvBlock in branch body
+        return Conv(c2=c4, k=3, dtype=self.dtype, name=f"tail_{i}")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.backbones2 import PConvBlock
+        from ultralytics_pro_tpu.nn.modules.v9v10v12 import RepNCSP
+
+        y = Conv(c2=self.c3, k=1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        z = ys[-1]
+        for bi in range(2):
+            z = RepNCSP(c2=self.c4, n=self.n, dtype=self.dtype, name=f"csp_{bi}")(z, train)
+            if self.variant == "faster":
+                z = PConvBlock(dim=self.c4, dtype=self.dtype, name=f"tail_{bi}")(z, train)
+            else:
+                z = self._tail(self.c4, bi)(z, train)
+            ys.append(z)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
+
+
+class RepNCSPELAN4_high(ConvBase):
+    """GELAN high-res variant (reference block.py:1324): c3=c2, c4=c2//2."""
+
+    c2: int = 0
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.v9v10v12 import RepNCSP
+
+        c3, c4 = self.c2, self.c2 // 2
+        y = Conv(c2=c3, k=1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        z = ys[-1]
+        for bi in range(2):
+            z = RepNCSP(c2=c4, n=self.n, dtype=self.dtype, name=f"csp_{bi}")(z, train)
+            z = Conv(c2=c4, k=3, dtype=self.dtype, name=f"conv_{bi}")(z, train)
+            ys.append(z)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
+
+
+class RepNCSPELAN4_low(ConvBase):
+    """GELAN low-cost variant (reference block.py:1340-ish): c3=c2//2; one
+    RepNCSP on the full stem, concat with the stem halves."""
+
+    c2: int = 0
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.v9v10v12 import RepNCSP
+
+        c3 = self.c2 // 2
+        t = Conv(c2=c3, k=1, dtype=self.dtype, name="cv1")(x, train)
+        t3 = RepNCSP(c2=c3, n=self.n, dtype=self.dtype, name="cv3")(t, train)
+        ys = list(jnp.split(t, 2, axis=-1)) + [t3]
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
+
+
+# ---------------------------------------------------------------------------
+# Batch 2b: composite CSP inner blocks + small gates (CGLU, CAA, EMS convs)
+# ---------------------------------------------------------------------------
+
+
+class CGLU(ConvBase):
+    """Convolutional GLU (TransNeXt): fc1 -> split (gate, v); v through DW3x3;
+    silu(gate)*v -> fc2. Channel-preserving."""
+
+    e: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        h = int(c * self.e)
+        y = nn.Conv(2 * h, (1, 1), dtype=self.dtype, name="fc1")(x)
+        g, v = jnp.split(y, 2, axis=-1)
+        v = nn.Conv(h, (3, 3), padding="SAME", feature_group_count=h,
+                    dtype=self.dtype, name="dw")(v)
+        return nn.Conv(c, (1, 1), dtype=self.dtype, name="fc2")(jax.nn.silu(g) * v)
+
+
+class CAA(ConvBase):
+    """Context-anchor attention (PKINet): 7x7 avg-pool context, 1x1 ->
+    1x11 DW -> 11x1 DW -> 1x1, sigmoid gate."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = nn.avg_pool(x, (7, 7), strides=(1, 1), padding="SAME")
+        y = Conv(c2=c, k=1, dtype=self.dtype, name="cv1")(y, train)
+        y = nn.Conv(c, (1, 11), padding="SAME", feature_group_count=c,
+                    dtype=self.dtype, name="dwh")(y)
+        y = nn.Conv(c, (11, 1), padding="SAME", feature_group_count=c,
+                    dtype=self.dtype, name="dwv")(y)
+        y = Conv(c2=c, k=1, dtype=self.dtype, name="cv2")(y, train)
+        return x * jax.nn.sigmoid(y)
+
+
+class EMSConv(ConvBase):
+    """Efficient multi-scale conv: half the channels pass through, the other
+    half splits into 3x3/5x5 groups; concat -> 1x1 fuse."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        keep, mix = x[..., : c // 2], x[..., c // 2:]
+        m1, m2 = jnp.split(mix, 2, axis=-1)
+        m1 = Conv(c2=m1.shape[-1], k=3, dtype=self.dtype, name="k3")(m1, train)
+        m2 = Conv(c2=m2.shape[-1], k=5, dtype=self.dtype, name="k5")(m2, train)
+        y = jnp.concatenate([keep, m1, m2], -1)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="fuse")(y, train)
+
+
+class EMSConvP(ConvBase):
+    """EMSConv pointwise variant: every split gets a scale branch (1/3/5/7)."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        parts = jnp.split(x, 4, axis=-1) if x.shape[-1] % 4 == 0 else [x] * 1
+        ks = (1, 3, 5, 7)
+        outs = [Conv(c2=p.shape[-1], k=ks[i], dtype=self.dtype, name=f"k{ks[i]}")(p, train)
+                for i, p in enumerate(parts)]
+        y = jnp.concatenate(outs, -1)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="fuse")(y, train)
+
+
+class MSBlock(ConvBase):
+    """YOLO-MS multi-scale block: 1x1 expand, hierarchical DW-k branches with
+    running sum, concat, 1x1 project."""
+
+    c2: int = 0
+    ks: Any = (1, 3, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = max(self.c2 // len(self.ks), 8)
+        y = Conv(c2=c_ * len(self.ks), k=1, dtype=self.dtype, name="expand")(x, train)
+        parts = jnp.split(y, len(self.ks), axis=-1)
+        outs = []
+        prev = None
+        for i, (p, k) in enumerate(zip(parts, self.ks)):
+            t = p if prev is None else p + prev
+            if k > 1:
+                t = Conv(c2=c_, k=1, dtype=self.dtype, name=f"b{i}_in")(t, train)
+                t = DWConv(c2=c_, k=k, dtype=self.dtype, name=f"b{i}_dw")(t, train)
+                t = Conv(c2=c_, k=1, dtype=self.dtype, name=f"b{i}_out")(t, train)
+            prev = t
+            outs.append(t)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="proj")(jnp.concatenate(outs, -1), train)
+
+
+class RetBlock(ConvBase):
+    """RetNet-style retention block (RMT lineage): LN -> decay-free parallel
+    retention approximated by elu+1 linear attention with per-head decay
+    weights folded into the kernel -> MLP. Channel-preserving; declared
+    approximation (COVERAGE.md): chunked recurrent form replaced by the
+    parallel linear form."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return MLLABlock(dtype=self.dtype, name="mlla")(x, train)
+
+
+class StarCAA(ConvBase):
+    """StarBlock + CAA gate (C2f_Star_CAA inner)."""
+
+    dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.backbones2 import StarBlock
+
+        y = StarBlock(dim=self.dim or x.shape[-1], dtype=self.dtype, name="star")(x, train)
+        return CAA(dtype=self.dtype, name="caa")(y, train)
+
+
+class RVB_EMA(ConvBase):
+    """RepViTBlock + EMA attention (C2f_RVB_EMA inner)."""
+
+    dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.attention import EMA
+        from ultralytics_pro_tpu.nn.modules.backbones2 import RepViTBlock
+
+        y = RepViTBlock(dim=self.dim or x.shape[-1], dtype=self.dtype, name="rvb")(x, train)
+        return EMA(dtype=self.dtype, name="ema")(y, train)
+
+
+class FasterCGLU(ConvBase):
+    """PConvBlock + CGLU (C2f_Faster_CGLU inner)."""
+
+    dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.backbones2 import PConvBlock
+
+        y = PConvBlock(dim=self.dim or x.shape[-1], dtype=self.dtype, name="pconv")(x, train)
+        return CGLU(dtype=self.dtype, name="cglu")(y, train)
+
+
+class FasterEMA(ConvBase):
+    """PConvBlock + EMA (C2f_Faster_EMA inner)."""
+
+    dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.attention import EMA
+        from ultralytics_pro_tpu.nn.modules.backbones2 import PConvBlock
+
+        y = PConvBlock(dim=self.dim or x.shape[-1], dtype=self.dtype, name="pconv")(x, train)
+        return EMA(dtype=self.dtype, name="ema")(y, train)
+
+
+class GhostDynamicConv(ConvBase):
+    """GhostModule + dynamic (omni-dimensional) conv (C2f_GhostModule_
+    DynamicConv inner)."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.conv_extra import ODConv2d
+
+        y = GhostConv(c2=self.c2, k=1, dtype=self.dtype, name="ghost")(x, train)
+        return ODConv2d(c2=self.c2, k=3, s=1, dtype=self.dtype, name="dyn")(y, train)
+
+
+class iRMB(ConvBase):
+    """Inverted residual mobile block, channel-preserving yaml form
+    (reference EMOv2 iRMB with [] args)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.backbones2 import MBConvV2
+
+        return MBConvV2(c2=x.shape[-1], dtype=self.dtype, name="mb")(x, train)
+
+
+class TorchVisionBackbone(ConvBase):
+    """`TorchVision` yaml module equivalent: native ResNet-18/34 stages built
+    from this repo's blocks (reference TorchVision wraps torchvision models;
+    zero-egress build recreates the named topology). Emits the final stage."""
+
+    model: str = "resnet18"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.block import ResNetLayer
+
+        depths = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}.get(self.model)
+        if depths is None:
+            raise NotImplementedError(
+                f"TorchVision model '{self.model}' not available in the TPU build; "
+                "supported: resnet18, resnet34")
+        x = ResNetLayer(c2=64, s=1, is_first=True, dtype=self.dtype, name="stem")(x, train)
+        for si, (c, n0) in enumerate(zip((64, 128, 256, 512), depths)):
+            x = ResNetLayer(c2=c, s=1 if si == 0 else 2, n=n0, e=1, dtype=self.dtype,
+                            name=f"layer{si + 1}")(x, train)
+        return x
+
+
+class Conv_BCN(ConvBase):
+    """Conv + batch-channel norm + SiLU (reference Conv_BCN, BCNet yamls)."""
+
+    c2: int = 0
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.conv_extra import BatchChannelNorm
+
+        p = self.k // 2
+        y = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                    padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        y = BatchChannelNorm(dtype=self.dtype, name="bcn")(y, train)
+        return jax.nn.silu(y)

@@ -791,6 +791,71 @@ BUILDERS.update({
         _z3().DualConv, _kw(c2=_sc(a[0], w, mx), s=_a(a, 1, 1), g=_a(a, 2, 2))),
     "SCConv": lambda a, n, w, d, mx, ctx: (
         _z3().SCConv, _kw(c2=_sc(a[0], w, mx), s=_a(a, 1, 1))),
+    # batch 2: lite stems, CSP-A, GELAN variants, gates
+    "Dense": lambda a, n, w, d, mx, ctx: (
+        _z3().Dense, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1))),
+    "Shuffle_Block": lambda a, n, w, d, mx, ctx: (
+        _z3().Shuffle_Block, _kw(c2=_sc(a[0], w, mx), s=_a(a, 1, 1))),
+    "BottleneckCSPA": lambda a, n, w, d, mx, ctx: (
+        _z3().BottleneckCSPA, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, True))),
+    "GhostCSPA": lambda a, n, w, d, mx, ctx: (
+        _z3().BottleneckCSPA, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, True))),
+    "Shortcut": lambda a, n, w, d, mx, ctx: (_z3().Shortcut, _kw()),
+    "stem": lambda a, n, w, d, mx, ctx: (_z3().EffStem, _kw(c2=_sc(a[0], w, mx))),
+    "PatchEmbed": lambda a, n, w, d, mx, ctx: (
+        _z3().PatchEmbed, _kw(c2=_sc(a[0], w, mx), patch=_a(a, 1, 4))),
+    # yaml [c2, k, stride, ada_pool, act_num] (reference VanillaNet.py:114)
+    "VanillaBlock": lambda a, n, w, d, mx, ctx: (
+        _z3().VanillaBlock, _kw(c2=_sc(a[0], w, mx), s=_a(a, 2, 2), act_num=_a(a, 4, 3))),
+    "Down_wt": lambda a, n, w, d, mx, ctx: (_z3().Down_wt, _kw(c2=_sc(a[0], w, mx))),
+    "MLLABlock": lambda a, n, w, d, mx, ctx: (_z3().MLLABlock, _kw()),
+    "SELayerV2": lambda a, n, w, d, mx, ctx: (_z3().SELayerV2, _kw()),
+    "SEAM": lambda a, n, w, d, mx, ctx: (_z3().SEAM, _kw()),
+    "MultiSEAM": lambda a, n, w, d, mx, ctx: (_z3().MultiSEAM, _kw()),
+    "IN": lambda a, n, w, d, mx, ctx: (_z3().InstanceNorm2d, _kw()),
+    "CBS": _conv_like(M.Conv),
+    "Conv_BCN": lambda a, n, w, d, mx, ctx: (
+        _z3().Conv_BCN, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "DAttentionBaseline": lambda a, n, w, d, mx, ctx: (_att().DAttention, _kw()),
+    "iRMB": lambda a, n, w, d, mx, ctx: (_z3().iRMB, _kw()),
+    "DynamicConv": lambda a, n, w, d, mx, ctx: (
+        _cx().ODConv2d, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "DynamicConv_Single": lambda a, n, w, d, mx, ctx: (
+        _cx().ODConv2d, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    # yaml [inp, hidden, oup] + stride-2 token mixer (reference repvit.py:96)
+    "RepViTBlock": lambda a, n, w, d, mx, ctx: (
+        _z3().mobilev3_bneck, _kw(c2=_sc(a[2], w, mx) if len(a) > 2 else _sc(a[0], w, mx),
+                                  hidden=_sc(a[1], w, mx) if len(a) > 1 else _sc(a[0], w, mx),
+                                  k=3, s=2, use_se=True, use_hs=False)),
+    "OREPA_2": lambda a, n, w, d, mx, ctx: (
+        _rep().OREPA, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+    "HyperComputeModule_11": lambda a, n, w, d, mx, ctx: (
+        _fam().HyperComputeModule, _kw(c2=_sc(a[0], w, mx), threshold=11.0)),
+    "RepNCSPELAN4U": lambda a, n, w, d, mx, ctx: (
+        _v9().RepNCSPELAN4, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
+                                c4=_sc(a[2], w, mx), n=_a(a, 3, 1))),
+    "RepNCSPELAN4_high": lambda a, n, w, d, mx, ctx: (
+        _z3().RepNCSPELAN4_high, _kw(c2=_sc(a[0], w, mx), n=_a(a, 1, 1))),
+    "RepNCSPELAN4_low": lambda a, n, w, d, mx, ctx: (
+        _z3().RepNCSPELAN4_low, _kw(c2=_sc(a[0], w, mx), n=_a(a, 1, 1))),
+    "OREPANCSPELAN4": lambda a, n, w, d, mx, ctx: (
+        _z3().ELAN4V, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
+                          c4=_sc(a[2], w, mx), n=_a(a, 3, 1), variant="orepa")),
+    "RepNCSPELAN4AKConv": lambda a, n, w, d, mx, ctx: (
+        _z3().ELAN4V, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
+                          c4=_sc(a[2], w, mx), n=_a(a, 3, 1), variant="ak")),
+    "KANRepNCSPELAN4": lambda a, n, w, d, mx, ctx: (
+        _z3().ELAN4V, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
+                          c4=_sc(a[2], w, mx), n=_a(a, 3, 1), variant="kan")),
+    "FasterRepNCSPELAN4": lambda a, n, w, d, mx, ctx: (
+        _z3().ELAN4V, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
+                          c4=_sc(a[2], w, mx), n=_a(a, 3, 1), variant="faster")),
+    "DBBNCSPELAN4": lambda a, n, w, d, mx, ctx: (
+        _z3().ELAN4V, _kw(c2=_sc(a[0], w, mx), c3=_sc(a[1], w, mx),
+                          c4=_sc(a[2], w, mx), n=_a(a, 3, 1), variant="rep")),
+    # yaml [c2, model_name, weights, unwrap, truncate]
+    "TorchVision": lambda a, n, w, d, mx, ctx: (
+        _z3().TorchVisionBackbone, _kw(model=str(_a(a, 1, "resnet18")))),
 })
 
 

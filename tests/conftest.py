@@ -39,3 +39,10 @@ def fixtures_dir():
 
 def load_fixture(name):
     return dict(np.load(os.path.join(FIXTURES, name)))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running zoo sweeps / e2e trainings (deselect with -m 'not slow' "
+        "for the <5-min fast tier)")

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ultralytics_pro_tpu.nn.tasks import DetectionModel, SegmentationModel
 
 DETECT_YAMLS = [

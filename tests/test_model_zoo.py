@@ -4,6 +4,8 @@ rtdetr, task variants)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("cfg,nc_extra", [
     ("yolov3-tiny.yaml", 0),

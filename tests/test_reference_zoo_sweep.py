@@ -1,0 +1,100 @@
+"""Buildability sweep test (VERDICT r2 Next #1): iterate ALL reference model
+yamls, build each spec through parse_model + flax-module construction, assert
+the pass rate, and forward a stratified >=100-model sample at 64px.
+
+Upstream-invalid yamls are excluded and counted: files pyyaml rejects, rows
+that the reference's own 4-tuple unpack would reject, and rows naming modules
+defined nowhere in the reference nn tree (v7FM, SPPCSPCSIM, IIDetect, ...).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import pytest
+
+from tools.yaml_sweep import REF_MODELS, reference_defined_names
+
+pytestmark = pytest.mark.slow
+
+RESULTS = Path(__file__).parent / ".sweep_results.json"
+
+
+def _classify_all():
+    import yaml
+
+    from ultralytics_pro_tpu.nn.tasks import parse_model
+
+    ref_names = reference_defined_names()
+    files = sorted(REF_MODELS.rglob("*.yaml"))
+    ok, invalid, failed = [], [], []
+    for p in files:
+        rel = str(p.relative_to(REF_MODELS))
+        try:
+            d = yaml.safe_load(p.read_text(encoding="utf-8", errors="ignore"))
+        except Exception:
+            invalid.append(rel)
+            continue
+        if not isinstance(d, dict) or not (d.get("backbone") or d.get("head")):
+            invalid.append(rel)
+            continue
+        try:
+            specs, _, _ = parse_model(d, ch=int(d.get("ch", 3) or 3))
+            for s in specs:
+                s.build()
+            ok.append(rel)
+        except NotImplementedError as e:
+            name = str(e).split("'")[1] if "'" in str(e) else "?"
+            if "malformed" in str(e) or (name not in ref_names
+                                         and not name.startswith("nn.")):
+                invalid.append(rel)
+            else:
+                failed.append((rel, name))
+        except Exception as e:
+            failed.append((rel, f"{type(e).__name__}: {e}"))
+    return ok, invalid, failed
+
+
+def test_all_reference_yamls_build():
+    ok, invalid, failed = _classify_all()
+    valid = len(ok) + len(failed)
+    rate = 100.0 * len(ok) / max(valid, 1)
+    RESULTS.write_text(json.dumps({
+        "total": len(ok) + len(invalid) + len(failed),
+        "upstream_invalid": len(invalid), "ok": len(ok),
+        "failed": [f for f in failed][:50], "pass_rate": rate,
+    }, indent=1))
+    assert valid >= 1300, f"sweep found too few valid yamls: {valid}"
+    assert rate >= 90.0, (
+        f"buildability {rate:.1f}% < 90% — first failures: {failed[:10]}")
+
+
+def test_stratified_forward_sample():
+    """Forward every ~13th buildable yaml at 64px (>=100 models, stratified
+    across the alphabetical family ordering)."""
+    import yaml
+
+    from ultralytics_pro_tpu.nn.tasks import TASK2MODEL, guess_model_task
+
+    ok, _, _ = _classify_all()
+    sample = ok[::13]
+    assert len(sample) >= 100, f"sample too small: {len(sample)}"
+    bad = []
+    for rel in sample:
+        d = yaml.safe_load((REF_MODELS / rel).read_text(encoding="utf-8",
+                                                        errors="ignore"))
+        try:
+            task = guess_model_task(d)
+            m = TASK2MODEL[task](d)
+            v = m.init_params(imgsz=64)
+            ch = int(d.get("ch", 3) or 3)
+            y = m.apply(v, jnp.zeros((1, 64, 64, ch)), train=False)
+            out = y[0] if isinstance(y, tuple) else y
+            leaf = out[0] if isinstance(out, (list, tuple)) else out
+            assert jnp.all(jnp.isfinite(jnp.asarray(leaf, jnp.float32)))
+        except Exception as e:  # noqa: BLE001
+            bad.append((rel, f"{type(e).__name__}: {str(e)[:120]}"))
+    rate = 100.0 * (len(sample) - len(bad)) / len(sample)
+    assert rate >= 90.0, f"forward rate {rate:.1f}% — failures: {bad[:10]}"

@@ -7,6 +7,8 @@ from pathlib import Path
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 ROOT = Path(__file__).parents[1] / "ultralytics_pro_tpu" / "cfg" / "models"
 
 VARIANTS = sorted(

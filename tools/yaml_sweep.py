@@ -22,6 +22,27 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 REF_MODELS = Path("/root/reference/ultralytics/cfg/models")
+REF_NN = Path("/root/reference/ultralytics/nn")
+
+
+def reference_defined_names():
+    """All class names defined anywhere in the reference nn tree. A yaml row
+    naming a module absent from this set cannot build in the reference either
+    (e.g. v7FM, SPPCSPCSIM, IIDetect) — classified as upstream-invalid, not a
+    repo gap."""
+    import re
+
+    names = set()
+    for p in REF_NN.rglob("*.py"):
+        try:
+            txt = p.read_text(encoding="utf-8", errors="ignore")
+        except OSError:
+            continue
+        names.update(re.findall(r"^\s*class\s+(\w+)", txt, re.M))
+    # torch-namespace rows the reference eval()s directly
+    names.update({"nn.Upsample", "nn.Identity", "nn.AvgPool2d", "nn.MaxPool2d",
+                  "nn.BatchNorm2d", "nn.ConvTranspose2d", "Upsample"})
+    return names
 
 
 def load_yaml(path: Path):
@@ -58,6 +79,7 @@ def main():
         random.seed(0)
         files = random.sample(files, args.limit)
 
+    ref_names = reference_defined_names()
     ok, invalid, failed = [], [], []
     fail_module = Counter()
     fail_files = defaultdict(list)
@@ -76,6 +98,13 @@ def main():
             ok.append(rel)
         except NotImplementedError as e:
             name = str(e).split("'")[1] if "'" in str(e) else "?"
+            if ("malformed" in str(e)
+                    or (name not in ref_names and not name.startswith("nn."))):
+                # names absent from the reference nn tree (or rows the
+                # reference's own 4-tuple unpack would reject) cannot build
+                # upstream either
+                invalid.append(rel)
+                continue
             fail_module[name] += 1
             fail_files[name].append(rel)
             failed.append((rel, "missing", name))

@@ -1,0 +1,313 @@
+"""Whole-backbone zoo, tranche 4: the long single-file tail of the reference's
+backbone families served by ONE metaformer-style stage factory with a
+per-family token-mixer map.
+
+Design: every family here follows the 4-stage [H/4, H/8, H/16, H/32] layout
+with a patchify/conv stem, per-stage downsample, and blocks of the form
+x = x + mixer(norm(x)); x = x + MLP(norm(x)). What differs per family is the
+token mixer — implemented below from this repo's real blocks (pool, LKA,
+linear attention, SS2D, cascaded group attention, partial conv, strips,
+inception split, conv modulation). Families whose mixer is faithfully
+reproduced are exact-structure; the rest are DECLARED APPROXIMATIONS listed in
+COVERAGE.md (the reference files are cited per entry).
+
+Reference: /root/reference/ultralytics/nn/modules/<family>.py per entry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ultralytics_pro_tpu.nn.modules.conv import Conv, ConvBase, DWConv
+
+
+class _Mixer(ConvBase):
+    """Token mixer dispatch (channel-preserving, NHWC)."""
+
+    kind: str = "pool"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        k = self.kind
+        if k == "identity":
+            return x
+        if k == "pool":
+            return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME") - x
+        if k == "dwconv":
+            y = nn.Conv(c, (7, 7), padding="SAME", feature_group_count=c,
+                        dtype=self.dtype, name="dw")(x)
+            return nn.Conv(c, (1, 1), dtype=self.dtype, name="pw")(y)
+        if k == "lka":
+            # VAN large-kernel attention: dw5 -> dw7 d3 -> 1x1, gate
+            a = nn.Conv(c, (5, 5), padding="SAME", feature_group_count=c,
+                        dtype=self.dtype, name="dw5")(x)
+            a = nn.Conv(c, (7, 7), padding="SAME", kernel_dilation=(3, 3),
+                        feature_group_count=c, dtype=self.dtype, name="dw7d3")(a)
+            a = nn.Conv(c, (1, 1), dtype=self.dtype, name="pw")(a)
+            return a * x
+        if k == "strip":
+            y = nn.Conv(c, (1, 7), padding="SAME", feature_group_count=c,
+                        dtype=self.dtype, name="h")(x)
+            y = nn.Conv(c, (7, 1), padding="SAME", feature_group_count=c,
+                        dtype=self.dtype, name="v")(y)
+            return nn.Conv(c, (1, 1), dtype=self.dtype, name="pw")(y)
+        if k == "inception":
+            # iFormer/PKI-style split: pool / dw3 / dw5 / global-attn quarter
+            c4 = c // 4
+            p1 = nn.max_pool(x[..., :c4], (3, 3), strides=(1, 1), padding="SAME")
+            p2 = nn.Conv(c4, (3, 3), padding="SAME", feature_group_count=c4,
+                         dtype=self.dtype, name="dw3")(x[..., c4:2 * c4])
+            p3 = nn.Conv(c4, (5, 5), padding="SAME", feature_group_count=c4,
+                         dtype=self.dtype, name="dw5")(x[..., 2 * c4:3 * c4])
+            rest = x[..., 3 * c4:]
+            b, h, w, cr = rest.shape
+            t = rest.reshape(b, h * w, cr)
+            att = nn.MultiHeadDotProductAttention(
+                num_heads=1, qkv_features=max(cr, 8), dtype=self.dtype, name="attn")(t, t)
+            p4 = att.reshape(b, h, w, cr)
+            return nn.Conv(c, (1, 1), dtype=self.dtype,
+                           name="fuse")(jnp.concatenate([p1, p2, p3, p4], -1))
+        if k == "attn":
+            b, h, w, _ = x.shape
+            nh = max(1, c // 64)
+            t = x.reshape(b, h * w, c)
+            y = nn.MultiHeadDotProductAttention(num_heads=nh, qkv_features=c,
+                                                dtype=self.dtype, name="attn")(t, t)
+            return y.reshape(b, h, w, c)
+        if k == "linattn":
+            from ultralytics_pro_tpu.nn.modules.zoo_r3 import MLLABlock
+
+            # MLLABlock is a full block (mixer+MLP); return delta so the
+            # factory's own residual/MLP wrap stays a no-op double-residual
+            return MLLABlock(dtype=self.dtype, name="mlla")(x, train) - x
+        if k == "cga":
+            from ultralytics_pro_tpu.nn.modules.zoo_r3 import CascadedGroupAttention
+
+            return CascadedGroupAttention(dtype=self.dtype, name="cga")(x, train)
+        if k == "pconv":
+            c4 = max(c // 4, 1)
+            y = nn.Conv(c4, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="pc")(x[..., :c4])
+            return jnp.concatenate([y, x[..., c4:]], -1)
+        if k == "mbconv":
+            h2 = c * 2
+            y = Conv(c2=h2, k=1, dtype=self.dtype, name="exp")(x, train)
+            y = DWConv(c2=h2, k=3, dtype=self.dtype, name="dw")(y, train)
+            return Conv(c2=c, k=1, act=False, dtype=self.dtype, name="proj")(y, train)
+        if k == "ss2d":
+            from ultralytics_pro_tpu.nn.modules.mamba import SS2D
+
+            return SS2D(d_model=c, dtype=self.dtype, name="ss2d")(x, train)
+        if k == "convmod":
+            a = nn.Conv(c, (11, 11), padding="SAME", feature_group_count=c,
+                        dtype=self.dtype, name="mod_dw")(x)
+            v = nn.Conv(c, (1, 1), dtype=self.dtype, name="mod_v")(x)
+            return nn.Conv(c, (1, 1), dtype=self.dtype, name="mod_pw")(a * v)
+        if k == "random":
+            # RandFormer: frozen random token-mixing matrix over a pooled grid
+            y = nn.avg_pool(x, (4, 4), strides=(4, 4), padding="SAME")
+            b, hh, ww, _ = y.shape
+            t = y.reshape(b, hh * ww, c)
+            m = self.param("rand_mix", nn.initializers.normal(0.02), (hh * ww, hh * ww))
+            t = jax.lax.stop_gradient(m) @ t
+            y = t.reshape(b, hh, ww, c)
+            y = jnp.repeat(jnp.repeat(y, 4, 1), 4, 2)[:, :x.shape[1], :x.shape[2]]
+            return nn.Conv(c, (1, 1), dtype=self.dtype, name="pw")(y)
+        raise NotImplementedError(f"mixer '{k}'")
+
+
+class MetaBlock(ConvBase):
+    kind: str = "pool"
+    mlp_ratio: float = 4.0
+    ls_init: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        g1 = self.param("ls1", nn.initializers.constant(self.ls_init), (c,))
+        g2 = self.param("ls2", nn.initializers.constant(self.ls_init), (c,))
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + g1 * _Mixer(kind=self.kind, dtype=self.dtype, name="mixer")(y, train)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
+        y = nn.Dense(c, dtype=self.dtype, name="fc2")(jax.nn.gelu(y))
+        return x + g2 * y
+
+
+class StageBackbone(ConvBase):
+    """4-stage metaformer backbone: stem(stride4) -> [blocks, down] x 4;
+    emits the four stride-4/8/16/32 maps."""
+
+    dims: Sequence[int] = (64, 128, 256, 512)
+    depths: Sequence[int] = (2, 2, 6, 2)
+    mixers: Any = "pool"  # str or per-stage tuple
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mix = self.mixers if isinstance(self.mixers, (tuple, list)) else [self.mixers] * 4
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), padding="VALID",
+                    dtype=self.dtype, name="stem")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="stem_norm")(x)
+        outs = []
+        for s in range(4):
+            if s > 0:
+                x = nn.Conv(self.dims[s], (2, 2), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name=f"down{s}")(x)
+                x = nn.LayerNorm(dtype=self.dtype, name=f"down{s}_norm")(x)
+            for b in range(self.depths[s]):
+                x = MetaBlock(kind=mix[s], mlp_ratio=self.mlp_ratio,
+                              dtype=self.dtype, name=f"s{s}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+def _e(dims, depths, mixers, **kw):
+    return (StageBackbone, tuple(dict(dims=tuple(dims), depths=tuple(depths),
+                                      mixers=mixers, **kw).items()))
+
+
+# name -> (class, kwargs). EXACT-mixer families: poolformer/identityformer/
+# convformer (metaformer paper structure), van (LKA), mlla (linear attention),
+# fasternet (partial conv), stripmlp (strips), efficientvim (SS2D). The rest
+# substitute the nearest mixer above — each is listed in COVERAGE.md's
+# approximations table with its reference file.
+BACKBONE_VARIANTS4 = {
+    # metaformer family (reference poolformer.py / CAFormer)
+    "poolformerv2_s12": _e((64, 128, 320, 512), (2, 2, 6, 2), "pool"),
+    "identityformer_s12": _e((64, 128, 320, 512), (2, 2, 6, 2), "identity"),
+    "randformer_s12": _e((64, 128, 320, 512), (2, 2, 6, 2), ("random",) * 4),
+    "convformer_s18": _e((64, 128, 320, 512), (3, 3, 9, 3), "dwconv"),
+    "caformer_s18": _e((64, 128, 320, 512), (3, 3, 9, 3),
+                       ("dwconv", "dwconv", "attn", "attn")),
+    # VAN (reference VAN.py) — true LKA mixer
+    "van_b0": _e((32, 64, 160, 256), (3, 3, 5, 2), "lka"),
+    # MLLA (reference MLLA_backbone.py) — true linear-attention block
+    "MLLA_Tiny": _e((64, 128, 320, 512), (2, 4, 8, 4), "linattn", mlp_ratio=2.0),
+    # FasterNet variants (reference FasterNet.py) — true partial-conv mixer
+    "fasternet_s": _e((128, 256, 512, 1024), (1, 2, 13, 2), "pconv", mlp_ratio=2.0),
+    "fasternet_t2": _e((96, 192, 384, 768), (1, 2, 8, 2), "pconv", mlp_ratio=2.0),
+    # strip-mixer family (reference StripMLP.py / StripNet)
+    "StripMLPNet_LightTiny": _e((48, 96, 192, 384), (2, 2, 6, 2), "strip"),
+    "StripNet_tiny": _e((48, 96, 192, 384), (2, 2, 6, 2), "strip"),
+    # SSM (reference EfficientViM.py) — true SS2D mixer
+    "EfficientViM_M5": _e((64, 128, 256, 512), (2, 2, 4, 2), "ss2d"),
+    "vheat_tiny": _e((96, 192, 384, 768), (2, 2, 6, 2), "pool"),
+    # conv-modulation family (reference SMT.py / Conv2Former lineage)
+    "smt_l": _e((96, 192, 384, 768), (4, 6, 28, 4), "convmod"),
+    "cosnet_tiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "convmod"),
+    "florane_tiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "dwconv"),
+    "decouplenet_d2": _e((64, 128, 256, 512), (2, 2, 8, 2), "dwconv"),
+    "overlock_xt": _e((56, 112, 256, 336), (2, 2, 8, 2), "lka"),
+    "pkinet_t": _e((32, 64, 128, 256), (2, 2, 4, 2), "inception"),
+    "iformer_small": _e((96, 192, 320, 384), (3, 3, 9, 3), "inception"),
+    "transxnet_tiny": _e((48, 96, 224, 448), (3, 3, 9, 3),
+                         ("inception", "inception", "attn", "attn")),
+    "glnet_4g": _e((64, 128, 256, 512), (3, 3, 12, 5),
+                   ("dwconv", "dwconv", "attn", "attn")),
+    "uninext_t": _e((64, 128, 256, 512), (2, 2, 6, 2),
+                    ("dwconv", "dwconv", "attn", "attn")),
+    "EMO2_1M_k5_hybrid": _e((32, 48, 96, 192), (2, 2, 8, 3),
+                            ("mbconv", "mbconv", "attn", "attn"), mlp_ratio=2.0),
+    "EMO2_5M_k5_hybrid": _e((48, 72, 160, 288), (3, 3, 9, 3),
+                            ("mbconv", "mbconv", "attn", "attn"), mlp_ratio=2.0),
+    # attention tail substitutions
+    "EViT_Tiny": _e((64, 128, 240, 384), (2, 2, 6, 2), "cga"),
+    "stvit_small": _e((96, 192, 384, 512), (2, 2, 6, 2), "attn"),
+    "transnext_micro": _e((48, 96, 192, 384), (2, 2, 15, 2), "linattn"),
+    "sgformer_s": _e((64, 128, 256, 512), (2, 2, 6, 2), "linattn"),
+    "GroupMixFormerTiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "cga"),
+    "spanet_s": _e((64, 128, 320, 512), (2, 2, 6, 2), "pool"),
+    "LWGANet_L2_1442_e96_k11_ReLU": _e((96, 192, 384, 768), (1, 4, 4, 2), "cga"),
+}
+
+
+class RepVGGBackbone(ConvBase):
+    """QARepVGG-A0-style stage stack (reference QARepVGG.py A0: width mult
+    0.75, depths 2/4/14/1)."""
+
+    dims: Sequence[int] = (48, 96, 192, 1280)
+    depths: Sequence[int] = (2, 4, 14, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.reparam import QARepVGGBlockV2
+
+        x = QARepVGGBlockV2(c2=self.dims[0], k=3, s=2, dtype=self.dtype, name="stem")(x, train)
+        outs = []
+        for s in range(4):
+            for b in range(self.depths[s]):
+                x = QARepVGGBlockV2(c2=self.dims[s], k=3, s=2 if b == 0 else 1,
+                                    dtype=self.dtype, name=f"s{s}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+class ResNetBackbone(ConvBase):
+    """ResNet stage stack (kw_resnet18 / uni_resnet50 / resnet18_moe yaml
+    entries map here; the kernel-warehouse / latency-aware / MoE gating of
+    the reference variants is approximated by the plain topology —
+    COVERAGE.md)."""
+
+    depths: Sequence[int] = (2, 2, 2, 2)
+    e: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.block import ResNetLayer
+
+        x = ResNetLayer(c2=64, s=1, is_first=True, dtype=self.dtype, name="stem")(x, train)
+        outs = []
+        for si, (c, n0) in enumerate(zip((64, 128, 256, 512), self.depths)):
+            x = ResNetLayer(c2=c, s=1 if si == 0 else 2, n=n0, e=self.e,
+                            dtype=self.dtype, name=f"layer{si + 1}")(x, train)
+            outs.append(x)
+        return outs
+
+
+def _register_alias_variants():
+    from ultralytics_pro_tpu.nn.modules.backbones import (
+        BACKBONE_VARIANTS as B1,
+    )
+    from ultralytics_pro_tpu.nn.modules.backbones2 import (
+        BACKBONE_VARIANTS2 as B2,
+        MobileNetV4,
+    )
+    from ultralytics_pro_tpu.nn.modules.backbones3 import (
+        BACKBONE_VARIANTS3 as B3,
+        UniRepLKNet,
+        WTConvNeXt,
+    )
+
+    BACKBONE_VARIANTS4.update({
+        "wtconvnext_small": (WTConvNeXt, tuple(dict(
+            dims=(96, 192, 384, 768), depths=(3, 3, 27, 3)).items())),
+        "RepLKNet31B": (UniRepLKNet, tuple(dict(
+            dims=(128, 256, 512, 1024)).items())) if _has_dims(UniRepLKNet)
+        else (UniRepLKNet, ()),
+        "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
+            dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
+        "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(
+            dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
+        "QARepVGG_A0": (RepVGGBackbone, ()),
+        "kw_resnet18": (ResNetBackbone, ()),
+        "resnet18_moe": (ResNetBackbone, ()),
+        "uni_resnet50": (ResNetBackbone, tuple(dict(
+            depths=(3, 4, 6, 3), e=4).items())),
+        # Slab variants: linear-attention re-params of Swin/PVT — served by
+        # the base architectures (approximation, COVERAGE.md)
+        "SlabSwinTransformer_T": B1["SwinTransformer_Tiny"],
+        "slab_pvt_v2_b0": B1["pvt_v2_b0"],
+    })
+
+
+def _has_dims(cls):
+    return "dims" in getattr(cls, "__dataclass_fields__", {})
+
+
+_register_alias_variants()

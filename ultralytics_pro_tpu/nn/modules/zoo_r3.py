@@ -1215,3 +1215,384 @@ class Conv_BCN(ConvBase):
                     name="conv")(x)
         y = BatchChannelNorm(dtype=self.dtype, name="bcn")(y, train)
         return jax.nn.silu(y)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: EfficientNet MBConv, SwinStage, v7 ELANMO/SPP, LAE, MFAM,
+# SFS_Conv, F2SoftHG, MSCAMv3, image-enhancer prefixes
+# ---------------------------------------------------------------------------
+
+
+class MBConvBlock(ConvBase):
+    """EfficientNet MBConv as a yaml layer (reference EfficientNet.py:49):
+    optional 1x1 expand -> DW k,s -> SE(0.25) -> 1x1 project; id-skip when
+    s==1 and c1==c2. YAML args [c2, k, s, expand, drop, se?]."""
+
+    c2: int = 0
+    k: int = 3
+    s: int = 1
+    expand: int = 6
+    use_se: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        h = c1 * self.expand
+        y = x
+        if self.expand != 1:
+            y = nn.Conv(h, (1, 1), use_bias=False, dtype=self.dtype, name="expand")(y)
+            y = jax.nn.silu(_bn(self, "bn0", y, train))
+        p = (self.k - 1) // 2
+        y = nn.Conv(h, (self.k, self.k), strides=(self.s, self.s),
+                    padding=((p, p), (p, p)), feature_group_count=h,
+                    use_bias=False, dtype=self.dtype, name="dw")(y)
+        y = jax.nn.silu(_bn(self, "bn1", y, train))
+        if self.use_se:
+            g = y.mean(axis=(1, 2), keepdims=True)
+            g = jax.nn.silu(nn.Conv(max(c1 // 4, 1), (1, 1), dtype=self.dtype, name="se1")(g))
+            g = jax.nn.sigmoid(nn.Conv(h, (1, 1), dtype=self.dtype, name="se2")(g))
+            y = y * g
+        y = nn.Conv(self.c2, (1, 1), use_bias=False, dtype=self.dtype, name="proj")(y)
+        y = _bn(self, "bn2", y, train)
+        if self.s == 1 and c1 == self.c2:
+            return x + y
+        return y
+
+
+class SwinStage(ConvBase):
+    """Swin stage as a yaml layer (reference SwinTransformer.py:264):
+    `depth` alternating W-MSA/SW-MSA blocks at fixed dim/heads/window.
+    YAML args [dim, depth, heads, window]."""
+
+    dim: int = 96
+    depth: int = 2
+    heads: int = 3
+    window: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.backbones import SwinBlock
+
+        if x.shape[-1] != self.dim:
+            x = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="proj")(x)
+        for i in range(self.depth):
+            x = SwinBlock(dim=self.dim, heads=self.heads, window=self.window,
+                          shift=0 if i % 2 == 0 else self.window // 2,
+                          dtype=self.dtype, name=f"b{i}")(x, train)
+        return x
+
+
+class Yolov7_Tiny_SPP(ConvBase):
+    """v7-tiny SPP (reference block.py:5850): dual 1x1 stems, maxpool 5/9/13
+    pyramid on one, fuse."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2  # e=0.5 -> c_ = 2*c2*0.5
+        x1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(x, train)
+        x2 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
+        pools = [nn.max_pool(x2, (k, k), strides=(1, 1), padding="SAME")
+                 for k in (5, 9, 13)]
+        x4 = Conv(c2=c_, k=1, dtype=self.dtype,
+                  name="cv3")(jnp.concatenate([x2] + pools, -1), train)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype,
+                    name="cv4")(jnp.concatenate([x1, x4], -1), train)
+
+
+class Yolov7_Tiny_E_ELANMO(ConvBase):
+    """v7-tiny ELAN with MobileOne branch stages (reference block.py:5869):
+    cv1/cv2 1x1 stems; cv3/cv4 = DW+PW MobileOneBlock stages; concat 4, cv5."""
+
+    c2: int = 0
+    blocks: int = 1
+    branches: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.reparam import MobileOneBlock
+
+        c_ = self.c2 // 2
+        x1 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv1")(x, train)
+        x2 = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
+
+        def stage(y, name):
+            for i in range(self.blocks):
+                cin = y.shape[-1]
+                y = MobileOneBlock(c2=cin, k=3, s=1, g=cin, num_convs=self.branches,
+                                   dtype=self.dtype, name=f"{name}_dw{i}")(y, train)
+                y = MobileOneBlock(c2=c_, k=1, s=1, num_convs=self.branches,
+                                   dtype=self.dtype, name=f"{name}_pw{i}")(y, train)
+            return y
+
+        x3 = stage(x2, "cv3")
+        x4 = stage(x3, "cv4")
+        return Conv(c2=self.c2, k=1, dtype=self.dtype,
+                    name="cv5")(jnp.concatenate([x1, x2, x3, x4], -1), train)
+
+
+class LAE(ConvBase):
+    """Light-weight adaptive extraction downsample (reference LAE.py:37):
+    per-pixel softmax over the 2x2 neighborhood (attention branch) weights a
+    grouped stride-2 4x-expand conv's 4 sub-maps."""
+
+    group: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        att = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        att = Conv(c2=c, k=1, dtype=self.dtype, name="att")(att, train)
+        # (B, 2h', 2w', C) -> (B, h', w', C, 4) quadrant logits
+        a = jnp.stack([att[:, 0::2, 0::2], att[:, 0::2, 1::2],
+                       att[:, 1::2, 0::2], att[:, 1::2, 1::2]], -1)
+        a = jax.nn.softmax(a, axis=-1)
+        g = max(1, c // self.group)
+        y = Conv(c2=4 * c, k=3, s=2, g=g, dtype=self.dtype, name="ds")(x, train)
+        y = y.reshape(b, h // 2, w // 2, 4, c).transpose(0, 1, 2, 4, 3)
+        return (y * a).sum(-1)
+
+
+class MFAM(ConvBase):
+    """Multi-scale feature aggregation (MASF-YOLO MFAM): parallel DW 3/5/7
+    branches + 1x1, summed, SE-gated, projected to c2."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = Conv(c2=c, k=1, dtype=self.dtype, name="pre")(x, train)
+        acc = nn.Conv(c, (1, 1), dtype=self.dtype, name="b1")(y)
+        for k in (3, 5, 7):
+            acc = acc + nn.Conv(c, (k, k), padding="SAME", feature_group_count=c,
+                                dtype=self.dtype, name=f"b{k}")(y)
+        g = acc.mean(axis=(1, 2), keepdims=True)
+        g = jax.nn.sigmoid(nn.Conv(c, (1, 1), dtype=self.dtype, name="se")(g))
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="proj")(acc * g, train)
+
+
+class SFS_Conv(ConvBase):
+    """Separated frequency/spatial conv (reference SFSConv.py:255): pw halves;
+    spatial branch = DW conv; frequency branch = Gabor-like fixed-frequency DW
+    filters (approximated by dilated DW conv, COVERAGE.md); softmax-gated sum."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        h = c // 2
+        a = Conv(c2=h, k=1, dtype=self.dtype, name="pwc0")(x, train)
+        bfr = Conv(c2=h, k=1, dtype=self.dtype, name="pwc1")(x, train)
+        spa = Conv(c2=self.c2, k=3, g=math_gcd(h, self.c2), dtype=self.dtype,
+                   name="spu")(a, train)
+        fre = nn.Conv(self.c2, (3, 3), padding="SAME", kernel_dilation=(2, 2),
+                      dtype=self.dtype, name="fpu")(bfr)
+        both = jnp.concatenate([spa, fre], -1)
+        gate = jax.nn.softmax(both.mean(axis=(1, 2), keepdims=True), axis=-1)
+        both = both * gate
+        o1, o2 = jnp.split(both, 2, axis=-1)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="pwc_o")(o1 + o2, train)
+
+
+def math_gcd(a, b):
+    import math
+
+    return math.gcd(int(a), int(b)) or 1
+
+
+class F2SoftHG(ConvBase):
+    """Soft hypergraph CSP (reference F2SoftHG.py:109): fused input -> 1x1 to
+    3 chunks; two soft-hypergraph token branches on the middle chunk
+    (soft-assignment message passing == masked matmuls on the MXU); bottleneck
+    chain on the last; concat all, 1x1 out."""
+
+    c2: int = 0  # 0 -> inherit the mid input's channels (reference tasks.py:3026)
+    n: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if isinstance(x, (list, tuple)):
+            # FusionModule (reference F2SoftHG.py:90): downsample the high-res
+            # input, upsample the low-res one, concat at the mid resolution
+            x0, x1, x2 = x
+            x0 = nn.avg_pool(x0, (2, 2), strides=(2, 2), padding="VALID")
+            x2 = jnp.repeat(jnp.repeat(x2, 2, 1), 2, 2)[:, :x1.shape[1], :x1.shape[2]]
+            cat = jnp.concatenate([x0, x1, x2], -1)
+            x = Conv(c2=x1.shape[-1], k=1, dtype=self.dtype, name="fuse")(cat, train)
+        c2 = self.c2 or x.shape[-1]
+        c = int(c2 * self.e)
+        y = Conv(c2=3 * c, k=1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:2 * c], y[..., 2 * c:]]
+
+        def softhg(t, name):
+            b, h, w, cc = t.shape
+            tok = t.reshape(b, h * w, cc)
+            edges = nn.Dense(8, dtype=self.dtype, name=f"{name}_assign")(tok)
+            a = jax.nn.softmax(edges, axis=1)  # soft vertex->edge
+            e = jnp.einsum("bne,bnc->bec", a, tok)
+            e = jax.nn.gelu(nn.Dense(cc, dtype=self.dtype, name=f"{name}_edge")(e))
+            v = jnp.einsum("bne,bec->bnc", jax.nn.softmax(edges, axis=-1), e)
+            return (tok + v).reshape(b, h, w, cc)
+
+        hg1 = softhg(ys[1], "hg1")
+        hg2 = softhg(ys[1], "hg2")
+        z = ys[-1]
+        outs = [ys[0], hg1]
+        for i in range(self.n):
+            z = Bottleneck(c2=c, shortcut=False, dtype=self.dtype, name=f"m_{i}")(z, train)
+            outs.append(z)
+        outs.append(hg2)
+        return Conv(c2=c2, k=1, dtype=self.dtype,
+                    name="cv2")(jnp.concatenate([outs[0], outs[1], ys[2], *outs[2:]], -1), train)
+
+
+class MSCAMv3(ConvBase):
+    """Multi-scale channel attention v3 (reference MSCAM.py:386): 3x3 channel
+    reduction to c_, four pooled grouped-conv context branches, expand back,
+    sigmoid residual gate."""
+
+    c_: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = jax.nn.silu(nn.Conv(self.c_, (3, 3), padding="VALID", use_bias=False,
+                                dtype=self.dtype, name="red")(x))
+        outs = []
+        for i, (ps, k) in enumerate(((1, 1), (3, 3), (3, 3), (5, 5))):
+            p = y.mean(axis=(1, 2), keepdims=True) if ps == 1 else \
+                jax.image.resize(y, (y.shape[0], ps, ps, y.shape[-1]), "linear")
+            p = nn.Conv(self.c_, (k, k), padding="SAME", feature_group_count=self.c_,
+                        use_bias=False, dtype=self.dtype, name=f"b{i}")(p)
+            outs.append(p.mean(axis=(1, 2), keepdims=True))
+        g = jnp.concatenate(outs, -1)
+        g = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="exp")(g)
+        return x * jax.nn.sigmoid(g)
+
+
+class ImageEnhancer(ConvBase):
+    """Image-space enhancement prefix (serves the reference's restoration
+    front-ends — ADNet/AirNet/FFA/HAT/IAT/RIDNET/MB_TaylorFormer/CPA_arch
+    yaml rows, all `[-1, 1, X, []]` with 3-ch in/out): a compact residual
+    conv enhancer. DECLARED APPROXIMATION (COVERAGE.md): the reference
+    wraps full denoise/dehaze/low-light networks; this recreates the
+    pipeline slot (learned 3->w->3 residual enhancement), not each paper."""
+
+    width: int = 16
+    blocks: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = Conv(c2=self.width, k=3, dtype=self.dtype, name="head")(x, train)
+        for i in range(self.blocks):
+            z = Conv(c2=self.width, k=3, dtype=self.dtype, name=f"b{i}_1")(y, train)
+            z = Conv(c2=self.width, k=3, act=False, dtype=self.dtype, name=f"b{i}_2")(z, train)
+            y = y + z
+        d = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype, name="tail")(y)
+        return x + d
+
+
+class PatchMerging(ConvBase):
+    """Swin downsample (reference SwinTransformer.py PatchMerging): 2x2
+    space-to-depth, LN, linear 4C -> c2."""
+
+    c2: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                             x[:, 0::2, 1::2], x[:, 1::2, 1::2]], -1)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
+        return nn.Dense(self.c2, use_bias=False, dtype=self.dtype, name="reduction")(y)
+
+
+class ShapeAlignConv(ConvBase):
+    """SoftHGNN shape align (reference F2SoftHG.py:140): 2x avg-pool
+    downsample + 1x1 channel doubling."""
+
+    adjust: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.avg_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+        if self.adjust:
+            y = Conv(c2=2 * x.shape[-1], k=1, dtype=self.dtype, name="conv")(y, train)
+        return y
+
+
+class DASI(ConvBase):
+    """Dimension-aware selective integration (reference block.py:7637): high/
+    low/mid features aligned to the mid resolution and high channel count,
+    attention-weighted fusion + 3-way concat -> c2. Inputs [high, low, mid]."""
+
+    c2: int = 0
+    c_high: int = 0
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        x_high, x_low, x_mid = xs
+        ch = self.c_high or x_high.shape[-1]
+        b, hm, wm, _ = x_mid.shape
+        lo = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_low")(x_low)
+        lo = jax.image.resize(lo, (b, hm, wm, ch), "bilinear")
+        mid = nn.Conv(ch, (1, 1), dtype=self.dtype, name="conv_mid")(x_mid)
+        hi = nn.Conv(ch, (1, 1), dtype=self.dtype, name="conv_high")(x_high)
+        hi = jax.image.resize(hi, (b, hm, wm, ch), "bilinear")
+        a = mid.mean(axis=(1, 2), keepdims=True)
+        a = jax.nn.relu(nn.Conv(ch // 4, (1, 1), dtype=self.dtype, name="att1")(a))
+        a = jax.nn.sigmoid(nn.Conv(ch, (1, 1), dtype=self.dtype, name="att2")(a))
+        merged = jnp.concatenate([lo, mid, hi], -1)
+        y = nn.Conv(self.c2, (1, 1), dtype=self.dtype, name="merge")(merged)
+        return jax.nn.relu(_bn(self, "bn", y, train))
+
+
+class MergeConv(ConvBase):
+    """Concat two inputs + 1x1 fuse back to the first's width (reference
+    F2SoftHG.py:154)."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        c = xs[0].shape[-1]
+        return Conv(c2=c, k=1, dtype=self.dtype,
+                    name="conv")(jnp.concatenate(list(xs), -1), train)
+
+
+class IEMA(ConvBase):
+    """Grouped multi-branch attention (reference block.py:7537, MASF-YOLO):
+    h/w pooled context convs fused back; grouped DW 3x3 / 1x5 / 5x1 / identity
+    branches; cross-spatial softmax reweighting; 1x1 to c2."""
+
+    c2: int = 0
+    groups: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        xp = Conv(c2=c, k=1, dtype=self.dtype, name="x_conv")(x.mean(1, keepdims=True), train)
+        yp = Conv(c2=c, k=1, dtype=self.dtype, name="y_conv")(x.mean(2, keepdims=True), train)
+        ctxm = Conv(c2=c, k=1, dtype=self.dtype, name="concat_conv")(
+            jnp.concatenate([jnp.broadcast_to(xp, x.shape),
+                             jnp.broadcast_to(yp, x.shape)], -1), train)
+        g = self.groups if c % self.groups == 0 else 1
+        bc = c // g
+        t = ctxm.reshape(b, h, w, g, bc).transpose(0, 3, 1, 2, 4).reshape(b * g, h, w, bc)
+        b3 = DWConv(c2=bc, k=3, dtype=self.dtype, name="dw3")(t, train)
+        b15 = nn.Conv(bc, (1, 5), padding="SAME", feature_group_count=bc,
+                      dtype=self.dtype, name="dw15")(t)
+        b51 = nn.Conv(bc, (5, 1), padding="SAME", feature_group_count=bc,
+                      dtype=self.dtype, name="dw51")(t)
+        m = jnp.concatenate([b3, jax.nn.silu(b15), jax.nn.silu(b51), t], -1)
+        m = m.reshape(b, g, h, w, 4 * bc)[:, 0] if g == 1 else \
+            m.reshape(b, g, h, w, 4 * bc).transpose(0, 2, 3, 1, 4).reshape(b, h, w, g * 4 * bc)
+        m = Conv(c2=c, k=1, dtype=self.dtype, name="merge")(m, train)
+        gate = jax.nn.sigmoid(nn.Conv(c, (1, 1), dtype=self.dtype, name="rw1")(
+            jax.nn.softmax(m.mean(1, keepdims=True), axis=2)))
+        y = m * jnp.broadcast_to(gate, m.shape)
+        return jax.nn.sigmoid(nn.Conv(self.c2, (1, 1), dtype=self.dtype, name="rw2")(y)) * \
+            (y if y.shape[-1] == self.c2 else
+             nn.Conv(self.c2, (1, 1), use_bias=False, dtype=self.dtype, name="proj")(y))

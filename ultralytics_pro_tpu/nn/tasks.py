@@ -444,6 +444,10 @@ BUILDERS: Dict[str, Callable] = {
         _kw(cm=_a(a, 0, 1024), num_heads=_a(a, 1, 8))),
     "RTDETRDecoder": _build_rtdetr_decoder,
     "Detect": _build_head(M.Detect),
+    # reference Detect_ASFF fuses P3/P4/P5 with ASFF weights before the
+    # towers; served by the standard Detect towers (declared approximation,
+    # COVERAGE.md)
+    "Detect_ASFF": _build_head(M.Detect),
     "Segment": _build_head(M.Segment),
     "OBB": _build_head(M.OBB),
     "Pose": _build_head(M.Pose),
@@ -856,7 +860,45 @@ BUILDERS.update({
     # yaml [c2, model_name, weights, unwrap, truncate]
     "TorchVision": lambda a, n, w, d, mx, ctx: (
         _z3().TorchVisionBackbone, _kw(model=str(_a(a, 1, "resnet18")))),
+    # batch 3: EfficientNet MBConv, SwinStage, v7 tail, gates, enhancers
+    "MBConvBlock": lambda a, n, w, d, mx, ctx: (
+        _z3().MBConvBlock, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1),
+                               expand=_a(a, 3, 6), use_se=bool(_a(a, 5, False)))),
+    "SwinStage": lambda a, n, w, d, mx, ctx: (
+        _z3().SwinStage, _kw(dim=_sc(a[0], w, mx), depth=_a(a, 1, 2),
+                             heads=_a(a, 2, 3), window=_a(a, 3, 7))),
+    "Yolov7_Tiny_SPP": lambda a, n, w, d, mx, ctx: (
+        _z3().Yolov7_Tiny_SPP, _kw(c2=_sc(a[0], w, mx))),
+    # yaml [c2, k, s, p, g, blocks, branches]
+    "Yolov7_Tiny_E_ELANMO": lambda a, n, w, d, mx, ctx: (
+        _z3().Yolov7_Tiny_E_ELANMO, _kw(c2=_sc(a[0], w, mx), blocks=_a(a, 5, 1),
+                                        branches=_a(a, 6, 4))),
+    "LAE": lambda a, n, w, d, mx, ctx: (_z3().LAE, _kw()),
+    "PatchMerging": lambda a, n, w, d, mx, ctx: (
+        _z3().PatchMerging, _kw(c2=_sc(a[0], w, mx))),
+    "ShapeAlignConv": lambda a, n, w, d, mx, ctx: (
+        _z3().ShapeAlignConv, _kw(adjust=bool(_a(a, 0, True)))),
+    # yaml [c_high, c2, c_low, c_mid]; from=[high, low, mid]
+    "DASI": lambda a, n, w, d, mx, ctx: (
+        _z3().DASI, _kw(c2=_sc(a[1], w, mx), c_high=_sc(a[0], w, mx))),
+    "MergeConv": lambda a, n, w, d, mx, ctx: (_z3().MergeConv, _kw()),
+    # yaml [c1, c2, groups]
+    "IEMA": lambda a, n, w, d, mx, ctx: (
+        _z3().IEMA, _kw(c2=_sc(a[1], w, mx), groups=_a(a, 2, 16))),
+    "MFAM": lambda a, n, w, d, mx, ctx: (_z3().MFAM, _kw(c2=_sc(a[0], w, mx))),
+    "SFS_Conv": lambda a, n, w, d, mx, ctx: (
+        _z3().SFS_Conv, _kw(c2=_sc(a[0], w, mx))),
+    # c2 inherits the mid input's channels; yaml args [n, c3k, shortcut, g, e]
+    # (reference tasks.py:3026 prepends c1, c2=c1)
+    "F2SoftHG": lambda a, n, w, d, mx, ctx: (
+        _z3().F2SoftHG, _kw(c2=0, n=int(_a(a, 0, 1)), e=_a(a, 4, 0.5))),
+    "MSCAMv3": lambda a, n, w, d, mx, ctx: (_z3().MSCAMv3, _kw(c_=_a(a, 0, 4))),
+    # image-restoration front-ends (compact residual enhancer; COVERAGE.md)
+    **{name: (lambda a, n, w, d, mx, ctx: (_z3().ImageEnhancer, _kw()))
+       for name in ("ADNet", "AirNet", "FFA", "HAT", "IAT", "RIDNET",
+                    "MB_TaylorFormer", "CPA_arch")},
 })
+
 
 
 BUILDERS.update({
@@ -912,6 +954,20 @@ def _register_backbones():
     for _name in BACKBONE_VARIANTS3:
         BUILDERS[_name] = _backbone3_builder(_name)
 
+    def _backbone4_builder(name):
+        def build(a, n, w, d, mx, ctx):
+            from ultralytics_pro_tpu.nn.modules.backbones4 import BACKBONE_VARIANTS4
+
+            cls, kw = BACKBONE_VARIANTS4[name]
+            ctx["multi_output"] = 4
+            return cls, kw
+        return build
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import BACKBONE_VARIANTS4
+
+    for _name in BACKBONE_VARIANTS4:
+        BUILDERS[_name] = _backbone4_builder(_name)
+
 
 _register_backbones()
 
@@ -920,6 +976,13 @@ _register_backbones()
 from ultralytics_pro_tpu.nn.modules.csp_wrappers import register_csp_wrappers  # noqa: E402
 
 register_csp_wrappers(BUILDERS, _sc, _kw, _a)
+
+# alias rows onto wrapper-generated builders (reference spellings)
+for _alias, _target in (("C3_deformable_LKA", "C3_DLKA"),
+                        ("C3k2_OREPA_backbone", "C3k2_OREPA"),
+                        ("C3k2_OREPA_neck", "C3k2_OREPA")):
+    if _target in BUILDERS:
+        BUILDERS.setdefault(_alias, BUILDERS[_target])
 
 # reference-name aliases onto equivalent implementations
 BUILDERS.update({
@@ -955,7 +1018,7 @@ BUILDERS.update({
 # Modules that flip Detect heads off the legacy branch layout (reference
 # tasks.py:2862-2870: C3k2 family, A2C2f, C2fCIB).
 HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect", "WorldDetect",
-              "AnchorDetect",
+              "AnchorDetect", "Detect_ASFF",
               "IDetect", "ISegment", "IOBB", "IPose",
               "DDetect", "DSegment", "DOBB", "DPose",
               "YOLOEDetect", "YOLOESegment")
@@ -1011,8 +1074,9 @@ def parse_model(d: dict, ch: int = 3, nc: Optional[int] = None, scale: Optional[
     layers_yaml = list(d.get("backbone", [])) + list(d.get("head", []))
 
     # Pre-scan for legacy flip (reference decides legacy before head build).
-    for _, _, m_name, _ in layers_yaml:
-        if m_name in {"C3k2", "A2C2f", "C2fCIB", "PST", "HyperACE", "v10Detect"}:
+    for _row in layers_yaml:
+        if len(_row) == 4 and _row[2] in {"C3k2", "A2C2f", "C2fCIB", "PST",
+                                          "HyperACE", "v10Detect"}:
             ctx["legacy"] = False
 
     specs: List[LayerSpec] = []

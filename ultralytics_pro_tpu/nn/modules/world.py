@@ -157,8 +157,14 @@ class BNContrastiveHead(ConvBase):
 
 
 def encode_text(texts: List[str], dim: int = 512) -> np.ndarray:
-    """Text -> (T, dim) embeddings. CLIP when locally available, else a
-    deterministic hashed random projection (pipeline-compatible placeholder)."""
+    """Text -> (T, dim) L2-normalized embeddings through the NATIVE CLIP text
+    tower (nn/modules/clip_text.py): exact OpenAI-CLIP semantics when a local
+    checkpoint + BPE merges file are present; otherwise the same architecture
+    with seeded random init behind a loud warning (see CLIPTextEncoder).
+
+    A cached `transformers` CLIP is preferred when available locally (exact
+    reference behavior, nn/tasks.py:1781); the hashed projection of round 2
+    is gone."""
     try:
         import torch
         from transformers import CLIPTextModelWithProjection, CLIPTokenizer
@@ -175,10 +181,6 @@ def encode_text(texts: List[str], dim: int = 512) -> np.ndarray:
             e = e @ rng.standard_normal((e.shape[1], dim)).astype(np.float32)
         return e / np.linalg.norm(e, axis=-1, keepdims=True)
     except Exception:
-        LOGGER.info("CLIP weights unavailable; using hashed placeholder text embeddings")
-        out = []
-        for t in texts:
-            seed = abs(hash(t)) % (2**31)
-            out.append(np.random.default_rng(seed).standard_normal(dim).astype(np.float32))
-        e = np.stack(out)
-        return e / np.linalg.norm(e, axis=-1, keepdims=True)
+        from ultralytics_pro_tpu.nn.modules.clip_text import get_text_encoder
+
+        return get_text_encoder(dim)(texts)

@@ -149,3 +149,21 @@ def load_torch_state_dict(variables, state_dict: Dict[str, "object"], strict: bo
         return tree
 
     return {coll: rebuild(coll) for coll in variables}
+
+
+def load_raw_torch_file(path: str) -> dict:
+    """Load a torch .pt file holding a plain tensor state_dict and return
+    {key: np.ndarray}. Used for side checkpoints (e.g. a local CLIP text
+    tower); requires torch only when actually called."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "state_dict" in obj and isinstance(obj["state_dict"], dict):
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().to(torch.float32).cpu().numpy()
+    return out

@@ -28,11 +28,23 @@ DATASET_ARGS = dict(n_images=16, imgsz=160, nc=3, seed=7, max_objects=4, size_ji
 VAL_ARGS = dict(imgsz=160, rect=False, conf=0.001, iou=0.7, max_det=300)
 TRAIN_EPOCHS = 200
 
+# task -> (model yaml, fixture stem); detect keeps round-2's legacy filenames
+TASKS = {
+    "detect": ("yolov8n.yaml", "val_parity"),
+    "segment": ("yolov8n-seg.yaml", "val_parity_segment"),
+    "pose": ("yolov8n-pose.yaml", "val_parity_pose"),
+    "obb": ("yolov8n-obb.yaml", "val_parity_obb"),
+}
 
-def main():
+
+def main(task: str = "detect"):
     from tests.make_synth_dataset import make_synth_dataset
 
-    data_yaml = make_synth_dataset("/tmp/val_parity_synth", **DATASET_ARGS)
+    model_yaml, stem = TASKS[task]
+    ds_args = dict(DATASET_ARGS)
+    if task != "detect":
+        ds_args["task"] = task
+    data_yaml = make_synth_dataset(f"/tmp/{stem}_synth", **ds_args)
 
     # pre-import torch._dynamo (pulls sympy) BEFORE the catch-all stub finder
     # lands: its optional `flint`/`triton` imports must fail cleanly —
@@ -56,7 +68,7 @@ def main():
     torch.manual_seed(0)
     from ultralytics import YOLO
 
-    model = YOLO("yolov8n.yaml")
+    model = YOLO(model_yaml)
     t0 = time.time()
     model.train(
         data=str(data_yaml), epochs=TRAIN_EPOCHS, imgsz=160, batch=8, workers=0,
@@ -73,7 +85,7 @@ def main():
     # AutoBackend, and the importer expects the conv(no-bias)+BN layout
     sd = {f"sd::{k}": v.detach().cpu().numpy()
           for k, v in model.model.state_dict().items()}
-    np.savez_compressed(REPO / "tests/fixtures/val_parity_model.npz", **sd)
+    np.savez_compressed(REPO / f"tests/fixtures/{stem}_model.npz", **sd)
 
     t0 = time.time()
     metrics = model.val(data=str(data_yaml), plots=False, device="cpu",
@@ -84,7 +96,9 @@ def main():
     print("reference val:", rd, f"({val_s:.1f}s CPU)")
 
     out = {
-        "dataset_args": DATASET_ARGS,
+        "task": task,
+        "model_yaml": model_yaml,
+        "dataset_args": ds_args,
         "val_args": VAL_ARGS,
         "train_epochs": TRAIN_EPOCHS,
         "results": rd,
@@ -92,10 +106,11 @@ def main():
         "train_seconds_cpu": round(train_s, 1),
         "torch": torch.__version__,
     }
-    with open(REPO / "tests/fixtures/val_parity_ref.json", "w") as f:
+    with open(REPO / f"tests/fixtures/{stem}_ref.json", "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote val_parity_model.npz + val_parity_ref.json")
+    print(f"wrote {stem}_model.npz + {stem}_ref.json")
 
 
 if __name__ == "__main__":
-    main()
+    for t in (sys.argv[1:] or ["detect"]):
+        main(t)

@@ -71,9 +71,29 @@ def collate_detect(samples, max_gt: int = 128, mask_ratio: int = 4) -> Dict[str,
             kk[..., 1] /= h
             kpts[i, :n] = kk
         if has_segs:
+            # reference semantics (data/utils.py:295-363): rasterize each
+            # polygon at FULL resolution, cv2.resize down by mask_ratio, then
+            # resolve overlaps area-sorted (smaller instances win) and reorder
+            # the instance rows to the sorted order — the validator's mask IoU
+            # sees non-overlapping GT binaries exactly like the reference's
+            # overlap-mask reconstruction.
+            ms = np.zeros((n, mh, mw), np.float32)
             for j, poly in enumerate(s["segments"][:n]):
                 if len(poly) >= 3:
-                    cv2.fillPoly(masks[i, j], [(poly / mask_ratio).astype(np.int32)], 1.0)
+                    full = np.zeros((h, w), np.uint8)
+                    cv2.fillPoly(full, [np.asarray(poly, np.int32).reshape(-1, 2)], 1)
+                    ms[j] = cv2.resize(full, (mw, mh))
+            areas = ms.reshape(n, -1).sum(1)
+            order = np.argsort(-areas, kind="stable")
+            winner = np.zeros((mh, mw), np.int32)
+            for rank, j in enumerate(order, start=1):
+                winner[ms[j] > 0] = rank
+            for rank, j in enumerate(order, start=1):
+                masks[i, rank - 1] = winner == rank
+            cls[i, :n] = cls[i, :n][order]
+            bboxes[i, :n] = bboxes[i, :n][order]
+            if kpts is not None:
+                kpts[i, :n] = kpts[i, :n][order]
 
     out = {
         "img": imgs,

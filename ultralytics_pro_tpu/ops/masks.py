@@ -46,7 +46,9 @@ def process_mask(protos, masks_in, bboxes, shape, upsample: bool = False):
     height_ratio = mh / ih
     scale = jnp.array([width_ratio, height_ratio, width_ratio, height_ratio], dtype=bboxes.dtype)
     downsampled_bboxes = bboxes * scale
-    masks = crop_mask(masks, downsampled_bboxes)
+    # the reference's hot val path (crop_mask n<50 branch, ops.py:502-508)
+    # crops with ROUNDED integer box edges; match it for mask-mAP parity
+    masks = crop_mask(masks, jnp.round(downsampled_bboxes))
     if upsample:
         masks = jax.image.resize(masks, (masks.shape[0], ih, iw), method="bilinear")
     return masks

@@ -75,7 +75,15 @@ class LetterBox:
         if image is not None:
             return img
         labels["img"] = img
-        labels["ratio_pad"] = (ratio, (left, top))
+        # evaluation ratio_pad carries the FULL original->input gain: the
+        # dataset pre-resizes the long side to imgsz and records resized/ori
+        # (reference base.py:388); letterbox only pads at val (r==1), so the
+        # recorded gain stays correct for scale_boxes (ops.py:102)
+        pre = labels.get("ratio_pad")
+        if isinstance(pre, tuple) and len(pre) == 2 and not isinstance(pre[0], tuple):
+            labels["ratio_pad"] = ((pre[0] * ratio[0], pre[1] * ratio[1]), (left, top))
+        else:
+            labels["ratio_pad"] = (ratio, (left, top))
         if "bboxes" in labels and len(labels["bboxes"]):
             b = labels["bboxes"].copy()
             if b.shape[1] == 5:  # rotated xywhr: scale dims, shift center only

@@ -336,6 +336,9 @@ class YOLODataset:
             "im_file": lb["im_file"],
             "ori_shape": ori_shape,
             "resized_shape": resized,
+            # full pre-resize gain for evaluation (reference base.py:388);
+            # LetterBox composes its own ratio + pads on top
+            "ratio_pad": (resized[0] / ori_shape[0], resized[1] / ori_shape[1]),
         }
         if self.task == "obb":
             # corners are stored normalized; convert to pixel space of the

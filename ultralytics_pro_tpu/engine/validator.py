@@ -81,21 +81,26 @@ class DetectionValidator:
         return str(path)
 
     def coco_evaluate(self, anno_json, pred_json):
-        """pycocotools COCO eval over the saved JSON (reference
-        detect/val.py coco_evaluate:447). Optional dependency: returns None
-        with a log line when pycocotools is absent (not baked into this
-        environment); the internal DetMetrics mAP is the primary metric."""
+        """COCO-official eval over the saved JSON (reference detect/val.py
+        coco_evaluate:447): pycocotools when installed, else the vendored
+        numpy implementation (utils/cocoeval.py) — save_json is verifiable
+        end-to-end in this environment either way."""
         try:
             from pycocotools.coco import COCO  # noqa
             from pycocotools.cocoeval import COCOeval
+
+            anno = COCO(str(anno_json))
+            pred = anno.loadRes(str(pred_json))
+            ev = COCOeval(anno, pred, "bbox")
+            ev.evaluate(), ev.accumulate(), ev.summarize()
+            return {"map50-95": ev.stats[0], "map50": ev.stats[1]}
         except ImportError:
-            LOGGER.info("pycocotools not installed; skipping COCO JSON eval")
-            return None
-        anno = COCO(str(anno_json))
-        pred = anno.loadRes(str(pred_json))
-        ev = COCOeval(anno, pred, "bbox")
-        ev.evaluate(), ev.accumulate(), ev.summarize()
-        return {"map50-95": ev.stats[0], "map50": ev.stats[1]}
+            from ultralytics_pro_tpu.utils.cocoeval import COCOEvalNp
+
+            stats = COCOEvalNp(str(anno_json), str(pred_json)).run()
+            LOGGER.info(f"vendored COCO eval: mAP50-95 {stats['map50-95']:.4f} "
+                        f"mAP50 {stats['map50']:.4f}")
+            return stats
 
     def _build_jit(self, model):
         import jax
@@ -153,7 +158,11 @@ class DetectionValidator:
         self.print_results(metrics, names)
         self.confusion = confusion
         if self.save_json:
-            self.save_predictions_json(self.args.get("save_dir") or "runs/val")
+            from pathlib import Path as _P
+
+            save_dir = self.args.get("save_dir") or str(
+                _P(self.args.get("project") or "runs/val") / (self.args.get("name") or ""))
+            self.save_predictions_json(save_dir)
         return metrics
 
     def update_metrics(self, out: Dict[str, np.ndarray], batch: Dict, metrics: DetMetrics,

@@ -111,3 +111,29 @@ def test_yolov7_is_idetect_now():
     y = yaml_model_load("yolov7.yaml")
     assert y["head"][-1][2] == "IDetect"
     assert y["head"][-2][2] == "RepConv_v7"
+
+
+def test_maf_head_family():
+    """MAFDetect/-Segment/-Pose/-OBB build + forward (reference head.py:217,
+    840, 1276, 1045; VERDICT r2 Next #8)."""
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.tasks import (
+        DetectionModel,
+        OBBModel,
+        PoseModel,
+        SegmentationModel,
+    )
+
+    for cls, yaml_name, extra in (
+        (DetectionModel, "maf-yolov2-mafdetect.yaml", {}),
+        (SegmentationModel, "maf-yolov2-mafseg.yaml", {}),
+        (PoseModel, "maf-yolov2-mafpose.yaml", {}),
+        (OBBModel, "maf-yolov2-mafobb.yaml", {}),
+    ):
+        m = cls(yaml_name)
+        v = m.init_params(imgsz=64)
+        y = m.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
+        out = y[0] if isinstance(y, tuple) else y
+        leaf = out[0] if isinstance(out, (list, tuple)) else out
+        assert jnp.all(jnp.isfinite(jnp.asarray(leaf, jnp.float32))), yaml_name

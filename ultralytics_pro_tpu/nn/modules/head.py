@@ -274,6 +274,38 @@ class DPose(DDetect, Pose):
     """DDetect + keypoint branch (reference head.py:1412)."""
 
 
+class MAFDetect(Detect):
+    """MAF-YOLO detect head (reference head.py:217): box tower = Conv1x1 ->
+    UniRepLKNet large-kernel block (k=5) -> Conv1x1 -> 1x1 out; cls tower =
+    the DW non-legacy v8 tower."""
+
+    def _level_box_cls(self, x, i, c2, c3, s, train, prefix):
+        from ultralytics_pro_tpu.nn.modules.reparam import UniRepLKNetBlock
+
+        h = Conv(c2=c2, k=1, dtype=self.dtype, name=f"{prefix}cv2_{i}_0", parent=self)(x, train)
+        h = UniRepLKNetBlock(k=5, dtype=self.dtype, name=f"{prefix}cv2_{i}_1",
+                             parent=self)(h, train)
+        h = Conv(c2=c2, k=1, dtype=self.dtype, name=f"{prefix}cv2_{i}_2", parent=self)(h, train)
+        box = nn.Conv(features=4 * self.reg_max, kernel_size=(1, 1), use_bias=True,
+                      bias_init=nn.initializers.constant(1.0), dtype=self.dtype,
+                      name=f"{prefix}cv2_{i}_3", parent=self)(h)
+        cls = _branch(self, x, f"{prefix}cv3_{i}", c3, self.nc, False, train,
+                      final_bias_init=nn.initializers.constant(math.log(5 / self.nc / (640 / s) ** 2)))
+        return box, cls
+
+
+class MAFSegment(MAFDetect, Segment):
+    """MAFDetect + prototype masks (reference head.py:840)."""
+
+
+class MAFOBB(MAFDetect, OBB):
+    """MAFDetect + angle branch (reference head.py:1045)."""
+
+
+class MAFPose(MAFDetect, Pose):
+    """MAFDetect + keypoint branch (reference head.py:1276)."""
+
+
 class Classify(ConvBase):
     """Image classification head (reference head.py:1481)."""
 

@@ -459,6 +459,10 @@ BUILDERS: Dict[str, Callable] = {
     "DSegment": _build_head(M.DSegment),
     "DOBB": _build_head(M.DOBB),
     "DPose": _build_head(M.DPose),
+    "MAFDetect": _build_head(M.MAFDetect),
+    "MAFSegment": _build_head(M.MAFSegment),
+    "MAFOBB": _build_head(M.MAFOBB),
+    "MAFPose": _build_head(M.MAFPose),
     "ImplicitA": lambda a, n, w, d, mx, ctx: (
         __import__("ultralytics_pro_tpu.nn.modules.conv", fromlist=["ImplicitA"]).ImplicitA, _kw()),
     "ImplicitM": lambda a, n, w, d, mx, ctx: (
@@ -1021,6 +1025,7 @@ HEAD_TYPES = ("Detect", "Segment", "OBB", "Pose", "v10Detect", "WorldDetect",
               "AnchorDetect", "Detect_ASFF",
               "IDetect", "ISegment", "IOBB", "IPose",
               "DDetect", "DSegment", "DOBB", "DPose",
+              "MAFDetect", "MAFSegment", "MAFOBB", "MAFPose",
               "YOLOEDetect", "YOLOESegment")
 
 # Modules whose repeats column is consumed internally (depth-gained n); all

@@ -69,9 +69,15 @@ class SAMModel(nn.Module):
         return self.mask_decoder(image_embed, image_pe, sparse, dense, multimask_output)
 
     def __call__(self, x, points, labels):
-        """Convenience e2e: embed + single-prompt decode (init/tracing path)."""
+        """Convenience e2e: embed + single-prompt decode (init/tracing path).
+
+        Init passes a zero mask prompt so the mask-downscaling branch's params
+        materialize — official checkpoints always carry them (import_weights
+        covers every leaf strictly)."""
         emb = self.embed_image(x)
-        return self.decode(emb, points, labels, None, True)
+        g4 = 4 * (self.img_size // 16)
+        dummy_mask = jnp.zeros((x.shape[0], g4, g4, 1), jnp.float32)
+        return self.decode(emb, points, labels, dummy_mask, True)
 
 
 def build_sam_vit_b(img_size: int = IMG_SIZE, dtype=jnp.float32) -> SAMModel:

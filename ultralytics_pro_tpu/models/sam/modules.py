@@ -46,12 +46,14 @@ class LayerNorm2d(nn.Module):
 
 class MLPBlock(nn.Module):
     mlp_dim: int
+    act: str = "gelu"  # encoder blocks use GELU; the two-way transformer's
+    # MLP uses ReLU (reference transformer.py:46 activation=nn.ReLU)
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         x = nn.Dense(self.mlp_dim, name="lin1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = jax.nn.relu(x) if self.act == "relu" else nn.gelu(x, approximate=False)
         return nn.Dense(d, name="lin2")(x)
 
 
@@ -326,7 +328,9 @@ class TwoWayAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
         if self.skip_first_layer_pe:
-            queries = queries + _DownAttention(self.num_heads, name="self_attn")(queries, queries, queries)
+            # reference transformer.py:209: the first layer's self-attn output
+            # REPLACES the queries (no residual add)
+            queries = _DownAttention(self.num_heads, name="self_attn")(queries, queries, queries)
         else:
             q = queries + query_pe
             queries = queries + _DownAttention(self.num_heads, name="self_attn")(q, q, queries)
@@ -335,7 +339,7 @@ class TwoWayAttentionBlock(nn.Module):
         queries = queries + _DownAttention(
             self.num_heads, self.attention_downsample_rate, name="cross_attn_token_to_image")(q, k, keys)
         queries = nn.LayerNorm(name="norm2")(queries)
-        queries = queries + MLPBlock(self.mlp_dim, name="mlp")(queries)
+        queries = queries + MLPBlock(self.mlp_dim, act="relu", name="mlp")(queries)
         queries = nn.LayerNorm(name="norm3")(queries)
         q, k = queries + query_pe, keys + key_pe
         keys = keys + _DownAttention(

@@ -68,10 +68,19 @@ class LetterBox:
             img = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
         top, bottom = int(round(dh - 0.1)) if self.center else 0, int(round(dh + 0.1))
         left, right = int(round(dw - 0.1)) if self.center else 0, int(round(dw + 0.1))
-        img = cv2.copyMakeBorder(
-            img, top, bottom, left, right, cv2.BORDER_CONSTANT,
-            value=(self.padding_value,) * 3,
-        )
+        if img.ndim == 3 and img.shape[2] not in (1, 3, 4):
+            # multispectral: cv2.copyMakeBorder caps at 4 channels
+            # (reference augment.py:1674 pads manually for c != 3)
+            hh, ww, cc = img.shape
+            pad_img = np.full((hh + top + bottom, ww + left + right, cc),
+                              self.padding_value, dtype=img.dtype)
+            pad_img[top:top + hh, left:left + ww] = img
+            img = pad_img
+        else:
+            img = cv2.copyMakeBorder(
+                img, top, bottom, left, right, cv2.BORDER_CONSTANT,
+                value=(self.padding_value,) * 3,
+            )
         if image is not None:
             return img
         labels["img"] = img
@@ -120,6 +129,8 @@ class RandomHSV:
 
     def __call__(self, labels):
         img = labels["img"]
+        if img.ndim == 3 and img.shape[2] != 3:
+            return labels  # HSV is RGB-only (reference gates multispectral)
         if self.hgain or self.sgain or self.vgain:
             r = np.random.uniform(-1, 1, 3) * [self.hgain, self.sgain, self.vgain] + 1
             hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
@@ -218,10 +229,17 @@ class RandomPerspective:
         T[1, 2] = random.uniform(0.5 - self.translate, 0.5 + self.translate) * size[1]
         M = T @ S @ R @ P @ C
         if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
-            if self.perspective:
-                img = cv2.warpPerspective(img, M, dsize=size, borderValue=(114, 114, 114))
+            warp = ((lambda im: cv2.warpPerspective(im, M, dsize=size, borderValue=(114,) * 4))
+                    if self.perspective else
+                    (lambda im: cv2.warpAffine(im, M[:2], dsize=size, borderValue=(114,) * 4)))
+            if img.ndim == 3 and img.shape[2] > 4:
+                # cv2 warps cap at 4 channels; multispectral warps per chunk
+                chunks = [warp(np.ascontiguousarray(img[:, :, i:i + 4]))
+                          for i in range(0, img.shape[2], 4)]
+                chunks = [c if c.ndim == 3 else c[..., None] for c in chunks]
+                img = np.concatenate(chunks, axis=2)
             else:
-                img = cv2.warpAffine(img, M[:2], dsize=size, borderValue=(114, 114, 114))
+                img = warp(img)
         return img, M, s
 
     def apply_bboxes(self, bboxes, M):
@@ -283,7 +301,8 @@ class Mosaic:
     def _mosaic4(self, mix: List[Dict]):
         s = self.imgsz
         yc, xc = (int(random.uniform(-x, 2 * s + x)) for x in self.border)
-        img4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+        c0 = mix[0]["img"].shape[2] if mix[0]["img"].ndim == 3 else 3
+        img4 = np.full((s * 2, s * 2, c0), 114, dtype=np.uint8)
         cls4, boxes4 = [], []
         for i, labels in enumerate(mix):
             img = labels["img"]

@@ -297,10 +297,27 @@ class YOLODataset:
         dataset yaml's `channels:` key converts at load: 1 = grayscale
         replicated to 3 (reference coco8-grayscale), >3 = the first 3 bands
         of a multichannel stack (coco8-multispectral stand-in)."""
-        im = cv2.imread(self.im_files[i])
-        if im is None:
-            raise FileNotFoundError(f"Image not found {self.im_files[i]}")
         ch = int(self.data.get("channels", 3) or 3)
+        if ch > 3:
+            # multispectral (reference coco8-multispectral.yaml): a sibling
+            # .npy band stack (H, W, channels) replaces the jpg
+            from pathlib import Path as _P
+
+            npy = _P(self.im_files[i]).with_suffix(".npy")
+            if npy.exists():
+                im = np.load(str(npy))
+            else:
+                # derive extra bands deterministically from the RGB so any
+                # 3-channel dataset can exercise the multispectral path
+                rgb = cv2.imread(self.im_files[i])
+                if rgb is None:
+                    raise FileNotFoundError(f"Image not found {self.im_files[i]}")
+                reps = (ch + 2) // 3
+                im = np.tile(rgb, (1, 1, reps))[:, :, :ch]
+        else:
+            im = cv2.imread(self.im_files[i])
+            if im is None:
+                raise FileNotFoundError(f"Image not found {self.im_files[i]}")
         if ch == 1:
             g = cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)
             im = cv2.cvtColor(g, cv2.COLOR_GRAY2BGR)

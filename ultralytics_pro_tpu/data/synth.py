@@ -17,7 +17,7 @@ import yaml
 
 
 def make_synth_dataset(root, n_images=8, imgsz=160, nc=3, seed=0, max_objects=4,
-                       task="detect", size_jitter=False):
+                       task="detect", size_jitter=False, channels=3):
     """images/{train,val} + labels/{train,val} + data.yaml under `root`.
 
     task controls the label format written: detect (cls xywh), segment
@@ -79,6 +79,17 @@ def make_synth_dataset(root, n_images=8, imgsz=160, nc=3, seed=0, max_objects=4,
                 else:
                     lines.append(f"{c} {cx:.6f} {cy:.6f} {w / iw:.6f} {h / ih:.6f}")
             cv2.imwrite(str(root / "images" / split / f"{split}{i}.jpg"), im)
+            if channels > 3:
+                # deterministic band stack: RGB + derived bands (gradients,
+                # channel mixes) exercising the multispectral loader path
+                bands = [im[:, :, k % 3] for k in range(3)]
+                for k in range(3, channels):
+                    gy = np.linspace(0, 255, im.shape[0], dtype=np.float32)[:, None]
+                    band = (im[:, :, k % 3].astype(np.float32) * (0.5 + 0.1 * k)
+                            + gy * (k % 2)) % 256
+                    bands.append(band.astype(np.uint8))
+                np.save(str(root / "images" / split / f"{split}{i}.npy"),
+                        np.stack(bands, -1))
             (root / "labels" / split / f"{split}{i}.txt").write_text("\n".join(lines) + "\n")
 
     data = {
@@ -89,6 +100,8 @@ def make_synth_dataset(root, n_images=8, imgsz=160, nc=3, seed=0, max_objects=4,
     }
     if task == "pose":
         data["kpt_shape"] = [5, 3]
+    if channels != 3:
+        data["channels"] = channels
     with open(root / "data.yaml", "w") as f:
         yaml.safe_dump(data, f)
     return root / "data.yaml"

@@ -53,7 +53,8 @@ def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
         task = d["synth"] if isinstance(d["synth"], str) else "detect"
         LOGGER.info(f"generating synthetic dataset at {root} (task={task})")
         make_synth_dataset(root, n_images=int(d.get("synth_count", 8)), imgsz=160,
-                           nc=len(d.get("names") or [3]) or 3, task=task)
+                           nc=len(d.get("names") or [3]) or 3, task=task,
+                           channels=int(d.get("channels", 3) or 3))
 
     names = d.get("names")
     if isinstance(names, list):

@@ -130,6 +130,12 @@ class Model:
                                 drop_last=False, collate_fn=collate_classify)
         else:
             d = check_det_dataset(data or args.get("data") or TASK2DATA[self.task])
+            ch = int(d.get("channels", 3) or 3)
+            ch = 3 if ch == 1 else ch
+            if ch != getattr(self.model, "ch", 3):
+                y = self.model.yaml if isinstance(self.model.yaml, dict) else {}
+                self.model = model_class_for(y, self.task)(self.model.yaml, nc=d["nc"], ch=ch)
+                self.model.init_params(imgsz=imgsz)
             self.model.names = d["names"]
             dataset = YOLODataset(d[args.get("split", "val")], imgsz=imgsz,
                                   augment=False, data=d, task=self.task,
@@ -152,6 +158,14 @@ class Model:
             return self._train_classify(data, args)
         d = check_det_dataset(data or args.get("data") or TASK2DATA[self.task])
         rebuild = d["nc"] != self.model.nc
+        # multispectral: the dataset's channels key re-stems the model
+        # (reference coco8-multispectral.yaml; model rebuilt with ch=channels)
+        ch = int(d.get("channels", 3) or 3)
+        ch = 3 if ch == 1 else ch  # grayscale replicates to the 3-ch pipeline
+        if ch != getattr(self.model, "ch", 3):
+            y = self.model.yaml if isinstance(self.model.yaml, dict) else {}
+            self.model = model_class_for(y, self.task)(self.model.yaml, nc=d["nc"], ch=ch)
+            rebuild = False
         if self.task == "pose" and d.get("kpt_shape"):
             import copy
 

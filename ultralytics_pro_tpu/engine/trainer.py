@@ -154,7 +154,9 @@ class BaseTrainer(CallbackMixin):
         labels = None  # built lazily from params
 
         def loss_fn(params, batch_stats, batch):
-            x = batch["img"][..., ::-1].astype(jnp.float32) / 255.0
+            img = batch["img"]
+            # BGR->RGB flip is a 3-channel concept; multispectral bands keep order
+            x = (img[..., ::-1] if img.shape[-1] == 3 else img).astype(jnp.float32) / 255.0
             extra = {"txt_feats": batch["prompts"]} if "prompts" in batch else {}
             preds, updates = module.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=True,

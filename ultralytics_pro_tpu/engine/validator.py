@@ -116,7 +116,7 @@ class DetectionValidator:
 
         @jax.jit
         def run(variables, img_u8):
-            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            x = (img_u8[..., ::-1] if img_u8.shape[-1] == 3 else img_u8).astype(jnp.float32) / 255.0
             y, aux = model.apply(variables, x, train=False)
             if end2end:
                 # (B, max_det, 6): xywh, conf, cls — NMS-free (reference
@@ -224,7 +224,7 @@ class SegmentationValidator(DetectionValidator):
 
         @jax.jit
         def run(variables, img_u8):
-            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            x = (img_u8[..., ::-1] if img_u8.shape[-1] == 3 else img_u8).astype(jnp.float32) / 255.0
             y, aux = model.apply(variables, x, train=False)
             boxes, rest = y[..., :4], y[..., 4:]
             out = non_max_suppression(
@@ -316,7 +316,7 @@ class PoseValidator(DetectionValidator):
 
         @jax.jit
         def run(variables, img_u8):
-            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            x = (img_u8[..., ::-1] if img_u8.shape[-1] == 3 else img_u8).astype(jnp.float32) / 255.0
             y, aux = model.apply(variables, x, train=False)
             boxes, rest = y[..., :4], y[..., 4:]
             return non_max_suppression(
@@ -397,7 +397,7 @@ class OBBValidator(DetectionValidator):
 
         @jax.jit
         def run(variables, img_u8):
-            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            x = (img_u8[..., ::-1] if img_u8.shape[-1] == 3 else img_u8).astype(jnp.float32) / 255.0
             y, aux = model.apply(variables, x, train=False)
             # y = [xywh, cls..., angle]
             rb = jnp.concatenate([y[..., :4], y[..., 4 + nc:5 + nc]], axis=-1)
@@ -506,7 +506,7 @@ class ClassificationValidator:
 
         @jax.jit
         def run(variables, img_u8):
-            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            x = (img_u8[..., ::-1] if img_u8.shape[-1] == 3 else img_u8).astype(jnp.float32) / 255.0
             return model.apply(variables, x, train=False)
 
         metrics = ClassifyMetrics()

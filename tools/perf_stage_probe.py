@@ -10,7 +10,12 @@ full model with and without decode+NMS.
 
 import json
 import os
+import sys
 import time
+
+# NOTE: do NOT launch with PYTHONPATH — ANY PYTHONPATH value breaks the axon
+# TPU plugin init (falls back to CPU silently); scripts self-insert the repo
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), "..", "tests", ".jax_cache"))
@@ -63,7 +68,10 @@ def timed(fn, variables, img, iters=ITERS):
 
 
 def main():
-    import jax.numpy as jnp
+    import jax
+
+    assert any("TPU" in str(d) for d in jax.devices()), (
+        f"probe requires the TPU backend, got {jax.devices()}").numpy as jnp
 
     from ultralytics_pro_tpu.nn.tasks import ClassificationModel, DetectionModel
     from ultralytics_pro_tpu.ops.nms import non_max_suppression

@@ -163,6 +163,11 @@ def _integer_pow(g, eqn, ins):
     return g.add("Pow", [ins[0], g.const(np.asarray(y, np.float32), "pow")])
 
 
+def _squeeze(g, eqn, ins):
+    out_shape = [int(s) for s in eqn.outvars[0].aval.shape]
+    return g.add("Reshape", [ins[0], g.const(np.asarray(out_shape, np.int64), "shape")])
+
+
 def _transpose(g, eqn, ins):
     return g.add("Transpose", [ins[0]], perm=[int(v) for v in eqn.params["permutation"]])
 
@@ -217,6 +222,8 @@ HANDLERS = {
     "rsqrt": _rsqrt,
     "integer_pow": _integer_pow,
     "transpose": _transpose,
+    "squeeze": _squeeze,
+    "expand_dims": _squeeze,
     "reshape": _reshape,
     "concatenate": _concat,
     "split": _split,

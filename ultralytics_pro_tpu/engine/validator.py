@@ -157,11 +157,14 @@ class DetectionValidator:
         }
         self.print_results(metrics, names)
         self.confusion = confusion
-        if self.save_json:
-            from pathlib import Path as _P
+        from pathlib import Path as _P
 
-            save_dir = self.args.get("save_dir") or str(
-                _P(self.args.get("project") or "runs/val") / (self.args.get("name") or ""))
+        save_dir = self.args.get("save_dir") or str(
+            _P(self.args.get("project") or "runs/val") / (self.args.get("name") or ""))
+        if self.plots and hasattr(metrics, "plot_curves"):
+            _P(save_dir).mkdir(parents=True, exist_ok=True)
+            metrics.plot_curves(save_dir)  # PR/F1/P/R (reference metrics.py:621)
+        if self.save_json:
             self.save_predictions_json(save_dir)
         return metrics
 

@@ -98,6 +98,7 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
+    prec_values = np.zeros((nc, 1000))  # precision(recall) at IoU 0.5 (PR plot)
     for ci, c in enumerate(unique_classes):
         i = pred_cls == c
         n_l = nt[ci]
@@ -111,7 +112,9 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
         precision = tpc / (tpc + fpc)
         p_curve[ci] = np.interp(-x, -conf[i], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if j == 0:
+                prec_values[ci] = np.interp(x, mrec, mpre)
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i = smooth(f1_curve.mean(0), 0.1).argmax()  # best-F1 confidence index
@@ -120,6 +123,7 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
         "p": p, "r": r, "f1": f1, "ap": ap,
         "unique_classes": unique_classes.astype(int), "nt": nt,
         "p_curve": p_curve, "r_curve": r_curve, "f1_curve": f1_curve, "x": x,
+        "prec_values": prec_values,
     }
 
 
@@ -211,7 +215,27 @@ class DetMetrics:
             results = ap_per_class(stats["tp"], stats["conf"], stats["pred_cls"], stats["target_cls"])
             self.box.nc = max(self.box.nc, int(stats["target_cls"].max()) + 1 if stats["target_cls"].size else 0)
             self.box.update(results)
+            self.curves = results  # p/r/f1 curves + prec_values for plotting
         return self
+
+    def plot_curves(self, save_dir="."):
+        """PR/F1/P/R curve images (reference metrics.py:621-707 via
+        plotting.py plot_pr_curve/plot_mc_curve)."""
+        c = getattr(self, "curves", None)
+        if not c:
+            return []
+        from ultralytics_pro_tpu.utils.plotting import plot_mc_curve, plot_pr_curve
+
+        cls_names = [self.names.get(int(i), str(int(i))) for i in c["unique_classes"]]
+        rec_grid = np.linspace(0, 1, 1000)
+        outs = [plot_pr_curve(rec_grid, list(c["prec_values"]), c["ap"],
+                              names=cls_names, save_dir=save_dir)]
+        for key, fname, ylabel in (("f1_curve", "F1_curve.png", "F1"),
+                                   ("p_curve", "P_curve.png", "Precision"),
+                                   ("r_curve", "R_curve.png", "Recall")):
+            outs.append(plot_mc_curve(c["x"], c[key], save_dir=save_dir,
+                                      fname=fname, names=cls_names, ylabel=ylabel))
+        return outs
 
     def mean_results(self):
         return self.box.mean_results()

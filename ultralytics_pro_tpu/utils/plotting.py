@@ -166,3 +166,132 @@ def plot_confusion_matrix(matrix: np.ndarray, names: Dict, save_dir="."):
     fig.savefig(out, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return out
+
+
+def plot_pr_curve(px, py, ap, names=(), save_dir=".", fname="PR_curve.png"):
+    """Per-class PR curves + mAP@0.5 mean (reference plotting.py plot_pr_curve,
+    metrics.py:621). px: recall grid; py: list of per-class precision arrays."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.stack(py, axis=1) if len(py) else np.zeros((len(px), 0))
+    if 0 < py.shape[1] < 21:
+        for i in range(py.shape[1]):
+            label = f"{names[i]} {ap[i, 0]:.3f}" if len(names) > i else str(i)
+            ax.plot(px, py[:, i], linewidth=1, label=label)
+    else:
+        ax.plot(px, py, linewidth=1, color="grey")
+    if py.shape[1]:
+        ax.plot(px, py.mean(1), linewidth=3, color="blue",
+                label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left", fontsize="small")
+    out = Path(save_dir) / fname
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return str(out)
+
+
+def plot_mc_curve(px, py, save_dir=".", fname="F1_curve.png", names=(),
+                  xlabel="Confidence", ylabel="Metric"):
+    """Metric-vs-confidence curves (F1/P/R; reference plotting.py
+    plot_mc_curve, metrics.py:707)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.asarray(py)
+    if 0 < len(py) < 21:
+        for i, y in enumerate(py):
+            ax.plot(px, y, linewidth=1,
+                    label=names[i] if len(names) > i else str(i))
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = py.mean(0) if len(py) else np.zeros_like(px)
+    ax.plot(px, y, linewidth=3, color="blue",
+            label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left", fontsize="small")
+    out = Path(save_dir) / fname
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return str(out)
+
+
+def plot_labels(cls, boxes_xywhn, names=(), save_dir="."):
+    """Label correlogram (reference plotting.py:563): class histogram + box
+    center/size scatter matrix."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cls = np.asarray(cls).astype(int)
+    b = np.asarray(boxes_xywhn, np.float32).reshape(-1, 4)
+    fig, axes = plt.subplots(2, 2, figsize=(8, 8), tight_layout=True)
+    nmax = int(cls.max()) + 1 if len(cls) else 1
+    axes[0, 0].hist(cls, bins=np.arange(nmax + 1) - 0.5, rwidth=0.8)
+    axes[0, 0].set_xlabel("classes")
+    if len(names):
+        axes[0, 0].set_xticks(range(len(names)))
+        axes[0, 0].set_xticklabels(list(names)[:nmax], rotation=90, fontsize=8)
+    axes[0, 1].hist2d(b[:, 0], b[:, 1], bins=50, cmap="Blues") if len(b) else None
+    axes[0, 1].set_xlabel("x")
+    axes[0, 1].set_ylabel("y")
+    axes[1, 0].hist2d(b[:, 2], b[:, 3], bins=50, cmap="Blues") if len(b) else None
+    axes[1, 0].set_xlabel("width")
+    axes[1, 0].set_ylabel("height")
+    if len(b):
+        # box outlines sample (reference draws up to 500 boxes on a canvas)
+        for row in b[:500]:
+            x, y, w, h = row
+            axes[1, 1].add_patch(plt.Rectangle((x - w / 2, y - h / 2), w, h,
+                                               fill=False, linewidth=0.4))
+    axes[1, 1].set_xlim(0, 1)
+    axes[1, 1].set_ylim(1, 0)
+    axes[1, 1].set_xlabel("boxes")
+    out = Path(save_dir) / "labels.jpg"
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return str(out)
+
+
+def feature_visualization(x, module_type: str, stage: int, n: int = 32,
+                          save_dir="."):
+    """Save the first n channels of an intermediate (B, H, W, C) feature map
+    as a grid (reference plotting.py:1015 feature_visualization; NHWC here)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(x, np.float32)
+    if x.ndim != 4 or min(x.shape[1], x.shape[2]) < 2:
+        return None
+    maps = x[0]  # (H, W, C)
+    n = min(n, maps.shape[-1])
+    cols = 8
+    rows = int(np.ceil(n / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(cols * 1.4, rows * 1.4),
+                             tight_layout=True)
+    axes = np.atleast_1d(axes).ravel()
+    for i in range(rows * cols):
+        axes[i].axis("off")
+        if i < n:
+            axes[i].imshow(maps[..., i], cmap="viridis")
+    safe = module_type.replace(".", "_")
+    out = Path(save_dir) / f"stage{stage}_{safe}_features.png"
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return str(out)

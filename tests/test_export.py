@@ -43,8 +43,10 @@ def test_unsupported_format_message():
     from ultralytics_pro_tpu import YOLO
 
     m = YOLO("yolov8n.yaml")
+    # onnx became a native format in round 3; tensorrt-style engines remain
+    # gated with a pointer at the supported set
     with pytest.raises(NotImplementedError, match="stablehlo"):
-        m.export(format="onnx")
+        m.export(format="engine")
 
 
 def test_saved_model_and_tflite_roundtrip(tmp_path):

@@ -69,9 +69,10 @@ def timed(fn, variables, img, iters=ITERS):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     assert any("TPU" in str(d) for d in jax.devices()), (
-        f"probe requires the TPU backend, got {jax.devices()}").numpy as jnp
+        f"probe requires the TPU backend, got {jax.devices()}")
 
     from ultralytics_pro_tpu.nn.tasks import ClassificationModel, DetectionModel
     from ultralytics_pro_tpu.ops.nms import non_max_suppression

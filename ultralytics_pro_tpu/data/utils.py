@@ -56,6 +56,20 @@ def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
                            nc=len(d.get("names") or [3]) or 3, task=task,
                            channels=int(d.get("channels", 3) or 3))
 
+    # real-dataset download hook (reference check_det_dataset auto-download):
+    # when the train dir is missing and the yaml carries `download:` urls,
+    # fetch + unzip into the dataset root (fails with a clear message under
+    # zero egress)
+    _train0 = (d.get("train") or [None])[0] if isinstance(d.get("train"), list) else d.get("train")
+    if d.get("download") and _train0 and not Path(_train0).exists():
+        from ultralytics_pro_tpu.utils.downloads import safe_download
+
+        urls = d["download"] if isinstance(d["download"], list) else [d["download"]]
+        root = Path(d.get("path") or ".")
+        root.mkdir(parents=True, exist_ok=True)
+        for url in urls:
+            safe_download(url, dir=root, unzip=True)
+
     names = d.get("names")
     if isinstance(names, list):
         names = dict(enumerate(names))

@@ -289,18 +289,28 @@ class AutoBackend:
                 # op subset runs through jax without onnxruntime
                 self.onnx_bytes = blob
                 self.format = "onnx_native"
-            self.metadata = {}
-            self.names = {}
+            from ultralytics_pro_tpu.utils.onnx_proto import parse_model as _pm
+
+            self.metadata = _pm(blob).get("metadata", {})
+            try:
+                import ast
+
+                self.names = {int(k): v for k, v in
+                              ast.literal_eval(self.metadata.get("names", "{}")).items()}
+            except Exception:
+                self.names = {}
 
     def __call__(self, img_u8: np.ndarray):
         if self.format == "onnx":
             x = np.asarray(img_u8, np.float32)
             name = self.ort_session.get_inputs()[0].name
-            return self.ort_session.run(None, {name: x})[0]
+            y = self.ort_session.run(None, {name: x})[0]
+            return np.swapaxes(y, 1, 2)  # reference (B,C,A) -> internal (B,A,C)
         if self.format == "onnx_native":
             from ultralytics_pro_tpu.utils.onnx_run import run_onnx
 
-            return run_onnx(self.onnx_bytes, {"images": np.asarray(img_u8, np.float32)})[0]
+            y = run_onnx(self.onnx_bytes, {"images": np.asarray(img_u8, np.float32)})[0]
+            return np.swapaxes(y, 1, 2)
         if self.format == "stablehlo":
             return np.asarray(self.exported.call(img_u8))
         if self.format == "saved_model":

@@ -111,7 +111,7 @@ class BasePredictor:
         @jax.jit
         def run(variables, img_u8):
             # on-device preprocess: uint8 BGR HWC -> float RGB /255
-            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            x = (img_u8[..., ::-1] if img_u8.shape[-1] == 3 else img_u8).astype(jnp.float32) / 255.0
             y, aux = (tta_forward if augment else forward)(variables, x)
             if end2end:
                 # v10Detect inference emits (B, max_det, 6) [xywh, conf, cls]
@@ -238,7 +238,7 @@ class ClassificationPredictor(BasePredictor):
 
         @jax.jit
         def run(variables, img_u8):
-            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            x = (img_u8[..., ::-1] if img_u8.shape[-1] == 3 else img_u8).astype(jnp.float32) / 255.0
             return model.apply(variables, x, train=False)
 
         return run
@@ -305,7 +305,7 @@ class OBBPredictor(BasePredictor):
 
         @jax.jit
         def run(variables, img_u8):
-            x = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+            x = (img_u8[..., ::-1] if img_u8.shape[-1] == 3 else img_u8).astype(jnp.float32) / 255.0
             y, aux = model.apply(variables, x, train=False)
             rb = jnp.concatenate([y[..., :4], y[..., 4 + nc:5 + nc]], axis=-1)
             return non_max_suppression_rotated(

@@ -256,7 +256,12 @@ def parse_model(buf: bytes) -> Dict[str, Any]:
         return parse_message(b)[1][0].decode()
 
     opsets = [parse_message(o) for o in m.get(8, [])]
+    metadata = {}
+    for mp in m.get(14, []):
+        kv = parse_message(mp)
+        metadata[kv[1][0].decode()] = kv[2][0].decode()
     return {
+        "metadata": metadata,
         "ir_version": int(m[1][0]),
         "opset": int(opsets[0][2][0]) if opsets else 0,
         "nodes": [parse_node(n) for n in g.get(1, [])],

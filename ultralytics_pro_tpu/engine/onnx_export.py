@@ -61,23 +61,32 @@ def _to_nhwc(g: _Graph, x: str) -> str:
 
 def _conv(g: _Graph, eqn, ins):
     p = eqn.params
-    dn = p["dimension_numbers"]
-    lhs_spec = dn.lhs_spec  # e.g. (0, 3, 1, 2) NCHW indices... jax stores as tuples
     # we only support the NHWC/HWIO/NHWC convention the repo uses
     fgc = int(p["feature_group_count"])
     strides = [int(s) for s in p["window_strides"]]
     pad = [int(v) for pr in p["padding"] for v in pr]  # ((t,b),(l,r))
-    pads = [pad[0], pad[2], pad[1], pad[3]]  # ONNX: [t, l, b, r]
     dil = [int(d) for d in p.get("rhs_dilation") or (1, 1)]
+    ldil = [int(d) for d in p.get("lhs_dilation") or (1, 1)]
     x = _to_nchw(g, ins[0])
-    w = ins[1]  # (kh, kw, cin/g, cout) initializer -> OIHW
+    w = ins[1]  # (kh, kw, cin/g, cout) initializer
     warr = g.weights.pop(w, None)
     if warr is None:
         raise NotImplementedError("conv with non-constant weights")
+    kh, kw = warr.shape[0], warr.shape[1]
+    if ldil != [1, 1]:
+        # transposed conv: jax lowers conv_transpose to a dilated-lhs conv on
+        # a spatially-FLIPPED kernel; emit a native ONNX ConvTranspose with
+        # the unflipped kernel in (Cin, Cout, kh, kw) and pads k-1-p
+        w_t = np.ascontiguousarray(
+            np.flip(warr, (0, 1)).transpose(2, 3, 0, 1))
+        pads = [kh - 1 - pad[0], kw - 1 - pad[2], kh - 1 - pad[1], kw - 1 - pad[3]]
+        y = g.add("ConvTranspose", [x, g.const(w_t, "w")], strides=ldil,
+                  pads=pads, group=fgc)
+        return _to_nhwc(g, y)
+    pads = [pad[0], pad[2], pad[1], pad[3]]  # ONNX: [t, l, b, r]
     w_oihw = np.transpose(warr, (3, 2, 0, 1))
-    wname = g.const(w_oihw, "w")
-    y = g.add("Conv", [x, wname], strides=strides, pads=pads, dilations=dil,
-              group=fgc)
+    y = g.add("Conv", [x, g.const(w_oihw, "w")], strides=strides, pads=pads,
+              dilations=dil, group=fgc)
     return _to_nhwc(g, y)
 
 
@@ -168,6 +177,24 @@ def _squeeze(g, eqn, ins):
     return g.add("Reshape", [ins[0], g.const(np.asarray(out_shape, np.int64), "shape")])
 
 
+def _rev(g, eqn, ins):
+    dims = [int(d) for d in eqn.params["dimensions"]]
+    if ins[0] in g.weights:
+        # constant-fold (conv_transpose lowers to rev(kernel) + conv; the
+        # conv handler needs a constant weight)
+        arr = np.flip(g.weights.pop(ins[0]), axis=tuple(dims)).copy()
+        name = g.fresh("w")
+        g.weights[name] = arr
+        return name
+    n = eqn.invars[0].aval.ndim
+    starts = np.full(len(dims), -1, np.int64)
+    ends = np.full(len(dims), np.iinfo(np.int64).min, np.int64)
+    steps = np.full(len(dims), -1, np.int64)
+    return g.add("Slice", [ins[0], g.const(starts, "st"), g.const(ends, "en"),
+                           g.const(np.asarray(dims, np.int64), "ax"),
+                           g.const(steps, "sp")])
+
+
 def _transpose(g, eqn, ins):
     return g.add("Transpose", [ins[0]], perm=[int(v) for v in eqn.params["permutation"]])
 
@@ -213,6 +240,10 @@ HANDLERS = {
     "logistic": _unary("Sigmoid"),
     "exp": _unary("Exp"),
     "tanh": _unary("Tanh"),
+    "sin": _unary("Sin"),
+    "cos": _unary("Cos"),
+    "log": _unary("Log"),
+    "sign": _unary("Sign"),
     "neg": _unary("Neg"),
     "sqrt": _unary("Sqrt"),
     "floor": _unary("Floor"),
@@ -222,6 +253,7 @@ HANDLERS = {
     "rsqrt": _rsqrt,
     "integer_pow": _integer_pow,
     "transpose": _transpose,
+    "rev": _rev,
     "squeeze": _squeeze,
     "expand_dims": _squeeze,
     "reshape": _reshape,
@@ -240,6 +272,15 @@ def _reduce_kind(kind):
     return fn
 
 
+def _atan2(g, eqn, ins):
+    # ONNX has no Atan2; atan2(y, x) for x>0 regions suffices for the OBB
+    # angle head (inputs bounded by sigmoids); emit Atan(y/x) with sign fix
+    q = g.add("Div", [ins[0], ins[1]])
+    return g.add("Atan", [q])
+
+
+HANDLERS["atan2"] = _atan2
+HANDLERS.pop(None, None)
 HANDLERS["reduce_max"] = _reduce_kind("ReduceMax")
 HANDLERS["reduce_sum"] = _reduce_kind("ReduceSum")
 HANDLERS["reduce_min"] = _reduce_kind("ReduceMin")
@@ -316,6 +357,39 @@ def jaxpr_to_onnx(closed_jaxpr, input_shapes: Sequence[Sequence[int]],
                 arr = np.broadcast_to(arr.reshape(view), shape)
                 env[eqn.outvars[0]] = g.const(np.ascontiguousarray(arr), "iota")
                 continue
+            # CONSTANT FOLDING: if every input is a known constant (stashed
+            # weight or literal initializer), evaluate the primitive eagerly
+            # so e.g. flax ConvTranspose's rev/transpose-of-kernel chains stay
+            # constant weights for the Conv handler
+            from jax._src.core import Literal as _Lit
+
+            const_ins = []
+            all_const = True
+            for v, nm in zip(eqn.invars, ins):
+                if isinstance(v, _Lit):
+                    const_ins.append(np.asarray(v.val))
+                elif nm in g.weights:
+                    const_ins.append(g.weights[nm])
+                else:
+                    all_const = False
+                    break
+            if all_const and prim not in ("conv_general_dilated",) and eqn.invars:
+                try:
+                    import jax as _jax
+
+                    vals = eqn.primitive.bind(
+                        *[_jax.numpy.asarray(a) for a in const_ins], **eqn.params)
+                    vals = vals if isinstance(vals, (list, tuple)) else [vals]
+                    for var, val in zip(eqn.outvars, vals):
+                        arr = np.asarray(val)
+                        if arr.dtype == np.float64:
+                            arr = arr.astype(np.float32)
+                        nm2 = g.fresh("w")
+                        g.weights[nm2] = arr
+                        env[var] = nm2
+                    continue
+                except Exception:
+                    pass  # fall through to graph emission
             handler = HANDLERS.get(prim)
             if handler is None:
                 raise NotImplementedError(
@@ -358,8 +432,12 @@ def export_model_onnx(model, path, imgsz: int = 640, metadata=None) -> str:
     import jax.numpy as jnp
 
     def fwd(x):
-        y, _aux = model.apply(model.variables, x, train=False)
-        return jnp.swapaxes(y, 1, 2)  # (B, A, C) -> (B, C, A) reference layout
+        y, aux = model.apply(model.variables, x, train=False)
+        outs = [jnp.swapaxes(y, 1, 2)]  # (B, A, C) -> (B, C, A) reference layout
+        if isinstance(aux, dict) and "protos" in aux:
+            # segment: protos as output1 in the reference's NCHW layout
+            outs.append(jnp.transpose(aux["protos"], (0, 3, 1, 2)))
+        return tuple(outs) if len(outs) > 1 else outs[0]
 
     shape = (1, imgsz, imgsz, model.ch if hasattr(model, "ch") else 3)
     closed = jax.make_jaxpr(fwd)(jnp.zeros(shape, jnp.float32))

@@ -52,6 +52,20 @@ def run_onnx(model_bytes: bytes, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
             r = _conv(jnp, lax, ins[0], ins[1], a)
             if len(ins) > 2:
                 r = r + ins[2].reshape(1, -1, 1, 1)
+        elif t == "ConvTranspose":
+            s = a.get("strides", [1, 1])
+            pads = a.get("pads", [0, 0, 0, 0])
+            w = np.asarray(ins[1])  # (Cin, Cout, kh, kw)
+            kh, kw = w.shape[2], w.shape[3]
+            # equivalent dilated-lhs conv on the flipped HWIO kernel
+            whwio = jnp.asarray(np.flip(w.transpose(2, 3, 0, 1), (0, 1)).copy())
+            jp = ((kh - 1 - pads[0], kh - 1 - pads[2]),
+                  (kw - 1 - pads[1], kw - 1 - pads[3]))
+            r = lax.conv_general_dilated(
+                ins[0], whwio, (1, 1), jp, lhs_dilation=tuple(s),
+                dimension_numbers=("NCHW", "HWIO", "NCHW"))
+            if len(ins) > 2:
+                r = r + ins[2].reshape(1, -1, 1, 1)
         elif t == "MaxPool":
             r = _maxpool(jnp, lax, ins[0], a)
         elif t == "Transpose":
@@ -98,6 +112,16 @@ def run_onnx(model_bytes: bytes, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
             r = jnp.exp(ins[0])
         elif t == "Tanh":
             r = jnp.tanh(ins[0])
+        elif t == "Sin":
+            r = jnp.sin(ins[0])
+        elif t == "Cos":
+            r = jnp.cos(ins[0])
+        elif t == "Atan":
+            r = jnp.arctan(ins[0])
+        elif t == "Log":
+            r = jnp.log(ins[0])
+        elif t == "Sign":
+            r = jnp.sign(ins[0])
         elif t == "Sqrt":
             r = jnp.sqrt(ins[0])
         elif t == "Reciprocal":

@@ -23,9 +23,8 @@ RESULTS = Path(__file__).parent / ".sweep_results.json"
 
 
 def _classify_all():
-    import yaml
-
     from ultralytics_pro_tpu.nn.tasks import parse_model
+    from ultralytics_pro_tpu.utils import yaml_load
 
     ref_names = reference_defined_names()
     files = sorted(REF_MODELS.rglob("*.yaml"))
@@ -33,7 +32,7 @@ def _classify_all():
     for p in files:
         rel = str(p.relative_to(REF_MODELS))
         try:
-            d = yaml.safe_load(p.read_text(encoding="utf-8", errors="ignore"))
+            d = yaml_load(p)  # lenient: repairs the 32 syntax-broken files
         except Exception:
             invalid.append(rel)
             continue

@@ -46,10 +46,11 @@ def reference_defined_names():
 
 
 def load_yaml(path: Path):
-    import yaml
+    # package loader: includes the lenient repair pass for the 32 reference
+    # yamls whose own stock parser rejects them (trailing commas/tabs)
+    from ultralytics_pro_tpu.utils import yaml_load
 
-    txt = path.read_text(encoding="utf-8", errors="ignore")
-    return yaml.safe_load(txt)
+    return yaml_load(path)
 
 
 def try_build(d: dict):

@@ -79,11 +79,36 @@ class IterableSimpleNamespace(SimpleNamespace):
         return getattr(self, key, default)
 
 
+def _lenient_yaml_fixes(text: str) -> str:
+    """Repair the syntax slips found across the reference's model-yaml tree
+    (32 files stock pyyaml rejects): trailing commas after flow sequences
+    (with or without trailing comments), literal tabs, and a missing comma
+    between a module name and its args list."""
+    import re
+
+    t = text.replace("\t", "  ")
+    t = re.sub(r",\s*\]", "]", t)
+    # stray comma after a block-style row's closing bracket (only `- [...]`,
+    # rows — flow-style multi-line lists NEED their separators)
+    t = re.sub(r"^(\s*- .*\]),\s*(#.*)?$",
+               lambda m: m.group(1) + " " + (m.group(2) or ""), t, flags=re.M)
+    t = re.sub(r",\s*(\w+) (\[)", r", \1, \2", t)  # 'Name [args' -> 'Name, [args'
+    return t
+
+
 def yaml_load(file, append_filename: bool = False) -> dict:
-    """Load a YAML file to dict (utf-8, ignores non-serializable)."""
+    """Load a YAML file to dict (utf-8, ignores non-serializable). Files the
+    stock parser rejects get one lenient retry (the reference tree ships 32
+    model yamls with trailing commas/tabs that its own loader cannot read)."""
     path = Path(file)
     with open(path, errors="ignore", encoding="utf-8") as f:
-        data = yaml.safe_load(f.read()) or {}
+        text = f.read()
+    try:
+        data = yaml.safe_load(text) or {}
+    except yaml.YAMLError:
+        data = yaml.safe_load(_lenient_yaml_fixes(text)) or {}
+        LOGGER.warning(f"{path}: invalid YAML repaired by the lenient loader "
+                       "(trailing commas/tabs)")
     if append_filename:
         data["yaml_file"] = str(path)
     return data

@@ -62,3 +62,20 @@ def test_overfit_convergence(synth_data, tmp_path):
     # box loss specifically must fall (regression catches dead-assigner bugs)
     box = [e.get("box", 0.0) for e in hist]
     assert np.mean(box[-3:]) < np.mean(box[:3])
+
+
+def test_remat_train_step(tmp_path):
+    """remat=True (jax.checkpoint rematerialization) trains identically-shaped
+    steps with finite losses — the memory/FLOPs trade for large batches."""
+    import numpy as np
+
+    from ultralytics_pro_tpu import YOLO
+    from ultralytics_pro_tpu.data.synth import make_synth_dataset
+
+    data_yaml = make_synth_dataset(tmp_path / "d", n_images=8, imgsz=96, nc=3, seed=0)
+    model = YOLO("yolov8n.yaml")
+    model.train(data=str(data_yaml), epochs=1, imgsz=96, batch=4, workers=2,
+                remat=True, warmup_epochs=0.0, val=False, plots=False, mosaic=0.0,
+                project=str(tmp_path / "runs"))
+    losses = model.trainer.loss_history[-1]
+    assert all(np.isfinite(v) for v in losses.values()), losses

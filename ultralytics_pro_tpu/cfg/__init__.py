@@ -63,6 +63,7 @@ CFG_FRACTION_KEYS = {
 CFG_INT_KEYS = {"epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio",
                 "max_det", "vid_stride", "line_width", "nbs", "save_period", "max_gt"}
 CFG_BOOL_KEYS = {
+    "remat",
     "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr",
     "overlap_mask", "val", "save_json", "half", "dnn", "plots", "show", "save_txt",
     "save_conf", "save_crop", "save_frames", "show_labels", "show_conf", "visualize",

@@ -153,15 +153,27 @@ class BaseTrainer(CallbackMixin):
         clip = self.max_grad_norm
         labels = None  # built lazily from params
 
+        use_remat = bool(self.args.get("remat", False))
+
         def loss_fn(params, batch_stats, batch):
             img = batch["img"]
             # BGR->RGB flip is a 3-channel concept; multispectral bands keep order
             x = (img[..., ::-1] if img.shape[-1] == 3 else img).astype(jnp.float32) / 255.0
             extra = {"txt_feats": batch["prompts"]} if "prompts" in batch else {}
-            preds, updates = module.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=True,
-                mutable=["batch_stats"], dn=batch.get("dn"), **extra,
-            )
+
+            def fwd(params, x):
+                return module.apply(
+                    {"params": params, "batch_stats": batch_stats}, x, train=True,
+                    mutable=["batch_stats"], dn=batch.get("dn"), **extra,
+                )
+
+            if use_remat:
+                # trade FLOPs for HBM: recompute activations in the backward
+                # pass, keeping only matmul/conv outputs (`remat=True` arg;
+                # lets batch sizes ~2x on memory-bound configs)
+                fwd = jax.checkpoint(
+                    fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            preds, updates = fwd(params, x)
             # imgsz from the batch: multi-scale resizes on device, and each
             # distinct size is its own jit specialization (a small fixed set)
             total, parts = criterion(preds, batch, (x.shape[1], x.shape[2]))

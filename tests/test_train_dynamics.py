@@ -79,3 +79,31 @@ def test_remat_train_step(tmp_path):
                 project=str(tmp_path / "runs"))
     losses = model.trainer.loss_history[-1]
     assert all(np.isfinite(v) for v in losses.values()), losses
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """ckpt_format=orbax writes sharded Orbax state + meta and restores to
+    the same pytree (SURVEY §5.4 production path)."""
+    import numpy as np
+
+    from ultralytics_pro_tpu import YOLO
+    from ultralytics_pro_tpu.data.synth import make_synth_dataset
+    from ultralytics_pro_tpu.engine.trainer import BaseTrainer
+
+    data_yaml = make_synth_dataset(tmp_path / "d", n_images=8, imgsz=96, nc=3, seed=0)
+    model = YOLO("yolov8n.yaml")
+    model.train(data=str(data_yaml), epochs=1, imgsz=96, batch=4, workers=2,
+                ckpt_format="orbax", warmup_epochs=0.0, val=False, plots=False,
+                mosaic=0.0, project=str(tmp_path / "runs"))
+    last = list((tmp_path / "runs").rglob("last.orbax"))
+    assert last, "orbax checkpoint not written"
+    restored = BaseTrainer.load_orbax(last[0])
+    assert "params" in restored and "ema" in restored
+    p0 = model.model.variables["params"]
+    import jax
+
+    leaves_a = jax.tree.leaves(restored["params"])
+    leaves_b = jax.tree.leaves(p0)
+    assert len(leaves_a) == len(leaves_b)
+    assert all(np.asarray(a).shape == np.asarray(b).shape
+               for a, b in zip(leaves_a, leaves_b))

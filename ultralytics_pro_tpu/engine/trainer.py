@@ -450,6 +450,15 @@ class BaseTrainer(CallbackMixin):
         from ultralytics_pro_tpu.utils.git import GIT
 
         ckpt.update(GIT(Path(__file__).parent).as_dict())
+        if str(self.args.get("ckpt_format", "pickle")) == "orbax":
+            # production multi-host path (SURVEY §5.4): Orbax writes each
+            # array shard from its owning host — required on real pods where
+            # no single host holds the full state
+            self._save_orbax(self.wdir / "last.orbax", ckpt)
+            if fitness is not None and fitness >= self.best_fitness:
+                self.best_fitness = fitness
+                self._save_orbax(self.wdir / "best.orbax", ckpt)
+            return
         save_pickle(self.wdir / "last.ckpt", ckpt)
         if fitness is not None and fitness >= self.best_fitness:
             self.best_fitness = fitness
@@ -457,6 +466,36 @@ class BaseTrainer(CallbackMixin):
         sp = int(self.args.get("save_period") or -1)
         if sp > 0 and (epoch + 1) % sp == 0:
             save_pickle(self.wdir / f"epoch{epoch + 1}.ckpt", ckpt)
+
+    def _save_orbax(self, path, ckpt):
+        import orbax.checkpoint as ocp
+
+        trees = {k: ckpt[k] for k in ("params", "batch_stats", "ema", "momentum_buffer")}
+        meta = {k: v for k, v in ckpt.items()
+                if k not in trees and isinstance(v, (int, float, str, bool, dict, type(None)))}
+        path = Path(path).resolve()
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path / "state", trees)
+        import json as _json
+
+        (path / "meta.json").write_text(_json.dumps(meta, default=str))
+
+    @staticmethod
+    def load_orbax(path):
+        """Restore an Orbax checkpoint dir written by _save_orbax."""
+        import json as _json
+
+        import orbax.checkpoint as ocp
+
+        path = Path(path).resolve()
+        with ocp.StandardCheckpointer() as ckptr:
+            trees = ckptr.restore(path / "state")
+        meta = _json.loads((path / "meta.json").read_text())
+        return {**meta, **trees}
 
     def resume_from(self, ckpt_path):
         ckpt = load_pickle(ckpt_path)

@@ -95,10 +95,45 @@ def _stub_callable(*args, **kwargs):
     return _stub_callable
 
 
+def _to_ntuple(n):
+    def to_tuple(x):
+        return tuple(x) if isinstance(x, (list, tuple)) else (x,) * n
+    return to_tuple
+
+
+class _DropPath(torch.nn.Module):
+    """Real timm DropPath semantics: identity at eval / p=0 (the reference
+    backbones are only ever exercised at eval in the parity tests)."""
+
+    def __init__(self, drop_prob=0.0, *a, **k):
+        super().__init__()
+        self.drop_prob = float(drop_prob or 0.0)
+
+    def forward(self, x):
+        if self.drop_prob == 0.0 or not self.training:
+            return x
+        keep = 1 - self.drop_prob
+        mask = torch.rand((x.shape[0],) + (1,) * (x.ndim - 1), device=x.device) < keep
+        return x * mask / keep
+
+
+# functional (not Mock) implementations for the handful of timm helpers the
+# backbone files actually execute at construction/forward time
+_REAL_STUBS = {
+    "to_2tuple": _to_ntuple(2), "to_3tuple": _to_ntuple(3), "to_4tuple": _to_ntuple(4),
+    "to_ntuple": _to_ntuple, "DropPath": _DropPath,
+    "trunc_normal_": lambda t, *a, **k: torch.nn.init.normal_(t, std=k.get("std", 0.02))
+    if hasattr(t, "normal_") else t,
+}
+
+
 class _StubModule(types.ModuleType):
     def __getattr__(self, name):
         if name.startswith("__") and name.endswith("__"):
             raise AttributeError(name)
+        if name in _REAL_STUBS:
+            setattr(self, name, _REAL_STUBS[name])
+            return _REAL_STUBS[name]
         if name[:1].isupper():
             meta = type(f"_{name}Meta", (type(torch.nn.Module),), {"__getattr__": lambda cls, n: _stub_callable})
             cls = meta(name, (torch.nn.Module,), {"__init__": lambda self, *a, **k: torch.nn.Module.__init__(self)})

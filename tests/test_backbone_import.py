@@ -1,0 +1,161 @@
+"""Backbone pretrained-weight import parity (VERDICT r2 row 23 residual).
+
+Instantiates the REFERENCE torch backbones (ConvNeXtV2_backbone.py,
+ConvNeXtV1.py, FasterNet.py, SwinTransformer_backbone.py) with random
+weights, imports their state_dicts through nn/modules/backbone_import.py,
+and asserts our flax/NHWC backbones reproduce every stage feature map —
+proving a user can drop an official checkpoint into a yaml-swapped backbone.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_path():
+    import tests.fixtures.gen_fixtures  # noqa: F401  (stub finder + /root/reference path)
+    return None
+
+
+def _stage_outs_torch(mod, x_nchw):
+    import torch
+
+    mod.eval()
+    with torch.no_grad():
+        outs = mod(torch.from_numpy(x_nchw))
+    return [o.numpy().transpose(0, 2, 3, 1) for o in outs]
+
+
+def _assert_close(ours, theirs, tol=5e-4):
+    assert len(ours) == len(theirs)
+    for i, (a, b) in enumerate(zip(ours, theirs)):
+        a = np.asarray(a, np.float32)
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-8)
+        assert err < tol, f"stage {i}: rel err {err}"
+
+
+def test_convnextv2_import_parity():
+    from ultralytics.nn.modules.ConvNeXtV2_backbone import ConvNeXtV2
+
+    import jax.numpy as jnp
+
+    import jax
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import convnext_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones import ConvNeXt
+
+    torch.manual_seed(3)
+    ref = ConvNeXtV2(factor=1.0, depths=[1, 1, 2, 1], dims=[16, 32, 64, 128])
+    # give GRN + norms non-trivial values (init is zeros/ones)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+
+    x = np.random.default_rng(0).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+
+    m = ConvNeXt(depths=(1, 1, 2, 1), dims=(16, 32, 64, 128), grn=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = convnext_state_dict_to_flax(v, sd, strict=True)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs)
+
+
+def test_convnextv1_import_parity():
+    from ultralytics.nn.modules.ConvNeXtV1 import ConvNeXt as RefConvNeXt
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import convnext_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones import ConvNeXt
+
+    torch.manual_seed(4)
+    ref = RefConvNeXt(num_classes=0, depths=[1, 1, 2, 1], dims=[16, 32, 64, 128],
+                      input_image_size=64)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+
+    x = np.random.default_rng(1).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+
+    m = ConvNeXt(depths=(1, 1, 2, 1), dims=(16, 32, 64, 128), grn=False)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = convnext_state_dict_to_flax(v, sd, strict=True)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs)
+
+
+def test_fasternet_import_parity():
+    from ultralytics.nn.modules.FasterNet import FasterNet as RefFasterNet
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import fasternet_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones2 import FasterNet
+
+    torch.manual_seed(5)
+    ref = RefFasterNet(embed_dim=16, depths=(1, 2, 2, 2), mlp_ratio=2.0, n_div=4,
+                       drop_path_rate=0.0, layer_scale_init_value=0,
+                       norm_layer="BN", act_layer="GELU")
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+        for n, b in ref.named_buffers():
+            if n.endswith("running_var"):
+                b.mul_(torch.rand_like(b) * 0.5 + 0.75)
+            elif n.endswith("running_mean"):
+                b.add_(torch.randn_like(b) * 0.1)
+
+    x = np.random.default_rng(2).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+
+    m = FasterNet(depths=(1, 2, 2, 2), dims=(16, 32, 64, 128), act="gelu")
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = fasternet_state_dict_to_flax(v, sd, strict=True)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    _assert_close(ours, theirs)
+
+
+def test_swin_import_parity():
+    from ultralytics.nn.modules.SwinTransformer_backbone import SwinTransformer as RefSwin
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import swin_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones import SwinTransformer
+
+    torch.manual_seed(6)
+    ref = RefSwin(embed_dim=24, depths=[2, 2, 2, 2], num_heads=[3, 6, 12, 24],
+                  window_size=7, drop_path_rate=0.0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+
+    # 96px input -> stage-0 resolution 24x24 (pads to 28 for window 7) with
+    # shifted blocks active at every level that has >1 window
+    x = np.random.default_rng(3).normal(0, 1, (2, 3, 96, 96)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+
+    m = SwinTransformer(depths=(2, 2, 2, 2), dims=(24, 48, 96, 192),
+                        heads=(3, 6, 12, 24), window=7)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = swin_state_dict_to_flax(v, sd, strict=True)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=5e-4)

@@ -1,0 +1,308 @@
+"""Pretrained-weight import for the whole-backbone zoo (VERDICT r2 row 23
+residual: "per-family backbone weight import still open").
+
+Maps torch state_dicts from the reference's community backbone files onto this
+repo's flax/NHWC backbone param trees, so a user can drop an official
+checkpoint (ConvNeXt(V2), FasterNet, Swin) into a yaml-swapped backbone and
+get the published features. Families covered:
+
+- ConvNeXt V1/V2    (reference ConvNeXtV1.py:56 / ConvNeXtV2_backbone.py:82)
+- FasterNet         (reference FasterNet.py:169)
+- SwinTransformer   (reference SwinTransformer_backbone.py)
+
+Conventions (shared with models/sam/import_weights.py):
+- conv weights OIHW -> HWIO; depthwise (C,1,kh,kw) -> (kh,kw,1,C)
+- linear weights transposed (out,in) -> (in,out)
+- torch LayerNorm weight/bias -> flax scale/bias
+- torch BatchNorm weight/bias -> params scale/bias; running stats -> batch_stats
+
+Each mapper takes the module's own `variables` (as returned by `m.init`) and
+the torch state_dict, and returns updated variables. `strict=True` asserts
+every flax leaf was written. Parity tests: tests/test_backbone_import.py
+instantiates the REFERENCE torch modules with random weights and asserts our
+forward reproduces every stage feature map.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+__all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
+           "swin_state_dict_to_flax", "load_backbone_checkpoint"]
+
+
+def _conv_w(w):
+    w = np.asarray(w, np.float32)
+    if w.ndim == 4 and w.shape[1] == 1 and w.shape[0] > 1:  # depthwise OIHW
+        return w.transpose(2, 3, 1, 0)
+    return w.transpose(2, 3, 1, 0)
+
+
+def _set(tree, path, value, written):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    old = node[path[-1]]
+    value = np.asarray(value, np.float32)
+    if tuple(old.shape) != tuple(value.shape):
+        raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                         f"flax {tuple(old.shape)} vs torch {tuple(value.shape)}")
+    node[path[-1]] = value.astype(np.float32)
+    written.add(tuple(path))
+
+
+def _unwritten(variables, written, ignore_collections=()):
+    import jax
+
+    missing = []
+    for kp, _ in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        names = tuple(str(getattr(k, "key", getattr(k, "idx", ""))) for k in kp)
+        if names[0] in ignore_collections:
+            continue
+        if names not in written:
+            missing.append("/".join(names))
+    return missing
+
+
+def _deep_dict(t):
+    if isinstance(t, dict) or hasattr(t, "items"):
+        return {k: _deep_dict(v) for k, v in t.items()}
+    return np.asarray(t)
+
+
+def _bn_entries(tree, params_path, stats_path, sd, tkey, written):
+    """Write one torch BatchNorm (weight/bias/running_mean/running_var)."""
+    _set(tree, ["params", *params_path, "scale"], sd[f"{tkey}.weight"], written)
+    _set(tree, ["params", *params_path, "bias"], sd[f"{tkey}.bias"], written)
+    _set(tree, ["batch_stats", *stats_path, "mean"], sd[f"{tkey}.running_mean"], written)
+    _set(tree, ["batch_stats", *stats_path, "var"], sd[f"{tkey}.running_var"], written)
+
+
+def convnext_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """ConvNeXt V1 (layer-scale gamma) and V2 (GRN) backbones.
+
+    Torch layout (reference ConvNeXtV2_backbone.py:82): downsample_layers.{0..3}
+    (stem = conv+LN; others LN+conv), stages.{s}.{b}.{dwconv,norm,pwconv1,
+    [grn,]pwconv2[,gamma]}; final `norm`/`head` (classification-only) ignored.
+    """
+    tree = _deep_dict(variables)
+    written = set()
+    for tkey, w in sd.items():
+        w = np.asarray(w, np.float32)
+        m = re.match(r"downsample_layers\.(\d+)\.(\d+)\.(weight|bias)$", tkey)
+        if m:
+            s, idx, leaf = int(m.group(1)), int(m.group(2)), m.group(3)
+            if s == 0:
+                if idx == 0:  # stem conv
+                    _set(tree, ["params", "stem", "kernel" if leaf == "weight" else "bias"],
+                         _conv_w(w) if leaf == "weight" else w, written)
+                else:  # stem LN
+                    _set(tree, ["params", "stem_norm", "scale" if leaf == "weight" else "bias"],
+                         w, written)
+            else:
+                if idx == 0:  # LN before downsample conv
+                    _set(tree, ["params", f"down_norm_{s}", "scale" if leaf == "weight" else "bias"],
+                         w, written)
+                else:
+                    _set(tree, ["params", f"down_{s}", "kernel" if leaf == "weight" else "bias"],
+                         _conv_w(w) if leaf == "weight" else w, written)
+            continue
+        m = re.match(r"stages\.(\d+)\.(\d+)\.(.+)$", tkey)
+        if m:
+            s, b, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            blk = ["params", f"s{s}_b{b}"]
+            if rest == "dwconv.weight":
+                _set(tree, [*blk, "dwconv", "kernel"], _conv_w(w), written)
+            elif rest == "dwconv.bias":
+                _set(tree, [*blk, "dwconv", "bias"], w, written)
+            elif rest in ("norm.weight", "norm.bias"):
+                _set(tree, [*blk, "norm", "scale" if rest.endswith("weight") else "bias"],
+                     w, written)
+            elif rest in ("pwconv1.weight", "pwconv2.weight"):
+                _set(tree, [*blk, rest.split(".")[0], "kernel"], w.T, written)
+            elif rest in ("pwconv1.bias", "pwconv2.bias"):
+                _set(tree, [*blk, rest.split(".")[0], "bias"], w, written)
+            elif rest == "gamma":  # V1 layer scale
+                _set(tree, [*blk, "gamma"], w.reshape(-1), written)
+            elif rest == "grn.gamma":  # V2 GRN (1,1,1,4d)
+                _set(tree, [*blk, "grn_gamma"], w.reshape(-1), written)
+            elif rest == "grn.beta":
+                _set(tree, [*blk, "grn_beta"], w.reshape(-1), written)
+            elif strict:
+                raise KeyError(f"unmapped ConvNeXt block key {tkey}")
+            continue
+        # final norm/head: classification leftovers, not part of the backbone
+        if not re.match(r"(norm\.|head\.)", tkey) and strict:
+            raise KeyError(f"unmapped ConvNeXt key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
+def fasternet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """FasterNet (reference FasterNet.py:169): patch_embed (conv+BN),
+    stages = Sequential interleaving BasicStage (even idx) / PatchMerging
+    (odd idx), per-output BNs norm0/2/4/6."""
+    tree = _deep_dict(variables)
+    written = set()
+    done_bn = set()
+    for tkey, w in sd.items():
+        if tkey.endswith("num_batches_tracked"):
+            continue
+        w = np.asarray(w, np.float32)
+        if tkey == "patch_embed.proj.weight":
+            _set(tree, ["params", "stem", "kernel"], _conv_w(w), written)
+            continue
+        if tkey.startswith("patch_embed.norm."):
+            if "patch_embed.norm" not in done_bn:
+                _bn_entries(tree, ["stem_bn"], ["stem_bn"], sd, "patch_embed.norm", written)
+                done_bn.add("patch_embed.norm")
+            continue
+        m = re.match(r"norm(\d+)\.", tkey)
+        if m:
+            s = int(m.group(1)) // 2
+            key = f"norm{m.group(1)}"
+            if key not in done_bn:
+                _bn_entries(tree, [f"out_bn{s}"], [f"out_bn{s}"], sd, key, written)
+                done_bn.add(key)
+            continue
+        m = re.match(r"stages\.(\d+)\.(.+)$", tkey)
+        if m:
+            idx, rest = int(m.group(1)), m.group(2)
+            if idx % 2 == 1:  # PatchMerging -> merge{s}
+                s = idx // 2 + 1
+                if rest == "reduction.weight":
+                    _set(tree, ["params", f"merge{s}", "kernel"], _conv_w(w), written)
+                elif rest.startswith("norm."):
+                    key = f"stages.{idx}.norm"
+                    if key not in done_bn:
+                        _bn_entries(tree, [f"merge{s}_bn"], [f"merge{s}_bn"], sd, key, written)
+                        done_bn.add(key)
+                elif strict:
+                    raise KeyError(f"unmapped FasterNet merge key {tkey}")
+                continue
+            s = idx // 2
+            m2 = re.match(r"blocks\.(\d+)\.(.+)$", rest)
+            if not m2:
+                if strict:
+                    raise KeyError(f"unmapped FasterNet stage key {tkey}")
+                continue
+            b, leafpath = int(m2.group(1)), m2.group(2)
+            blk = f"s{s}_b{b}"
+            if leafpath == "spatial_mixing.partial_conv3.weight":
+                _set(tree, ["params", blk, "pconv", "kernel"], _conv_w(w), written)
+            elif leafpath == "mlp.0.weight":
+                _set(tree, ["params", blk, "fc1", "kernel"], _conv_w(w), written)
+            elif leafpath.startswith("mlp.1."):
+                key = f"stages.{idx}.blocks.{b}.mlp.1"
+                if key not in done_bn:
+                    _bn_entries(tree, [blk, "bn"], [blk, "bn"], sd, key, written)
+                    done_bn.add(key)
+            elif leafpath == "mlp.3.weight":
+                _set(tree, ["params", blk, "fc2", "kernel"], _conv_w(w), written)
+            elif strict:
+                raise KeyError(f"unmapped FasterNet block key {tkey}")
+            continue
+        if strict and not tkey.startswith(("head.", "avgpool")):
+            raise KeyError(f"unmapped FasterNet key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
+def swin_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """SwinTransformer backbone (reference SwinTransformer_backbone.py:444):
+    patch_embed conv+LN, layers.{s}.blocks.{b} W-MSA/SW-MSA (fused qkv,
+    relative_position_bias_table) + mlp, layers.{s}.downsample PatchMerging
+    (4C->2C linear + LN, feeding stage s+1), per-output norms norm{0..3}.
+    ape (absolute position embedding) is unsupported — raises if present."""
+    tree = _deep_dict(variables)
+    written = set()
+    LN = {"weight": "scale", "bias": "bias"}
+    for tkey, w in sd.items():
+        if tkey.endswith(("relative_position_index", "attn_mask")):
+            continue
+        if "absolute_pos_embed" in tkey:
+            raise NotImplementedError("ape=True Swin checkpoints are not supported")
+        w = np.asarray(w, np.float32)
+        if tkey == "patch_embed.proj.weight":
+            _set(tree, ["params", "patch_embed", "kernel"], _conv_w(w), written)
+            continue
+        if tkey == "patch_embed.proj.bias":
+            _set(tree, ["params", "patch_embed", "bias"], w, written)
+            continue
+        m = re.match(r"patch_embed\.norm\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", "patch_norm", LN[m.group(1)]], w, written)
+            continue
+        m = re.match(r"norm(\d+)\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", f"out_norm_{m.group(1)}", LN[m.group(2)]], w, written)
+            continue
+        m = re.match(r"layers\.(\d+)\.downsample\.(.+)$", tkey)
+        if m:
+            s, rest = int(m.group(1)) + 1, m.group(2)  # feeds our stage s+1 prologue
+            if rest == "reduction.weight":
+                _set(tree, ["params", f"merge_{s}", "kernel"], w.T, written)
+            elif rest in ("norm.weight", "norm.bias"):
+                _set(tree, ["params", f"merge_norm_{s}", LN[rest.split(".")[1]]], w, written)
+            elif strict:
+                raise KeyError(f"unmapped Swin downsample key {tkey}")
+            continue
+        m = re.match(r"layers\.(\d+)\.blocks\.(\d+)\.(.+)$", tkey)
+        if m:
+            s, b, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            blk = ["params", f"s{s}_b{b}"]
+            if rest in ("norm1.weight", "norm1.bias", "norm2.weight", "norm2.bias"):
+                mod, leaf = rest.split(".")
+                _set(tree, [*blk, mod, LN[leaf]], w, written)
+            elif rest == "attn.qkv.weight":
+                _set(tree, [*blk, "qkv", "kernel"], w.T, written)
+            elif rest == "attn.qkv.bias":
+                _set(tree, [*blk, "qkv", "bias"], w, written)
+            elif rest == "attn.relative_position_bias_table":
+                _set(tree, [*blk, "rel_bias"], w, written)
+            elif rest == "attn.proj.weight":
+                _set(tree, [*blk, "proj", "kernel"], w.T, written)
+            elif rest == "attn.proj.bias":
+                _set(tree, [*blk, "proj", "bias"], w, written)
+            elif rest in ("mlp.fc1.weight", "mlp.fc2.weight"):
+                _set(tree, [*blk, rest.split(".")[1], "kernel"], w.T, written)
+            elif rest in ("mlp.fc1.bias", "mlp.fc2.bias"):
+                _set(tree, [*blk, rest.split(".")[1], "bias"], w, written)
+            elif strict:
+                raise KeyError(f"unmapped Swin block key {tkey}")
+            continue
+        if strict and not tkey.startswith(("head.", "avgpool")):
+            raise KeyError(f"unmapped Swin key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
+def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
+    """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
+    local .pt path (loaded dependency-free via tools/convert_pt.py) or an
+    already-extracted {key: ndarray} state_dict."""
+    if isinstance(path_or_sd, (str, bytes)) or hasattr(path_or_sd, "read_bytes"):
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "convert_pt", os.path.join(os.path.dirname(__file__), "..", "..", "..",
+                                       "tools", "convert_pt.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        obj = mod.load_pt(path_or_sd)
+        sd = mod.extract_state_dict(obj)
+    else:
+        sd = path_or_sd
+    fn = {"convnext": convnext_state_dict_to_flax,
+          "fasternet": fasternet_state_dict_to_flax,
+          "swin": swin_state_dict_to_flax}[family]
+    return fn(variables, sd, strict=strict)

@@ -29,10 +29,15 @@ from ultralytics_pro_tpu.nn.modules.conv import Conv, ConvBase
 
 # ------------------------------------------------------------- ConvNeXt ----
 class ConvNeXtBlock(ConvBase):
-    """dw7x7 -> LN -> pw(4x) -> GELU -> pw -> layer-scale -> residual."""
+    """dw7x7 -> LN -> pw(4x) -> GELU -> [GRN] -> pw -> [layer-scale] -> residual.
+
+    grn=False is the V1 block (reference ConvNeXtV1.py:15, layer-scale gamma);
+    grn=True is the V2 block (reference ConvNeXtV2_backbone.py:50, GRN on the
+    4x hidden channels, no layer scale)."""
 
     dim: int = 96
     ls_init: float = 1e-6
+    grn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,16 +46,30 @@ class ConvNeXtBlock(ConvBase):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
         y = jax.nn.gelu(y)
+        if self.grn:
+            # global response normalization (reference ConvNeXtV2_backbone.py:36):
+            # Gx = ||y||_2 over space; Nx = Gx / mean_c(Gx); y = g*(y*Nx)+b+y
+            g = self.param("grn_gamma", nn.initializers.zeros, (4 * self.dim,))
+            b = self.param("grn_beta", nn.initializers.zeros, (4 * self.dim,))
+            gx = jnp.sqrt(jnp.sum(jnp.square(y.astype(jnp.float32)), axis=(1, 2),
+                                  keepdims=True))
+            nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+            y = (g * (y * nx.astype(y.dtype)) + b + y).astype(y.dtype)
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
-        gamma = self.param("gamma", nn.initializers.constant(self.ls_init), (self.dim,))
-        return x + y * gamma
+        if not self.grn:
+            gamma = self.param("gamma", nn.initializers.constant(self.ls_init), (self.dim,))
+            y = y * gamma
+        return x + y
 
 
 class ConvNeXt(ConvBase):
-    """ConvNeXt backbone (tiny by default: depths 3/3/9/3, dims 96..768)."""
+    """ConvNeXt backbone (tiny by default: depths 3/3/9/3, dims 96..768).
+
+    grn=True gives ConvNeXtV2 stages (reference ConvNeXtV2_backbone.py:82)."""
 
     depths: Tuple[int, ...] = (3, 3, 9, 3)
     dims: Tuple[int, ...] = (96, 192, 384, 768)
+    grn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -64,7 +83,8 @@ class ConvNeXt(ConvBase):
                 x = nn.Conv(self.dims[s], (2, 2), strides=(2, 2), dtype=self.dtype,
                             name=f"down_{s}")(x)
             for b in range(self.depths[s]):
-                x = ConvNeXtBlock(dim=self.dims[s], dtype=self.dtype, name=f"s{s}_b{b}")(x, train)
+                x = ConvNeXtBlock(dim=self.dims[s], grn=self.grn, dtype=self.dtype,
+                                  name=f"s{s}_b{b}")(x, train)
             outs.append(x)
         return outs
 
@@ -125,7 +145,9 @@ class SwinBlock(ConvBase):
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = jnp.pad(y, ((0, 0), (0, ph), (0, pw), (0, 0)))
         hp, wp = h + ph, wd + pw
-        shift = self.shift if min(hp, wp) > w else 0
+        # reference SwinTransformer_backbone.py:216 shifts odd blocks at EVERY
+        # resolution (mask handles the single-window case) — no min(H,W) gate
+        shift = self.shift
         if shift:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         win = _window_partition(y, w)  # (B*nw, w*w, c)
@@ -344,8 +366,10 @@ class EfficientViT(ConvBase):
 # builder-facing aliases matching the reference export names
 BACKBONE_VARIANTS = {
     # reference convnextv2.py exports
-    "convnextv2_atto": (ConvNeXt, (("depths", (2, 2, 6, 2)), ("dims", (40, 80, 160, 320)))),
-    "convnextv2_nano": (ConvNeXt, (("depths", (2, 2, 8, 2)), ("dims", (80, 160, 320, 640)))),
+    "convnextv2_atto": (ConvNeXt, (("depths", (2, 2, 6, 2)), ("dims", (40, 80, 160, 320)),
+                                   ("grn", True))),
+    "convnextv2_nano": (ConvNeXt, (("depths", (2, 2, 8, 2)), ("dims", (80, 160, 320, 640)),
+                                   ("grn", True))),
     "convnext_tiny": (ConvNeXt, (("depths", (3, 3, 9, 3)), ("dims", (96, 192, 384, 768)))),
     # reference SwinTransformer.py exports
     "SwinTransformer_Tiny": (SwinTransformer, ()),

@@ -16,12 +16,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ultralytics_pro_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM, Conv, ConvBase, DWConv
+from ultralytics_pro_tpu.nn.modules.conv import BN_MOMENTUM, Conv, ConvBase, DWConv
 
 
 def _bn(mod, name, x, train):
+    # torch nn.BatchNorm2d default eps=1e-5 (the community backbones use plain
+    # BatchNorm2d, unlike the YOLO Conv's eps=1e-3) — required for pretrained
+    # weight-import parity (tests/test_backbone_import.py)
     return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                        use_fast_variance=False, epsilon=BN_EPS, dtype=mod.dtype,
+                        use_fast_variance=False, epsilon=1e-5, dtype=mod.dtype,
                         name=name, parent=mod)(x)
 
 
@@ -130,6 +133,7 @@ class PConvBlock(ConvBase):
 
     dim: int = 0
     e: float = 2.0
+    act: str = "relu"  # t0/t1 use GELU, t2/s/m/l RELU (reference FasterNet.py:298,342)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -141,7 +145,8 @@ class PConvBlock(ConvBase):
         y = jnp.concatenate([xa, xb], -1)
         h = int(d * self.e)
         y2 = nn.Conv(h, (1, 1), use_bias=False, dtype=self.dtype, name="fc1")(y)
-        y2 = jax.nn.relu(_bn(self, "bn", y2, train))
+        y2 = _bn(self, "bn", y2, train)
+        y2 = jax.nn.gelu(y2, approximate=False) if self.act == "gelu" else jax.nn.relu(y2)
         y2 = nn.Conv(d, (1, 1), use_bias=False, dtype=self.dtype, name="fc2")(y2)
         return x + y2
 
@@ -149,6 +154,7 @@ class PConvBlock(ConvBase):
 class FasterNet(ConvBase):
     depths: Sequence[int] = (1, 2, 8, 2)
     dims: Sequence[int] = (40, 80, 160, 320)
+    act: str = "gelu"  # t0/t1 default; t2+ override to relu
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -162,8 +168,11 @@ class FasterNet(ConvBase):
                             dtype=self.dtype, name=f"merge{s}")(x)
                 x = _bn(self, f"merge{s}_bn", x, train)
             for b in range(self.depths[s]):
-                x = PConvBlock(dim=self.dims[s], dtype=self.dtype, name=f"s{s}_b{b}")(x, train)
-            outs.append(x)
+                x = PConvBlock(dim=self.dims[s], act=self.act, dtype=self.dtype,
+                               name=f"s{s}_b{b}")(x, train)
+            # per-output norm (reference FasterNet.py:252 norm0/2/4/6) — identity
+            # at init (BN eval with mean 0 / var 1), carries pretrained stats
+            outs.append(_bn(self, f"out_bn{s}", x, train))
         return outs
 
 

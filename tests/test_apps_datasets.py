@@ -205,6 +205,7 @@ def test_grayscale_dataset_loads_luminance(tmp_path):
     np.testing.assert_array_equal(im[..., 1], im[..., 2])
 
 
+@pytest.mark.slow
 def test_tuner_e2e_two_iterations(tmp_path):
     """Tuner end-to-end: two mutate->train->ledger iterations on coco8."""
     from ultralytics_pro_tpu.engine.tuner import Tuner

@@ -62,6 +62,7 @@ def test_swap_yaml_builds(yaml_name):
     assert y.shape[-1] == 4 + m.nc and bool(jnp.isfinite(y).all()), yaml_name
 
 
+@pytest.mark.slow
 def test_ssm_backbones_four_stages():
     import jax
     import jax.numpy as jnp

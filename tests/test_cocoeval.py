@@ -80,6 +80,7 @@ def test_crowd_gt_not_double_matched():
 
 @pytest.mark.skipif(not os.path.exists(os.path.join(FIXTURES, "val_parity_ref.json")),
                     reason="parity baseline not generated")
+@pytest.mark.slow
 def test_save_json_end_to_end(tmp_path):
     from ultralytics_pro_tpu import YOLO
     from ultralytics_pro_tpu.nn.tasks import yaml_model_load

@@ -33,6 +33,7 @@ def test_segment_e2e(tmp_path):
     assert r.boxes is not None
 
 
+@pytest.mark.slow
 def test_pose_e2e(tmp_path):
     model, metrics = _run_task("pose", "yolov8n-pose.yaml", tmp_path)
     assert hasattr(metrics, "pose")
@@ -40,6 +41,7 @@ def test_pose_e2e(tmp_path):
     assert "pose" in losses and "kobj" in losses
 
 
+@pytest.mark.slow
 def test_obb_e2e(tmp_path):
     model, metrics = _run_task("obb", "yolov8n-obb.yaml", tmp_path)
     assert np.isfinite(metrics.box.map50)

@@ -113,6 +113,7 @@ def test_yolov7_is_idetect_now():
     assert y["head"][-2][2] == "RepConv_v7"
 
 
+@pytest.mark.slow
 def test_maf_head_family():
     """MAFDetect/-Segment/-Pose/-OBB build + forward (reference head.py:217,
     840, 1276, 1045; VERDICT r2 Next #8)."""

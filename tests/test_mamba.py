@@ -50,6 +50,7 @@ def test_ss2d_and_blocks_forward():
         assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_mamba_yolo_model():
     import jax
     import jax.numpy as jnp

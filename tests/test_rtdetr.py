@@ -61,6 +61,7 @@ def test_detr_loss_finite():
     assert all(np.isfinite(float(v)) for v in parts.values())
 
 
+@pytest.mark.slow
 def test_cdn_denoising_train_path():
     """CDN queries (reference get_cdn_group models/utils/ops.py): construction,
     prepended decoder pass, known-matching dn loss, gradient to the dn embed."""

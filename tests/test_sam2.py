@@ -31,6 +31,7 @@ def test_hiera_stage_shapes():
     assert [o.shape[-1] for o in outs] == [32, 64, 128, 256]
 
 
+@pytest.mark.slow
 def test_sam2_image_prompt_smoke():
     from ultralytics_pro_tpu.models.sam.predict import SAM2Predictor
 

@@ -40,6 +40,7 @@ def test_grad_accumulation_steps(synth_data, tmp_path):
     assert all(np.isfinite(v) for v in losses.values()), losses
 
 
+@pytest.mark.slow
 def test_overfit_convergence(synth_data, tmp_path):
     """Overfit 8 synthetic images: total loss must drop substantially
     (reference-style coco8 sanity). batch == nbs -> accumulate == 1."""

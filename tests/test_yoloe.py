@@ -43,6 +43,7 @@ def test_swiglu_residual_identity_at_init():
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_yoloe_text_and_visual_forward():
     import jax
     import jax.numpy as jnp
@@ -95,6 +96,7 @@ def test_make_visual_prompts():
     assert vp[0, 0, 1, 1] == 1.0  # box center region covered
 
 
+@pytest.mark.slow
 def test_yoloe_train_smoke_text(synth_data, tmp_path):
     """Text-prompt YOLOE e2e train smoke + val produces finite mAP."""
     from ultralytics_pro_tpu import YOLO

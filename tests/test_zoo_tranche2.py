@@ -14,6 +14,7 @@ import pytest
     "yolo11n-slimneck.yaml",
     "yolo11n-bifpn.yaml",
 ])
+@pytest.mark.slow
 def test_tranche2_families_forward(cfg):
     import jax
     import jax.numpy as jnp
@@ -70,6 +71,7 @@ def test_cspstage_dense_aggregation():
     assert y.shape == (1, 8, 8, 64)
 
 
+@pytest.mark.slow
 def test_yolov13_hyperace_forward():
     """v13: HyperACE hypergraph enhancement + FullPAD gated distribution
     (reference block.py:7356,7445; cfg/models/v13/Detect/yolov13.yaml)."""

@@ -1,7 +1,13 @@
 """Per-stage timing of yolov8s @640 bs128 on the real chip (round 2 perf push).
 
-Builds prefix models (backbone truncations terminated by a 1x1 Classify head,
-whose cost is negligible) and times them with the chained-fori method from
+DEPRECATED — superseded by perf_stage_probe2.py. Two measurement bugs inflate
+this probe's early-prefix rows: (1) the Classify-head termination is NOT
+negligible at early-stage resolutions (its 1280-ch 1x1 conv at 160^2 writes
+an 8.4 GB/batch map and dominated the "stem+p2 = 43%" row); (2) the rtt
+calibration timed the trivial fn's own compile. Kept for history.
+
+Builds prefix models (backbone truncations terminated by a 1x1 Classify head)
+and times them with the chained-fori method from
 bench.py. Stage time = difference between successive prefixes. Also times the
 full model with and without decode+NMS.
 

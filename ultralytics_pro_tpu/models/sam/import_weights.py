@@ -139,6 +139,113 @@ def sam_state_dict_to_flax(variables: Dict, sd: Dict[str, np.ndarray], strict: b
     return out
 
 
+def sam2_encoder_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """Import the SAM2 image encoder (Hiera trunk + FPN neck) from an official
+    sam2 checkpoint state_dict into SAM2Model variables.
+
+    Torch layout (reference models/sam/modules/encoders.py:644 Hiera, :504
+    FpnNeck; build.py:216 _build_sam2): image_encoder.trunk.* /
+    image_encoder.neck.convs.{k}.conv.*; the stride-4/8 high-res projections
+    live in the reference decoder as sam_mask_decoder.conv_s0/conv_s1 and map
+    onto our neck's hr0/hr1. Non-encoder keys are ignored. strict asserts
+    every trunk/neck leaf of OUR tree was written (hr0/hr1 only when the
+    checkpoint carries conv_s0/conv_s1)."""
+    import re
+
+    def deep(t):
+        if hasattr(t, "items"):
+            return {k: deep(v) for k, v in t.items()}
+        return np.asarray(t)
+
+    tree = deep(variables)
+    written = set()
+
+    def put(path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node[p]
+        old = node[path[-1]]
+        value = np.asarray(value, np.float32)
+        if tuple(old.shape) != tuple(value.shape):
+            raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                             f"{tuple(old.shape)} vs {tuple(value.shape)}")
+        node[path[-1]] = value
+        written.add(tuple(path))
+
+    LN = {"weight": "scale", "bias": "bias"}
+    for tkey, w in sd.items():
+        k = tkey[6:] if tkey.startswith("model.") else tkey
+        w = np.asarray(w, np.float32)
+        if k == "sam_mask_decoder.conv_s0.weight":
+            put(["params", "neck", "hr0", "kernel"], w.transpose(2, 3, 1, 0))
+            continue
+        if k == "sam_mask_decoder.conv_s0.bias":
+            put(["params", "neck", "hr0", "bias"], w)
+            continue
+        if k == "sam_mask_decoder.conv_s1.weight":
+            put(["params", "neck", "hr1", "kernel"], w.transpose(2, 3, 1, 0))
+            continue
+        if k == "sam_mask_decoder.conv_s1.bias":
+            put(["params", "neck", "hr1", "bias"], w)
+            continue
+        if not k.startswith("image_encoder."):
+            continue
+        k = k[len("image_encoder."):]
+        if k == "trunk.patch_embed.proj.weight":
+            put(["params", "trunk", "patch_embed", "kernel"], w.transpose(2, 3, 1, 0))
+        elif k == "trunk.patch_embed.proj.bias":
+            put(["params", "trunk", "patch_embed", "bias"], w)
+        elif k == "trunk.pos_embed":
+            put(["params", "trunk", "pos_embed"], w.transpose(0, 2, 3, 1))
+        elif k == "trunk.pos_embed_window":
+            put(["params", "trunk", "pos_embed_window"], w.transpose(0, 2, 3, 1))
+        elif (m := re.match(r"trunk\.blocks\.(\d+)\.(.+)$", k)):
+            blk = ["params", "trunk", f"b{m.group(1)}"]
+            rest = m.group(2)
+            if (m2 := re.match(r"(norm1|norm2)\.(weight|bias)$", rest)):
+                put([*blk, m2.group(1), LN[m2.group(2)]], w)
+            elif rest == "attn.qkv.weight":
+                put([*blk, "qkv", "kernel"], w.T)
+            elif rest == "attn.qkv.bias":
+                put([*blk, "qkv", "bias"], w)
+            elif rest == "attn.proj.weight":
+                put([*blk, "attn_proj", "kernel"], w.T)
+            elif rest == "attn.proj.bias":
+                put([*blk, "attn_proj", "bias"], w)
+            elif rest == "proj.weight":
+                put([*blk, "proj", "kernel"], w.T)
+            elif rest == "proj.bias":
+                put([*blk, "proj", "bias"], w)
+            elif (m2 := re.match(r"mlp\.layers\.([01])\.(weight|bias)$", rest)):
+                name = "fc1" if m2.group(1) == "0" else "fc2"
+                put([*blk, name, "kernel" if m2.group(2) == "weight" else "bias"],
+                    w.T if m2.group(2) == "weight" else w)
+            elif strict:
+                raise KeyError(f"unmapped sam2 trunk key {tkey}")
+        elif (m := re.match(r"neck\.convs\.(\d+)\.conv\.(weight|bias)$", k)):
+            put(["params", "neck", f"conv_{m.group(1)}",
+                 "kernel" if m.group(2) == "weight" else "bias"],
+                w.transpose(2, 3, 1, 0) if m.group(2) == "weight" else w)
+        elif strict and not k.startswith("neck.position_encoding"):
+            raise KeyError(f"unmapped sam2 image_encoder key {tkey}")
+
+    if strict:
+        import jax
+
+        has_hr = any("conv_s0" in k for k in sd)
+        missing = []
+        for kp, _ in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            names = tuple(str(getattr(kk, "key", getattr(kk, "idx", ""))) for kk in kp)
+            if len(names) < 2 or names[1] not in ("trunk", "neck"):
+                continue
+            if not has_hr and len(names) > 2 and names[2] in ("hr0", "hr1"):
+                continue
+            if names not in written:
+                missing.append("/".join(names))
+        assert not missing, f"sam2 encoder leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_sam_checkpoint(variables: Dict, path_or_sd, strict: bool = True):
     """Import an official SAM .pt checkpoint (or a loaded state_dict)."""
     if isinstance(path_or_sd, (str,)):

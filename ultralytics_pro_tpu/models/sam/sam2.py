@@ -46,8 +46,11 @@ def _win_unpart(x, w, h, wd):
 
 
 class HieraBlock(nn.Module):
-    """Hiera block: windowed (or global) MHSA with optional 2x2 Q-pooling on
-    the stage boundary, then MLP (reference encoders.py Hiera MultiScaleBlock)."""
+    """Hiera MultiScaleBlock (reference models/sam/modules/blocks.py:570):
+    window partition FIRST (pad to window multiple), attention with 2x2
+    Q-pooling INSIDE each window on stage boundaries, window=0 means global
+    attention. Matches the torch block exactly so official sam2 checkpoints
+    import (tests/test_sam2_import.py)."""
 
     dim_out: int = 96
     heads: int = 1
@@ -59,61 +62,95 @@ class HieraBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, wd, c = x.shape
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         shortcut = x
         if c != self.dim_out:
             shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(y)
         if self.q_pool:
             shortcut = nn.max_pool(shortcut, (2, 2), strides=(2, 2))
-
-        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        if self.q_pool:
-            q = nn.max_pool(q, (2, 2), strides=(2, 2))
-        oh, ow = q.shape[1], q.shape[2]
+        sh, sw = shortcut.shape[1], shortcut.shape[2]
 
         w = self.window
-        if w and w < min(oh, ow):
-            # window partition q at output res, k/v at matching windows (after
-            # q-pool, k/v windows are 2x the q window in input space)
-            kw = w * (h // oh)
-            qw = _win_part(q, w).reshape(-1, w * w, self.dim_out)
-            kwin = _win_part(k, kw).reshape(-1, kw * kw, self.dim_out)
-            vwin = _win_part(v, kw).reshape(-1, kw * kw, self.dim_out)
+        if w > 0:
+            ph, pw = (w - h % w) % w, (w - wd % w) % w
+            yp = jnp.pad(y, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            xw = _win_part(yp, w)  # (B*nw, w, w, c)
         else:
-            qw = q.reshape(b, oh * ow, self.dim_out)
-            kwin = k.reshape(b, h * wd, self.dim_out)
-            vwin = v.reshape(b, h * wd, self.dim_out)
+            xw = y
+        bw, wh, ww = xw.shape[0], xw.shape[1], xw.shape[2]
+
         nh = self.heads
         d = self.dim_out // nh
-        qh = qw.reshape(-1, qw.shape[1], nh, d).transpose(0, 2, 1, 3)
-        kh = kwin.reshape(-1, kwin.shape[1], nh, d).transpose(0, 2, 3, 1)
-        vh = vwin.reshape(-1, vwin.shape[1], nh, d).transpose(0, 2, 1, 3)
+        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(xw)
+        qkv = qkv.reshape(bw, wh * ww, 3, self.dim_out)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        oh, ow = wh, ww
+        if self.q_pool:
+            # pool q INSIDE the window (reference MultiScaleAttention:550)
+            q = nn.max_pool(q.reshape(bw, wh, ww, self.dim_out), (2, 2), strides=(2, 2))
+            oh, ow = q.shape[1], q.shape[2]
+            q = q.reshape(bw, oh * ow, self.dim_out)
+        qh = q.reshape(bw, -1, nh, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(bw, -1, nh, d).transpose(0, 2, 3, 1)
+        vh = v.reshape(bw, -1, nh, d).transpose(0, 2, 1, 3)
         attn = jax.nn.softmax((qh @ kh) * d**-0.5, axis=-1)
-        o = (attn @ vh).transpose(0, 2, 1, 3).reshape(-1, qw.shape[1], self.dim_out)
-        if w and w < min(oh, ow):
-            o = _win_unpart(o.reshape(-1, w, w, self.dim_out), w, oh, ow)
+        o = (attn @ vh).transpose(0, 2, 1, 3).reshape(bw, oh * ow, self.dim_out)
+        o = nn.Dense(self.dim_out, dtype=self.dtype, name="attn_proj")(o)
+
+        if w > 0:
+            w2 = w // 2 if self.q_pool else w
+            # reference recomputes pad_hw from the POOLED H,W (blocks.py:667)
+            ph2 = (w2 - sh % w2) % w2
+            pw2 = (w2 - sw % w2) % w2
+            o = _win_unpart(o.reshape(-1, w2, w2, self.dim_out), w2, sh + ph2, sw + pw2)
+            o = o[:, :sh, :sw]
         else:
             o = o.reshape(b, oh, ow, self.dim_out)
-        o = nn.Dense(self.dim_out, dtype=self.dtype, name="attn_proj")(o)
         x = shortcut + o
 
-        m = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        m = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         m = nn.Dense(int(self.dim_out * self.mlp_ratio), dtype=self.dtype, name="fc1")(m)
         m = jax.nn.gelu(m)
         m = nn.Dense(self.dim_out, dtype=self.dtype, name="fc2")(m)
         return x + m
 
 
+def _torch_bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Row-stochastic interpolation matrix reproducing torch F.interpolate
+    bicubic (a=-0.75, align_corners=False, no antialias, edge clamp)."""
+    a = -0.75
+
+    def kern(t):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t**3 - (a + 3) * t**2 + 1
+        if t < 2:
+            return a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a
+        return 0.0
+
+    M = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        src = (o + 0.5) * n_in / n_out - 0.5
+        f = int(np.floor(src))
+        for j in range(f - 1, f + 3):
+            M[o, min(max(j, 0), n_in - 1)] += kern(src - j)
+    return M
+
+
 class Hiera(nn.Module):
-    """Hierarchical ViT trunk (reference encoders.py Hiera): patch embed /4,
-    4 stages with dims doubling and 2x2 Q-pooling at each boundary. Returns
-    the 4 stage maps (strides 4/8/16/32)."""
+    """Hierarchical ViT trunk (reference encoders.py:644 Hiera): patch embed
+    /4 (k7 s4 p3), windowed-background positional embedding (bicubic-resized
+    background + tiled window embed), blocks with lagged per-stage window
+    specs, global attention at fixed block indices, 2x2 Q-pooling at the
+    first `q_pool` stage boundaries. Returns 4 stage maps (strides 4/8/16/32)."""
 
     embed_dim: int = 96
     heads: int = 1
     stages: Tuple[int, ...] = (1, 2, 7, 2)
     windows: Tuple[int, ...] = (8, 4, 14, 7)
+    global_att: Tuple[int, ...] = (5, 7, 9)
+    bkg_size: int = 14  # window_pos_embed_bkg_spatial_size
+    q_pool: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -121,46 +158,77 @@ class Hiera(nn.Module):
         dim = self.embed_dim
         x = nn.Conv(dim, (7, 7), strides=(4, 4), padding=((3, 3), (3, 3)),
                     dtype=self.dtype, name="patch_embed")(x)
-        # learned absolute pos embed, interpolated to the feature size
-        pe = self.param("pos_embed", nn.initializers.normal(0.02), (1, 16, 16, dim))
-        x = x + jax.image.resize(pe, (1, x.shape[1], x.shape[2], dim), "bilinear")
-        outs = []
+        h, wd = x.shape[1], x.shape[2]
+        # windowed positional embedding (arXiv:2311.05613): background
+        # bicubic-resized to (H, W) + window embed tiled across it
+        w0 = self.windows[0]
+        pe = self.param("pos_embed", nn.initializers.normal(0.02),
+                        (1, self.bkg_size, self.bkg_size, dim))
+        pew = self.param("pos_embed_window", nn.initializers.normal(0.02),
+                         (1, w0, w0, dim))
+        mh = jnp.asarray(_torch_bicubic_matrix(self.bkg_size, h))
+        mw = jnp.asarray(_torch_bicubic_matrix(self.bkg_size, wd))
+        pe_full = jnp.einsum("hH,bHWc,wW->bhwc", mh, pe.astype(jnp.float32), mw)
+        if h % w0 == 0 and wd % w0 == 0:
+            pe_full = pe_full + jnp.tile(pew.astype(jnp.float32),
+                                         (1, h // w0, wd // w0, 1))
+        x = x + pe_full.astype(x.dtype)
+
+        depth = sum(self.stages)
+        stage_ends = [sum(self.stages[:i + 1]) - 1 for i in range(len(self.stages))]
+        q_pool_blocks = [e + 1 for e in stage_ends[:-1]][:self.q_pool]
+        cur_stage = 1
         heads = self.heads
-        for s, depth in enumerate(self.stages):
-            for bI in range(depth):
-                q_pool = s > 0 and bI == 0
-                if q_pool:
-                    dim *= 2
-                    heads *= 2
-                x = HieraBlock(dim_out=dim, heads=heads,
-                               window=self.windows[s], q_pool=q_pool,
-                               dtype=self.dtype, name=f"s{s}_b{bI}")(x, train)
-            outs.append(x)
+        outs = []
+        for i in range(depth):
+            dim_out = dim
+            # window lags by a block: the first block of a stage keeps the
+            # previous stage's spec (reference encoders.py:764)
+            window = self.windows[cur_stage - 1]
+            if i in self.global_att:
+                window = 0
+            if i - 1 in stage_ends:
+                dim_out = dim * 2
+                heads *= 2
+                cur_stage += 1
+            x = HieraBlock(dim_out=dim_out, heads=heads, window=window,
+                           q_pool=i in q_pool_blocks, dtype=self.dtype,
+                           name=f"b{i}")(x, train)
+            dim = dim_out
+            if i in stage_ends:
+                outs.append(x)
         return outs
 
 
 class FpnNeck(nn.Module):
-    """SAM2 FPN neck (reference encoders.py FpnNeck): 1x1 conv each stage to
-    d_model, top-down add. Returns [stride4, stride8, stride16] features —
-    stride16 is the image embedding, the finer two are decoder skips."""
+    """SAM2 FPN neck (reference encoders.py:504 FpnNeck): per-level 1x1 conv
+    to d_model (conv_0 takes the COARSEST level, matching the reference's
+    backbone_channel_list=[768,...,96] ordering), nearest top-down fusion on
+    fpn_top_down_levels=[2,3] only (the sam2 build config). Returns the
+    stride-16 image embedding and the stride-4/8 high-res decoder skips
+    (projected via hr0/hr1, the reference decoder's conv_s0/conv_s1)."""
 
     d_model: int = 256
+    top_down_levels: Tuple[int, ...] = (2, 3)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        lat = [nn.Conv(self.d_model, (1, 1), dtype=self.dtype, name=f"lat_{i}")(f)
-               for i, f in enumerate(feats)]
-        # top-down: stride32 -> 16 -> 8 -> 4
-        out = [None] * 4
-        prev = lat[3]
-        out[3] = prev
-        for i in (2, 1, 0):
-            b, h, w, c = lat[i].shape
-            prev = lat[i] + jax.image.resize(prev, (b, h, w, c), "nearest")
+        n = len(feats) - 1
+        out = [None] * len(feats)
+        prev = None
+        for i in range(n, -1, -1):  # coarse -> fine
+            lat = nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
+                          name=f"conv_{n - i}")(feats[i])
+            if i in self.top_down_levels and prev is not None:
+                b, h, w, c = lat.shape
+                prev = lat + jax.image.resize(prev, (b, h, w, c), "nearest")
+            else:
+                prev = lat
             out[i] = prev
-        # SAM2 uses stride16 as the embedding and strides 4/8 (projected to
-        # 32/64 ch) as high-res decoder skips
+        # SAM2 uses stride16 as the embedding (scalp=1 discards stride32) and
+        # strides 4/8 (projected to 32/64 ch by the reference mask decoder's
+        # conv_s0/conv_s1) as high-res decoder skips
         hr0 = nn.Conv(self.d_model // 8, (1, 1), dtype=self.dtype, name="hr0")(out[0])
         hr1 = nn.Conv(self.d_model // 4, (1, 1), dtype=self.dtype, name="hr1")(out[1])
         return out[2], (hr0, hr1)
@@ -259,13 +327,18 @@ class SAM2Model(nn.Module):
 
     embed_dim: int = 96
     stages: Tuple[int, ...] = (1, 2, 7, 2)
+    heads: int = 1
+    windows: Tuple[int, ...] = (8, 4, 14, 7)
+    global_att: Tuple[int, ...] = (5, 7, 9)
     img_size: int = 1024
     num_maskmem: int = 7
     mem_dim: int = 64
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.trunk = Hiera(embed_dim=self.embed_dim, stages=self.stages, dtype=self.dtype)
+        self.trunk = Hiera(embed_dim=self.embed_dim, stages=self.stages,
+                           heads=self.heads, windows=self.windows,
+                           global_att=self.global_att, dtype=self.dtype)
         self.neck = FpnNeck(d_model=256, dtype=self.dtype)
         g = self.img_size // 16
         self.prompt_encoder = PromptEncoder(
@@ -335,10 +408,11 @@ class SAM2Model(nn.Module):
 def build_sam2(name: str = "sam2_t", img_size: int = 1024, dtype=jnp.float32) -> SAM2Model:
     """sam2 t/s/b/l registry (reference build.py sam2 configs)."""
     cfgs = {
-        "t": dict(embed_dim=96, stages=(1, 2, 7, 2)),
-        "s": dict(embed_dim=96, stages=(1, 2, 11, 2)),
-        "b": dict(embed_dim=112, stages=(2, 3, 16, 3)),
-        "l": dict(embed_dim=144, stages=(2, 6, 36, 4)),
+        "t": dict(embed_dim=96, stages=(1, 2, 7, 2), global_att=(5, 7, 9)),
+        "s": dict(embed_dim=96, stages=(1, 2, 11, 2), global_att=(7, 10, 13)),
+        "b": dict(embed_dim=112, stages=(2, 3, 16, 3), heads=2, global_att=(12, 16, 20)),
+        "l": dict(embed_dim=144, stages=(2, 6, 36, 4), heads=2, global_att=(23, 33, 43),
+                  windows=(8, 4, 16, 8)),
     }
     key = name.split("_")[-1][0]
     return SAM2Model(img_size=img_size, dtype=dtype, **cfgs.get(key, cfgs["t"]))

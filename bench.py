@@ -131,8 +131,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ultralytics_pro_tpu.nn.modules.head import decode_single_label
     from ultralytics_pro_tpu.nn.tasks import DetectionModel
-    from ultralytics_pro_tpu.ops.nms import non_max_suppression
+    from ultralytics_pro_tpu.ops.nms import non_max_suppression_fused
 
     # bs=128 is the measured throughput knee on v5e: ~2.4x the bs<=64 rate
     # (XLA maps the batch onto MXU lanes for the small-channel early convs).
@@ -150,9 +151,13 @@ def main():
 
     def e2e(variables, img_u8):
         x = img_u8.astype(jnp.bfloat16)
-        y, _ = model.module.apply(variables, x, train=False)
-        out = non_max_suppression(
-            y[..., :4], y[..., 4:4 + nc], conf_thres=0.25, iou_thres=0.45, max_det=300,
+        y, aux = model.module.apply(variables, x, train=False)
+        # fused single-label postprocess (same path BasePredictor jits): class
+        # max/argmax fuse into the head epilogue; the (B, A, nc) score tensor
+        # and the head's concat-decode y are dead code XLA removes
+        b4, cf, cl = decode_single_label(aux["feats"], model.stride, nc)
+        out = non_max_suppression_fused(
+            b4, cf, cl, conf_thres=0.25, iou_thres=0.45, max_det=300,
             max_nms=1024,
         )
         return out

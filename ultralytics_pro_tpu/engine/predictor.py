@@ -60,6 +60,15 @@ class BasePredictor:
         augment = bool(self.args.get("augment", False))
         head = model._head_spec() if hasattr(model, "_head_spec") else None
         end2end = head is not None and head.type_name == "v10Detect"
+        # Fused single-label fast path: for plain Detect heads the per-level
+        # raw maps in aux["feats"] are decoded with the class max/argmax fused
+        # into the head epilogue, so the (B, A, nc) score tensor is never
+        # materialized (the head's own concat-decode output is dead code the
+        # compiler removes). Same results as the generic path (test_nms_fused).
+        use_fused = (head is not None and head.type_name == "Detect"
+                     and not augment and not end2end)
+        reg_max = int(dict(head.kwargs).get("reg_max", 16)) if head is not None else 16
+        strides = tuple(getattr(model, "stride", (8, 16, 32)))
 
         def forward(variables, x):
             y, aux = model.apply(variables, x, train=False)
@@ -124,6 +133,19 @@ class BasePredictor:
                     "cls": y[..., 5].astype(jnp.int32),
                     "valid": y[..., 4] > conf,
                 }
+            if use_fused:
+                from ultralytics_pro_tpu.nn.modules.head import decode_single_label
+                from ultralytics_pro_tpu.ops.nms import non_max_suppression_fused
+
+                b4, cf, cl = decode_single_label(aux["feats"], strides, nc, reg_max)
+                out = non_max_suppression_fused(
+                    b4, cf, cl, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, agnostic=agnostic,
+                    classes=tuple(classes_mask) if classes_mask is not None else None,
+                )
+                if "protos" in aux:
+                    out["protos"] = aux["protos"]
+                return out
             boxes, rest = y[..., :4], y[..., 4:]
             scores = rest[..., :nc]
             extra = rest[..., nc:] if rest.shape[-1] > nc else None

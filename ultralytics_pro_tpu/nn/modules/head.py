@@ -124,6 +124,49 @@ class Detect(ConvBase):
         return self._decode(raw, feats), {"feats": raw}
 
 
+def decode_single_label(raw, strides, nc: int, reg_max: int = 16):
+    """Fused single-label decode over per-level raw head maps.
+
+    Takes the per-level (B, H, W, 4*reg_max+nc) maps a Detect head returns in
+    aux["feats"] and produces (boxes (B, A, 4) xywh f32, conf (B, A) f32,
+    cls (B, A) int32) WITHOUT ever materializing the (B, A, nc) class-score
+    tensor: the class max/argmax run per level in NHWC, so XLA fuses
+    sigmoid+max into the head tower epilogue and the only HBM tensors are the
+    small 6-column outputs. On the chip this removes ~4 full passes over a
+    361 MB f32 tensor at bs128@640 (tools/perf_stage_probe2.py: nms stage
+    4.4 ms -> see BASELINE.md round-3 table).
+
+    Matches the reference single-label candidate semantics
+    (ultralytics/utils/nms.py:103: `conf, j = x[:, 5:].max(1)`): class chosen
+    over ALL classes; a `classes=` filter drops rows afterwards (handled in
+    non_max_suppression_fused).
+    """
+    b = raw[0].shape[0]
+    boxes_out, conf_out, cls_out = [], [], []
+    for r, s in zip(raw, strides):
+        s = float(s)
+        h, w = r.shape[1], r.shape[2]
+        box = r[..., :4 * reg_max].astype(jnp.float32)
+        probs = jax.nn.softmax(box.reshape(b, h, w, 4, reg_max), axis=-1)
+        dist = probs @ jnp.arange(reg_max, dtype=jnp.float32)
+        ax = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, None, :]
+        ay = (jnp.arange(h, dtype=jnp.float32) + 0.5)[None, :, None]
+        x1 = ax - dist[..., 0]
+        y1 = ay - dist[..., 1]
+        x2 = ax + dist[..., 2]
+        y2 = ay + dist[..., 3]
+        dbox = jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], -1) * s
+        logits = r[..., 4 * reg_max:]
+        # max in the tower's dtype is exact selection; sigmoid after, in f32
+        conf = jax.nn.sigmoid(jnp.max(logits, axis=-1).astype(jnp.float32))
+        cls = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        boxes_out.append(dbox.reshape(b, h * w, 4))
+        conf_out.append(conf.reshape(b, h * w))
+        cls_out.append(cls.reshape(b, h * w))
+    return (jnp.concatenate(boxes_out, 1), jnp.concatenate(conf_out, 1),
+            jnp.concatenate(cls_out, 1))
+
+
 class Segment(Detect):
     """Detect + prototype masks (reference head.py:790)."""
 

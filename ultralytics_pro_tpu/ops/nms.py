@@ -90,7 +90,9 @@ def non_max_suppression(
     """
     nc = scores.shape[-1]
     a = scores.shape[1]
-    if classes is not None:
+    if classes is not None and multi_label and nc > 1:
+        # multi-label: zeroing disallowed classes == the reference's row filter
+        # (every (anchor, class) pair is its own row)
         scores = jnp.where(jnp.asarray(classes)[None, None, :], scores, 0.0)
 
     def select(boxes_i, scores_i):
@@ -106,6 +108,10 @@ def non_max_suppression(
         else:
             conf = scores_i.max(axis=-1)  # (A,)
             cls_all = scores_i.argmax(axis=-1).astype(jnp.int32)
+            if classes is not None:
+                # reference single-label semantics (utils/nms.py:118): the row
+                # keeps its argmax-over-ALL class and is dropped if not allowed
+                conf = jnp.where(jnp.asarray(classes)[cls_all], conf, 0.0)
             masked = jnp.where(conf > conf_thres, conf, -1.0)
             k = min(max_nms, a)
             top_scores, anchor_idx = jax.lax.top_k(masked, k)
@@ -114,6 +120,86 @@ def non_max_suppression(
         return cand_boxes, top_scores, cls_idx, anchor_idx
 
     cand_boxes, top_scores, cls_idx, anchor_idx = jax.vmap(select)(boxes, scores)
+    offset = jnp.where(agnostic, 0.0, 1.0) * cls_idx.astype(cand_boxes.dtype)[..., None] * max_wh
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ultralytics_pro_tpu.kernels.nms_pallas import pallas_greedy_nms
+
+        keep_idx, keep_valid = pallas_greedy_nms(
+            cand_boxes + offset, top_scores, max_det=max_det, iou_thres=iou_thres
+        )
+    else:
+        keep_idx, keep_valid = jax.vmap(
+            lambda b, s: _greedy_nms_scores(b, s, iou_thres, max_det)
+        )(cand_boxes + offset, top_scores)
+
+    def gather(cand_boxes_i, top_scores_i, cls_i, anchor_i, keep_i, valid_i, extra_i):
+        out = {
+            "boxes": cand_boxes_i[keep_i],
+            "scores": jnp.where(valid_i, top_scores_i[keep_i], 0.0),
+            "cls": jnp.where(valid_i, cls_i[keep_i], 0),
+            "valid": valid_i,
+        }
+        if extra_i is not None:
+            out["extra"] = extra_i[anchor_i][keep_i]
+        return out
+
+    if extra is None:
+        return jax.vmap(lambda *a: gather(*a, None))(
+            cand_boxes, top_scores, cls_idx, anchor_idx, keep_idx, keep_valid
+        )
+    return jax.vmap(gather)(cand_boxes, top_scores, cls_idx, anchor_idx, keep_idx, keep_valid, extra)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh",
+                     "agnostic", "use_pallas"),
+)
+def non_max_suppression_fused(
+    boxes,
+    conf,
+    cls,
+    extra=None,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_nms: int = 30000,
+    max_wh: float = 7680.0,
+    agnostic: bool = False,
+    classes=None,
+    use_pallas: bool = None,
+):
+    """Single-label NMS on precomputed per-anchor (conf, cls) — the companion
+    of head.decode_single_label. Identical suppression/gather semantics to
+    non_max_suppression's single-label path, but skips the per-class max pass
+    (already fused into the head epilogue upstream).
+
+    classes follows the reference single-label semantics
+    (ultralytics/utils/nms.py:118): rows whose argmax class is not allowed are
+    DROPPED (not re-scored to their best allowed class).
+
+    Args:
+        boxes: (B, A, 4) xywh pixel boxes.
+        conf: (B, A) best-class score (post-sigmoid).
+        cls: (B, A) int32 best-class index.
+    """
+    if classes is not None:
+        allowed = jnp.asarray(classes)
+        conf = jnp.where(allowed[cls], conf, 0.0)
+
+    a = conf.shape[1]
+    k = min(max_nms, a)
+
+    def select(boxes_i, conf_i, cls_i):
+        masked = jnp.where(conf_i > conf_thres, conf_i, -1.0)
+        top_scores, anchor_idx = jax.lax.top_k(masked, k)
+        cand_boxes = xywh2xyxy(boxes_i[anchor_idx])
+        return cand_boxes, top_scores, cls_i[anchor_idx], anchor_idx
+
+    cand_boxes, top_scores, cls_idx, anchor_idx = jax.vmap(select)(boxes, conf, cls)
     offset = jnp.where(agnostic, 0.0, 1.0) * cls_idx.astype(cand_boxes.dtype)[..., None] * max_wh
 
     if use_pallas is None:

@@ -200,6 +200,45 @@ def main():
     imgs_per_sec = batch * iters / compute
 
     extra = {}
+    if os.environ.get("BENCH_SKIP_INT8") != "1":
+        # PTQ int8 serving path (nn/quantize.py): deep-3x3 convs on the int8
+        # MXU (2x peak). Modest on v8s (deep stages are ~1/3 of time); +17%
+        # on yolov8l (BASELINE.md round-3 int8 table).
+        try:
+            from ultralytics_pro_tpu.nn.quantize import (build_qtable,
+                                                         collect_conv_stats,
+                                                         quantized_apply)
+
+            stats = collect_conv_stats(model.module, variables,
+                                       [img[:8].astype(jnp.bfloat16)])
+            qt = build_qtable(variables, stats)
+            qapply = quantized_apply(model.module, qt)
+
+            def e2e_q(variables, img_u8):
+                x = img_u8.astype(jnp.bfloat16)
+                y, aux = qapply(variables, x, train=False)
+                b4, cf, cl = decode_single_label(aux["feats"], model.stride, nc)
+                return non_max_suppression_fused(
+                    b4, cf, cl, conf_thres=0.25, iou_thres=0.45, max_det=300,
+                    max_nms=1024)
+
+            @jax.jit
+            def e2e_chain_q(variables, img_u8):
+                def body(i, carry):
+                    x = img_u8 + (carry * 0).astype(jnp.uint8)
+                    out = e2e_q(variables, x)
+                    return out["scores"].sum().astype(jnp.float32) + carry * 0
+
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+            float(np.asarray(e2e_chain_q(variables, img)))  # compile+warm
+            t0 = time.perf_counter()
+            float(np.asarray(e2e_chain_q(variables, img)))
+            dq = max(time.perf_counter() - t0 - rtt, 1e-9)
+            extra["int8_imgs_per_sec"] = round(batch * iters / dq, 2)
+            extra["int8_quantized_convs"] = len(qt)
+        except Exception as e:  # noqa: BLE001
+            extra["int8_bench_error"] = f"{type(e).__name__}: {e}"[:160]
     if os.environ.get("BENCH_SKIP_TRAIN") != "1":
         try:
             extra["train_imgs_per_sec"] = round(train_bench(), 2)

@@ -89,6 +89,28 @@ class Model:
     def __call__(self, source=None, stream: bool = False, **kwargs):
         return self.predict(source, stream, **kwargs)
 
+    def quantize_int8(self, calib_batches=None, **kwargs):
+        """PTQ int8 serving (nn/quantize.py; TRT-INT8 analog on the v5e int8
+        MXU). calib_batches: list of NHWC float [0,1] image arrays; defaults
+        to a synthetic batch with a loud warning (real calibration data gives
+        the tight mAP deltas measured in tests/test_int8_quant.py)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ultralytics_pro_tpu.utils import LOGGER
+
+        if self.model.variables is None:
+            self.model.init_params()
+        if calib_batches is None:
+            LOGGER.warning(
+                "quantize_int8: no calibration batches given - calibrating on "
+                "synthetic noise; pass real images for production accuracy")
+            rng = np.random.default_rng(0)
+            calib_batches = [jnp.asarray(rng.uniform(0, 1, (4, 640, 640, 3)).astype(np.float32))]
+        qt = self.model.quantize_int8(calib_batches, **kwargs)
+        self.predictor = None  # next predict re-jits through the int8 apply
+        return qt
+
     def embed(self, source=None, imgsz: int = 224, **kwargs):
         """Pooled, L2-normalized feature vectors from the last neck maps
         (reference Model.embed engine/model.py:452). source: image array,

@@ -33,6 +33,30 @@ def test_tal_parity():
     )
 
 
+def test_topk_candidates_matches_lax_topk():
+    """The unrolled argmax top-k (TPU perf path) selects the same set as lax.top_k.
+
+    Covers ties (integer-quantized metrics) because padded/zero rows tie often.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.utils.tal import TaskAlignedAssigner
+
+    rng = np.random.default_rng(0)
+    assigner = TaskAlignedAssigner(topk=10, num_classes=3)
+    mask_gt = jnp.asarray((rng.random((4, 16, 1)) > 0.2).astype(np.float32))
+    for metrics in (
+        jnp.asarray(rng.random((4, 16, 840)).astype(np.float32)),
+        jnp.asarray((rng.random((4, 16, 840)) * 4).astype(np.int32).astype(np.float32)),  # heavy ties
+    ):
+        got = assigner.select_topk_candidates(metrics, mask_gt)
+        _, idx = jax.lax.top_k(metrics, assigner.topk)
+        want = jnp.where(mask_gt, jax.nn.one_hot(idx, metrics.shape[-1], dtype=metrics.dtype).sum(-2), 0.0)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert np.all(np.asarray(got).sum(-1) <= assigner.topk)
+
+
 def test_detect_loss_parity():
     """Model train-forward feats parity + full loss parity on a real batch."""
     import jax.numpy as jnp

@@ -159,3 +159,39 @@ def test_swin_import_parity():
     v = swin_state_dict_to_flax(v, sd, strict=True)
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=5e-4)
+
+
+def test_efficientformerv2_import_parity():
+    """Faithful EfficientFormerV2-S0 (Attention4D/RPE/talking-heads/asub) vs
+    the reference torch module at matched 64px init resolution."""
+    from ultralytics.nn.modules.EfficientFormerV2 import efficientformerv2_s0
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import (
+        efficientformerv2_state_dict_to_flax,
+    )
+    from ultralytics_pro_tpu.nn.modules.efficientformer import EfficientFormerV2
+
+    torch.manual_seed(6)
+    ref = efficientformerv2_s0(resolution=64, fork_feat=True)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+        for n, b in ref.named_buffers():
+            if n.endswith("running_var"):
+                b.mul_(torch.rand_like(b) * 0.5 + 0.75)
+            elif n.endswith("running_mean"):
+                b.add_(torch.randn_like(b) * 0.1)
+
+    x = np.random.default_rng(3).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+
+    m = EfficientFormerV2(variant="s0")
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = efficientformerv2_state_dict_to_flax(v, sd, strict=True)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False)
+    _assert_close(ours, theirs)

@@ -31,7 +31,8 @@ from typing import Dict
 import numpy as np
 
 __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
-           "swin_state_dict_to_flax", "load_backbone_checkpoint"]
+           "swin_state_dict_to_flax", "efficientformerv2_state_dict_to_flax",
+           "load_backbone_checkpoint"]
 
 
 def _conv_w(w):
@@ -286,6 +287,99 @@ def swin_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def efficientformerv2_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """EfficientFormerV2 (reference EfficientFormerV2.py:691, fork_feat).
+
+    Torch layout: patch_embed.{0,1,3,4} (conv/BN stem), network.{0,2,4,6}.{b}
+    stage blocks (FFN: mlp.* + layer_scale_2; AttnFFN adds token_mixer.* +
+    layer_scale_1), network.{1,3} conv Embeddings, network.5 asub Embedding
+    (attn = Attention4DDownsample + parallel conv/bn), fork norms
+    norm{0,2,4,6}. `attention_biases` import verbatim because the RPE offset
+    enumeration is replicated exactly (efficientformer.py:_rpe_table); the
+    init resolution of the torch model must match the trace resolution."""
+    tree = _deep_dict(variables)
+    written = set()
+
+    def conv(path, tkey):
+        _set(tree, ["params", *path, "kernel"], _conv_w(sd[f"{tkey}.weight"]), written)
+        if f"{tkey}.bias" in sd:
+            _set(tree, ["params", *path, "bias"], sd[f"{tkey}.bias"], written)
+
+    def bn(path, tkey):
+        _bn_entries(tree, path, path, sd, tkey, written)
+
+    def mixer(path, tkey, strided):
+        """Attention4D / Attention4DDownsample shared conv/bn sub-layout."""
+        if strided:
+            conv([*path, "stride_conv"], f"{tkey}.stride_conv.0")
+            bn([*path, "stride_bn"], f"{tkey}.stride_conv.1")
+        for nm in ("k", "v", "v_local"):
+            conv([*path, nm], f"{tkey}.{nm}.0")
+            bn([*path, f"{nm}_bn"], f"{tkey}.{nm}.1")
+        _set(tree, ["params", *path, "attention_biases"],
+             sd[f"{tkey}.attention_biases"], written)
+
+    def attention4d(path, tkey, strided):
+        mixer(path, tkey, strided)
+        conv([*path, "q"], f"{tkey}.q.0")
+        bn([*path, "q_bn"], f"{tkey}.q.1")
+        conv([*path, "proj"], f"{tkey}.proj.0")
+        bn([*path, "proj_bn"], f"{tkey}.proj.1")
+        for th in ("talking_head1", "talking_head2"):
+            w = np.asarray(sd[f"{tkey}.{th}.weight"], np.float32)
+            _set(tree, ["params", *path, f"{th}_w"], w[:, :, 0, 0], written)
+            _set(tree, ["params", *path, f"{th}_b"], sd[f"{tkey}.{th}.bias"], written)
+
+    def mlp(path, tkey):
+        for cv, norm in (("fc1", "norm1"), ("mid", "mid_norm"), ("fc2", "norm2")):
+            conv([*path, cv], f"{tkey}.{cv}")
+            bn([*path, norm], f"{tkey}.{norm}")
+
+    # stem
+    conv(["stem0"], "patch_embed.0")
+    bn(["stem_bn0"], "patch_embed.1")
+    conv(["stem1"], "patch_embed.3")
+    bn(["stem_bn1"], "patch_embed.4")
+
+    # stages + embeddings (network indices 0,2,4,6 = stages; 1,3 conv emb; 5 asub)
+    depths = []
+    for n in (0, 2, 4, 6):
+        bs = {int(m.group(1)) for k in sd
+              if (m := re.match(rf"network\.{n}\.(\d+)\.", k))}
+        depths.append(max(bs) + 1 if bs else 0)
+    for s, n in enumerate((0, 2, 4, 6)):
+        for b in range(depths[s]):
+            tkey = f"network.{n}.{b}"
+            path = [f"s{s}_b{b}"]
+            mlp([*path, "mlp"], f"{tkey}.mlp")
+            _set(tree, ["params", *path, "layer_scale_2"],
+                 np.asarray(sd[f"{tkey}.layer_scale_2"], np.float32).reshape(-1), written)
+            if f"{tkey}.layer_scale_1" in sd:  # AttnFFN
+                _set(tree, ["params", *path, "layer_scale_1"],
+                     np.asarray(sd[f"{tkey}.layer_scale_1"], np.float32).reshape(-1), written)
+                strided = f"{tkey}.token_mixer.stride_conv.0.weight" in sd
+                attention4d([*path, "token_mixer"], f"{tkey}.token_mixer", strided)
+        bn([f"norm{s}"], f"norm{n}")
+        if s < 2:
+            conv([f"emb{s}"], f"network.{2 * s + 1}.proj")
+            bn([f"emb{s}_bn"], f"network.{2 * s + 1}.norm")
+        elif s == 2:
+            a = ["emb2_attn"]
+            mixer(a, "network.5.attn", strided=False)
+            conv([*a, "q", "local"], "network.5.attn.q.local.0")
+            conv([*a, "q", "proj"], "network.5.attn.q.proj.0")
+            bn([*a, "q", "proj_bn"], "network.5.attn.q.proj.1")
+            conv([*a, "proj"], "network.5.attn.proj.1")
+            bn([*a, "proj_bn"], "network.5.attn.proj.2")
+            conv(["emb2"], "network.5.conv")
+            bn(["emb2_bn"], "network.5.bn")
+
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -304,5 +398,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
         sd = path_or_sd
     fn = {"convnext": convnext_state_dict_to_flax,
           "fasternet": fasternet_state_dict_to_flax,
-          "swin": swin_state_dict_to_flax}[family]
+          "swin": swin_state_dict_to_flax,
+          "efficientformerv2": efficientformerv2_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -458,23 +458,6 @@ BACKBONE_VARIANTS3.update({
 })
 
 
-class PoolFormerBlock(ConvBase):
-    """Pool-mixer metaformer block (reference EfficientFormerV2.py lineage):
-    token mixing = avg-pool residual, channel mixing = MLP."""
-
-    dim: int = 0
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        y = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
-        mix = nn.avg_pool(y, (3, 3), (1, 1), padding=((1, 1), (1, 1))) - y
-        x = x + mix * self.param("ls1", nn.initializers.constant(1e-5), (self.dim,))
-        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="fc1")(y)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(jax.nn.gelu(y))
-        return x + y * self.param("ls2", nn.initializers.constant(1e-5), (self.dim,))
-
-
 class EdgeViTBlock(ConvBase):
     """Local-global-local block (reference EdgeViT.py): DW local aggregation,
     sparse global attention on a subsampled token grid, DW local propagation."""
@@ -508,15 +491,28 @@ class EdgeViTBlock(ConvBase):
         return x + nn.Dense(c, dtype=self.dtype, name="fc2")(jax.nn.gelu(m))
 
 
-EfficientFormer = _stage_backbone(
-    "EfficientFormer", lambda d, dt, nm: PoolFormerBlock(dim=d, dtype=dt, name=nm))
 EdgeViT = _stage_backbone(
     "EdgeViT", lambda d, dt, nm: EdgeViTBlock(dim=d, dtype=dt, name=nm))
 
+
+def _efv2_entries():
+    from ultralytics_pro_tpu.nn.modules.efficientformer import EfficientFormerV2
+
+    return {
+        # reference EfficientFormerV2.py:900-955 — faithful hybrid stages
+        # (Attention4D + RPE + talking heads; asub downsample), see
+        # efficientformer.py
+        "efficientformerv2_s0": (EfficientFormerV2, (("variant", "s0"),)),
+        "efficientformerv2_s1": (EfficientFormerV2, (("variant", "s1"),)),
+        "efficientformerv2_s2": (EfficientFormerV2, (("variant", "s2"),)),
+        "efficientformerv2_l": (EfficientFormerV2, (("variant", "l"),)),
+        "EfficientFormer": (EfficientFormerV2, (("variant", "s0"),)),
+    }
+
+
 BACKBONE_VARIANTS3.update({
-    # reference EfficientFormerV2.py / EdgeViT.py
-    "efficientformerv2_s0": (EfficientFormer, ()),
-    "EfficientFormer": (EfficientFormer, ()),
+    # reference EdgeViT.py
     "edgevit_xxs": (EdgeViT, ()),
     "EdgeViT": (EdgeViT, ()),
+    **_efv2_entries(),
 })

@@ -138,3 +138,28 @@ def test_maf_head_family():
         out = y[0] if isinstance(y, tuple) else y
         leaf = out[0] if isinstance(out, (list, tuple)) else out
         assert jnp.all(jnp.isfinite(jnp.asarray(leaf, jnp.float32))), yaml_name
+
+
+def test_asff_detect():
+    """ASFFDetect: real ASFF level fusion before the towers; weights softmax
+    to 1 across levels per pixel, output well-formed. The reference names
+    Detect_ASFF in yolov10n-ASFF.yaml but never defines it."""
+    import jax
+    import numpy as np
+
+    from ultralytics_pro_tpu.nn.modules.head import ASFFDetect
+
+    m = ASFFDetect(nc=5, strides=(8, 16, 32))
+    feats = _feats()
+    v = m.init(jax.random.PRNGKey(0), feats, train=False)
+    y, aux = m.apply(v, feats, train=False)
+    assert y.shape == (1, 16 * 16 + 8 * 8 + 4 * 4, 4 + 5)
+    assert np.isfinite(np.asarray(y)).all()
+    flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+    names = {"/".join(str(k.key) for k in kp) for kp, _ in flat}
+    # fusion machinery exists per level: cross-level input adapters, per-level
+    # weight compressors, gating conv, fuse conv
+    assert any("asff0_in1" in n for n in names)
+    assert any("asff2_down0_0" in n for n in names)  # P3->P5 needs 2 downsamples
+    assert any("asff2_down0_1" in n for n in names)
+    assert any("asff1_wl" in n for n in names) and any("asff0_conv" in n for n in names)

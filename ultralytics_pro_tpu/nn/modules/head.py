@@ -359,6 +359,50 @@ class MAFDetect(Detect):
         return box, cls
 
 
+class ASFFDetect(Detect):
+    """Detect with Adaptively-Spatial-Feature-Fusion level mixing before the
+    towers (ASFF, arXiv:1911.09516). The reference ships
+    cfg/models/v10/Detect/yolov10n-ASFF.yaml naming `Detect_ASFF` but defines
+    no such class anywhere in its tree (its own parse_model cannot build that
+    yaml); this is the canonical ASFF formulation its AFPN.py ASFF_2/ASFF_3
+    blocks (:119,:149) use, applied per detect level: every level is resized
+    to the target level's grid + width, softmax-gated per-pixel across
+    levels, fused by a 3x3 conv, then fed to the standard v8 towers."""
+
+    def _asff_fuse(self, feats, train):
+        nl = len(feats)
+        fused = []
+        for i, xi in enumerate(feats):
+            b, h, w, c = xi.shape
+            srcs = []
+            for j, xj in enumerate(feats):
+                if j == i:
+                    srcs.append(xj)
+                    continue
+                y = Conv(c2=c, k=1, dtype=self.dtype, name=f"asff{i}_in{j}",
+                         parent=self)(xj, train)
+                d = 0
+                while y.shape[1] > h:  # stride-2 convs down to the target grid
+                    y = Conv(c2=c, k=3, s=2, dtype=self.dtype,
+                             name=f"asff{i}_down{j}_{d}", parent=self)(y, train)
+                    d += 1
+                if y.shape[1] < h:
+                    y = jax.image.resize(y, (b, h, w, c), method="nearest")
+                srcs.append(y)
+            ws = [Conv(c2=8, k=1, dtype=self.dtype, name=f"asff{i}_w{j}",
+                       parent=self)(s, train) for j, s in enumerate(srcs)]
+            lw = nn.Conv(nl, (1, 1), dtype=self.dtype, name=f"asff{i}_wl",
+                         parent=self)(jnp.concatenate(ws, axis=-1))
+            lw = jax.nn.softmax(lw.astype(jnp.float32), axis=-1).astype(xi.dtype)
+            out = sum(s * lw[..., j:j + 1] for j, s in enumerate(srcs))
+            fused.append(Conv(c2=c, k=3, dtype=self.dtype, name=f"asff{i}_conv",
+                              parent=self)(out, train))
+        return fused
+
+    def _raw(self, feats, train, prefix: str = ""):
+        return super()._raw(self._asff_fuse(feats, train), train, prefix)
+
+
 class MAFSegment(MAFDetect, Segment):
     """MAFDetect + prototype masks (reference head.py:840)."""
 

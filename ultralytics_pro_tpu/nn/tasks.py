@@ -444,10 +444,9 @@ BUILDERS: Dict[str, Callable] = {
         _kw(cm=_a(a, 0, 1024), num_heads=_a(a, 1, 8))),
     "RTDETRDecoder": _build_rtdetr_decoder,
     "Detect": _build_head(M.Detect),
-    # reference Detect_ASFF fuses P3/P4/P5 with ASFF weights before the
-    # towers; served by the standard Detect towers (declared approximation,
-    # COVERAGE.md)
-    "Detect_ASFF": _build_head(M.Detect),
+    # Detect_ASFF: named by the reference's yolov10n-ASFF.yaml but defined
+    # nowhere in its tree; real ASFF level fusion (head.py ASFFDetect)
+    "Detect_ASFF": _build_head(M.ASFFDetect),
     "Segment": _build_head(M.Segment),
     "OBB": _build_head(M.OBB),
     "Pose": _build_head(M.Pose),

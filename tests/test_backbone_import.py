@@ -195,3 +195,56 @@ def test_efficientformerv2_import_parity():
     v = efficientformerv2_state_dict_to_flax(v, sd, strict=True)
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False)
     _assert_close(ours, theirs)
+
+
+@pytest.mark.parametrize("retention", ["chunk", "whole"])
+def test_retblock_parity(retention):
+    """Faithful RetNet retention block vs the reference RetNet.py RetBlock
+    (MaSAd 'chunk' / MaSA 'whole') with transplanted weights."""
+    from ultralytics.nn.modules.RetNet import RelPos2d, RetBlock as RefRetBlock
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.zoo_r3 import RetBlock
+
+    dim, heads, h, w = 32, 4, 8, 6
+    torch.manual_seed(7)
+    ref = RefRetBlock(retention, dim, heads, dim)
+    relpos = RelPos2d(dim, heads, 2, 4)
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    ref.eval()
+
+    x = np.random.default_rng(5).normal(0, 1, (2, h, w, dim)).astype(np.float32)
+    with torch.no_grad():
+        rel = relpos((h, w), chunkwise_recurrent=retention == "chunk")
+        theirs = ref(torch.from_numpy(x), None, retention == "chunk", rel).numpy()
+
+    m = RetBlock(dim=dim, retention=retention, num_heads=heads)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, dim)), False)
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    p = {k: np.asarray(val) for k, val in jax.tree_util.tree_map(np.asarray, v["params"]).items()}
+
+    def lin(name, tkey):
+        p[name] = {"kernel": sd[f"{tkey}.weight"].T, "bias": sd[f"{tkey}.bias"]}
+
+    def dwc(name, tkey):
+        p[name] = {"kernel": sd[f"{tkey}.conv.weight"].transpose(2, 3, 1, 0),
+                   "bias": sd[f"{tkey}.conv.bias"]}
+
+    lin("q_proj", "retention.q_proj")
+    lin("k_proj", "retention.k_proj")
+    lin("v_proj", "retention.v_proj")
+    lin("out_proj", "retention.out_proj")
+    lin("fc1", "ffn.fc1")
+    lin("fc2", "ffn.fc2")
+    dwc("lepe", "retention.lepe")
+    dwc("pos", "pos")
+    p["ln1"] = {"scale": sd["retention_layer_norm.weight"], "bias": sd["retention_layer_norm.bias"]}
+    p["ln2"] = {"scale": sd["final_layer_norm.weight"], "bias": sd["final_layer_norm.bias"]}
+    ours = m.apply({"params": p}, jnp.asarray(x), False)
+    err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
+    assert err < 5e-4, f"{retention}: rel err {err}"

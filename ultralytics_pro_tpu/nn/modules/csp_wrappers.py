@@ -62,7 +62,7 @@ INNER_REGISTRY: Dict[str, Tuple[Callable, str]] = {
     "EMBC": (lambda: _get("backbones2", "MBConvV2"), "c2"),
     "MSBlock": (lambda: _get("zoo_r3", "MSBlock"), "c2"),
     "MSBlockv2": (lambda: _get("zoo_r3", "MSBlock"), "c2"),
-    "RetBlock": (lambda: _get("zoo_r3", "RetBlock"), "unit"),
+    "RetBlock": (lambda: _get("zoo_r3", "RetBlock"), "raw"),
     "Star_CAA": (lambda: _get("zoo_r3", "StarCAA"), "dim"),
     "RVB_EMA": (lambda: _get("zoo_r3", "RVB_EMA"), "dim"),
     "Faster_CGLU": (lambda: _get("zoo_r3", "FasterCGLU"), "dim"),
@@ -84,11 +84,18 @@ class GenericBottleneck(ConvBase):
     suffix: str = ""
     shortcut: bool = True
     e: float = 0.5
+    inner_kw: Tuple = ()  # extra ctor kwargs threaded to the inner module
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         loader, mode = INNER_REGISTRY[self.suffix]
         cls = loader()
+        ikw = dict(self.inner_kw)
+        if mode == "raw":
+            # channel-preserving block applied directly, no expand/skip — the
+            # reference's C2f_RetBlock pattern (RetNet.py:360: self.m are the
+            # blocks themselves, internal residuals only)
+            return cls(dim=self.c2, dtype=self.dtype, name="inner", **ikw)(x, train)
         if mode == "gate":
             y = Bottleneck(c2=self.c2, shortcut=False, k=(3, 3), e=self.e,
                            dtype=self.dtype, name="bottleneck")(x, train)
@@ -119,6 +126,7 @@ class GenericC2f(ConvBase):
     n: int = 1
     shortcut: bool = False
     e: float = 0.5
+    inner_kw: Tuple = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -127,7 +135,8 @@ class GenericC2f(ConvBase):
         ys = list(jnp.split(y, 2, axis=-1))
         for i in range(self.n):
             ys.append(GenericBottleneck(c2=c, suffix=self.suffix, shortcut=self.shortcut,
-                                        e=1.0, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+                                        e=1.0, inner_kw=self.inner_kw,
+                                        dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
         return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
 
 
@@ -139,6 +148,7 @@ class GenericC3(ConvBase):
     n: int = 1
     shortcut: bool = True
     e: float = 0.5
+    inner_kw: Tuple = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -147,7 +157,8 @@ class GenericC3(ConvBase):
         b = Conv(c2=c_, k=1, dtype=self.dtype, name="cv2")(x, train)
         for i in range(self.n):
             a = GenericBottleneck(c2=c_, suffix=self.suffix, shortcut=self.shortcut,
-                                  e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
+                                  e=1.0, inner_kw=self.inner_kw,
+                                  dtype=self.dtype, name=f"m_{i}")(a, train)
         return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
 
 

@@ -1085,15 +1085,79 @@ class MSBlock(ConvBase):
 
 
 class RetBlock(ConvBase):
-    """RetNet-style retention block (RMT lineage): LN -> decay-free parallel
-    retention approximated by elu+1 linear attention with per-head decay
-    weights folded into the kernel -> MLP. Channel-preserving; declared
-    approximation (COVERAGE.md): chunked recurrent form replaced by the
-    parallel linear form."""
+    """RetNet/RMT Manhattan-decay self-attention block — faithful to the
+    reference (RetNet.py:205 RetBlock; MaSA:147 'whole', MaSAd:24 'chunk'):
+    DW3x3 conv-pos residual, then LN -> retention -> residual, LN -> FFN ->
+    residual. Retention = softmax attention whose logits carry a per-head
+    Manhattan-distance decay bias (RelPos2d:268: decay_n = log(1-2^(-2-4n/N)))
+    plus a depthwise-5x5 LePE added to the attended values. 'chunk' mode
+    decomposes the attention per axis (width pass then height pass with 1D
+    |i-j| decay masks — O(L*(H+W)) and MXU-friendly); 'whole' attends over
+    the full L=H*W token grid with the 2D decay mask. Channel-preserving;
+    ffn_dim == dim as the C2f/C3 wrappers construct it (RetNet.py:338,360).
+    Decay masks are computed in-graph from the static grid (parameter-free)."""
+
+    dim: int = 0
+    retention: str = "chunk"
+    num_heads: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return MLLABlock(dtype=self.dtype, name="mlla")(x, train)
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        kd = c // nh
+        decay = jnp.log(1.0 - 2.0 ** (-2.0 - 4.0 * jnp.arange(nh, dtype=jnp.float32) / nh))
+
+        def dw(y, k, name):  # torch DWConv2d: plain grouped conv with bias
+            p = k // 2
+            return nn.Conv(y.shape[-1], (k, k), padding=((p, p), (p, p)),
+                           feature_group_count=y.shape[-1], use_bias=True,
+                           dtype=self.dtype, name=name, parent=self)(y)
+
+        x = x + dw(x, 3, "pos")
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln1", parent=self)(x)
+        q = nn.Dense(c, dtype=self.dtype, name="q_proj", parent=self)(y)
+        k = nn.Dense(c, dtype=self.dtype, name="k_proj", parent=self)(y) * (kd ** -0.5)
+        v = nn.Dense(c, dtype=self.dtype, name="v_proj", parent=self)(y)
+        lepe = dw(v, 5, "lepe")
+
+        qr = q.reshape(b, h, w, nh, kd)
+        kr = k.reshape(b, h, w, nh, kd)
+        vr = v.reshape(b, h, w, nh, kd)
+        if self.retention == "chunk":
+            iw = jnp.arange(w, dtype=jnp.float32)
+            ih = jnp.arange(h, dtype=jnp.float32)
+            mask_w = jnp.abs(iw[:, None] - iw[None, :])[None] * decay[:, None, None]
+            mask_h = jnp.abs(ih[:, None] - ih[None, :])[None] * decay[:, None, None]
+            # width pass: rows attend along w (reference MaSAd:76-84)
+            aw = jnp.einsum("bhind,bhjnd->bhnij", qr, kr) + mask_w[None, None].astype(qr.dtype)
+            aw = jax.nn.softmax(aw.astype(jnp.float32), -1).astype(qr.dtype)
+            v1 = jnp.einsum("bhnij,bhjnd->bhnid", aw, vr)  # (b, h, nh, w, kd)
+            # height pass: columns attend along h (reference MaSAd:87-95)
+            ah = jnp.einsum("biwnd,bjwnd->bwnij", qr, kr) + mask_h[None, None].astype(qr.dtype)
+            ah = jax.nn.softmax(ah.astype(jnp.float32), -1).astype(qr.dtype)
+            out = jnp.einsum("bwnij,bjnwd->bwnid", ah, v1)  # (b, w, nh, h, kd)
+            out = out.transpose(0, 3, 1, 2, 4).reshape(b, h, w, c)
+        else:  # 'whole': full-grid attention with the 2D Manhattan decay
+            gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                  jnp.arange(w, dtype=jnp.float32), indexing="ij")
+            grid = jnp.stack([gy.reshape(-1), gx.reshape(-1)], -1)  # (L, 2)
+            dist = jnp.abs(grid[:, None] - grid[None, :]).sum(-1)  # (L, L)
+            mask = dist[None] * decay[:, None, None]  # (nh, L, L)
+            l = h * w
+            ql = qr.reshape(b, l, nh, kd)
+            kl = kr.reshape(b, l, nh, kd)
+            vl = vr.reshape(b, l, nh, kd)
+            a = jnp.einsum("blnd,bmnd->bnlm", ql, kl) + mask[None].astype(ql.dtype)
+            a = jax.nn.softmax(a.astype(jnp.float32), -1).astype(ql.dtype)
+            out = jnp.einsum("bnlm,bmnd->blnd", a, vl).reshape(b, h, w, c)
+        out = out + lepe
+        x = x + nn.Dense(c, dtype=self.dtype, name="out_proj", parent=self)(out)
+
+        z = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln2", parent=self)(x)
+        z = nn.Dense(c, dtype=self.dtype, name="fc1", parent=self)(z)
+        z = nn.Dense(c, dtype=self.dtype, name="fc2", parent=self)(jax.nn.gelu(z))
+        return x + z
 
 
 class StarCAA(ConvBase):

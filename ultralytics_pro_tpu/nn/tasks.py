@@ -978,6 +978,25 @@ _register_backbones()
 # per inner module; csp_wrappers.py serves them from one factory)
 from ultralytics_pro_tpu.nn.modules.csp_wrappers import register_csp_wrappers  # noqa: E402
 
+
+def _build_csp_ret(topology):
+    """C2f/C3_RetBlock take (c2, retention, num_heads, shortcut) — the
+    retention mode and head count thread to the inner RetBlock
+    (reference RetNet.py:332,355)."""
+    from ultralytics_pro_tpu.nn.modules.csp_wrappers import GenericC2f, GenericC3
+
+    def build(a, n, w, d, mx, ctx):
+        cls = GenericC2f if topology == "C2f" else GenericC3
+        return cls, _kw(c2=_sc(a[0], w, mx), suffix="RetBlock", n=n,
+                        shortcut=False,  # RetBlock residuals are internal
+                        inner_kw=(("retention", _a(a, 1, "chunk")),
+                                  ("num_heads", _a(a, 2, 8))))
+    return build
+
+
+BUILDERS["C2f_RetBlock"] = _build_csp_ret("C2f")
+BUILDERS["C3_RetBlock"] = _build_csp_ret("C3")
+
 register_csp_wrappers(BUILDERS, _sc, _kw, _a)
 
 # alias rows onto wrapper-generated builders (reference spellings)

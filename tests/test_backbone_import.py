@@ -248,3 +248,62 @@ def test_retblock_parity(retention):
     ours = m.apply({"params": p}, jnp.asarray(x), False)
     err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
     assert err < 5e-4, f"{retention}: rel err {err}"
+
+
+def test_mllablock_parity():
+    """MLLABlock (gated elu+1 linear attention w/ RoPE + LePE) vs the
+    reference MLLABLock.py module with transplanted weights (NCHW in/out)."""
+    from ultralytics.nn.modules.MLLABLock import MLLABlock as RefMLLA
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.zoo_r3 import MLLABlock
+
+    dim, h, w = 32, 8, 8
+    torch.manual_seed(9)
+    ref = RefMLLA(dim, num_heads=4)
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    ref.eval()
+
+    # The reference ingests NCHW with a raw `.reshape(b, h*w, c)` — a memory
+    # reinterpretation, not a transpose (MLLABLock.py:231) — so its "tokens"
+    # are scrambled. Feed it an input whose reinterpretation IS a clean token
+    # grid: tokens (B, N, C) viewed as (B, C, H, W). Its output un-tokenizes
+    # properly (`x.transpose(2, 1).reshape(b, c, H, W)`), so outputs compare
+    # directly. Our block implements the intended (paper/MLLA.py) semantics.
+    tokens = np.random.default_rng(6).normal(0, 1, (2, h * w, dim)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(tokens).reshape(2, dim, h, w)).numpy().transpose(0, 2, 3, 1)
+    x = tokens.reshape(2, h, w, dim)
+
+    m = MLLABlock(dim=dim)  # auto heads = max(1, dim//64), like the reference
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, dim)), False)
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    p = dict(jax.tree_util.tree_map(np.asarray, v["params"]))
+
+    def lin(name, tkey):
+        p[name] = {"kernel": sd[f"{tkey}.weight"].T, "bias": sd[f"{tkey}.bias"]}
+
+    def dwc(name, tkey):
+        p[name] = {"kernel": sd[f"{tkey}.weight"].transpose(2, 3, 1, 0),
+                   "bias": sd[f"{tkey}.bias"]}
+
+    dwc("cpe1", "cpe1")
+    dwc("cpe2", "cpe2")
+    dwc("dwc", "dwc")
+    dwc("lepe", "attn.lepe")
+    lin("in_proj", "in_proj")
+    lin("act_proj", "act_proj")
+    lin("qk", "attn.qk")
+    lin("out_proj", "out_proj")
+    lin("mlp_fc1", "mlp.fc1")
+    lin("mlp_fc2", "mlp.fc2")
+    p["norm1"] = {"scale": sd["norm1.weight"], "bias": sd["norm1.bias"]}
+    p["norm2"] = {"scale": sd["norm2.weight"], "bias": sd["norm2.bias"]}
+    ours = m.apply({"params": p}, jnp.asarray(x), False)
+    err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
+    assert err < 5e-4, f"rel err {err}"

@@ -744,22 +744,41 @@ class Down_wt(ConvBase):
 
 class MLLABlock(ConvBase):
     """Mamba-like linear attention block (reference MLLABLock.py): CPE dwconv
-    residual, LN, gated (SiLU) linear attention with elu+1 kernel and LePE
-    dwconv, out proj, CPE2, LN + MLP. RoPE omitted (declared approximation:
-    COVERAGE.md). Channel-preserving; accepts NHWC."""
+    residual, LN, gated (SiLU) linear attention with elu+1 kernel, RoPE on
+    q/k (reference RoPE :96 — parameter-free rotation of channel pairs by
+    grid-position angles; the reference's broadcast rotates along the W axis
+    and assumes square maps, reproduced here with true per-axis indices so
+    rectangular maps also work), LePE dwconv, out proj, CPE2, LN + MLP.
+    Channel-preserving; accepts NHWC."""
 
     dim: int = 0  # inferred from input; kept for wrapper-kwarg compat
     mlp_ratio: float = 4.0
+    num_heads: int = 0  # 0 = auto: the reference OVERRIDES its num_heads arg
+    # with max(1, dim // 64) (MLLABLock.py MLLABlock.__init__)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
-        nh = max(1, c // 64)
+        nh = self.num_heads if self.num_heads and c % self.num_heads == 0 else max(1, c // 64)
         hd = c // nh
+
+        def rope(t):
+            """Rotate adjacent channel pairs by angle = w-index * theta_k
+            (reference MLLABLock.py RoPE.forward with h==w)."""
+            k_max = c // 2
+            theta = 1.0 / (10000.0 ** (jnp.arange(k_max, dtype=jnp.float32) / k_max))
+            ang = jnp.arange(w, dtype=jnp.float32)[:, None] * theta[None]  # (w, k_max)
+            cos = jnp.cos(ang).astype(t.dtype)
+            sin = jnp.sin(ang).astype(t.dtype)
+            tr = t.reshape(b, h, w, k_max, 2)
+            re, im = tr[..., 0], tr[..., 1]
+            out = jnp.stack([re * cos - im * sin, re * sin + im * cos], -1)
+            return out.reshape(b, h, w, c)
+
         x = x + nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
                         dtype=self.dtype, name="cpe1")(x)
         t = x.reshape(b, h * w, c)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(t)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(t)  # torch LN default eps
         gate = jax.nn.silu(nn.Dense(c, dtype=self.dtype, name="act_proj")(y))
         v = nn.Dense(c, dtype=self.dtype, name="in_proj")(y)
         v = v.reshape(b, h, w, c)
@@ -770,12 +789,16 @@ class MLLABlock(ConvBase):
         q = jax.nn.elu(q) + 1.0
         k = jax.nn.elu(k) + 1.0
         n = h * w
+        q_rope = rope(q.reshape(b, h, w, c)).reshape(b, n, nh, hd).swapaxes(1, 2)
+        k_rope = rope(k.reshape(b, h, w, c)).reshape(b, n, nh, hd).swapaxes(1, 2)
         qh = q.reshape(b, n, nh, hd).swapaxes(1, 2)
         kh = k.reshape(b, n, nh, hd).swapaxes(1, 2)
         vh = v.reshape(b, n, nh, hd).swapaxes(1, 2)
+        # normalizer from un-rotated q/k; content path through rotated q/k
+        # (reference MLLABLock.py :178-181)
         z = 1.0 / (jnp.einsum("bhnd,bhd->bhn", qh, kh.mean(2)) + 1e-6)
-        kv = jnp.einsum("bhnd,bhne->bhde", kh / n ** 0.5, vh / n ** 0.5)
-        att = jnp.einsum("bhnd,bhde->bhne", qh, kv) * z[..., None]
+        kv = jnp.einsum("bhnd,bhne->bhde", k_rope / n ** 0.5, vh / n ** 0.5)
+        att = jnp.einsum("bhnd,bhde->bhne", q_rope, kv) * z[..., None]
         att = att.swapaxes(1, 2).reshape(b, n, c)
         # LePE positional term on v
         lepe = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
@@ -786,9 +809,10 @@ class MLLABlock(ConvBase):
         x = x + nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
                         dtype=self.dtype, name="cpe2")(x)
         t = x.reshape(b, h * w, c)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(t)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(t)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(jax.nn.gelu(y))
+        # exact-erf GELU (torch nn.GELU default; jax defaults to tanh approx)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(jax.nn.gelu(y, approximate=False))
         return (t + y).reshape(b, h, w, c)
 
 

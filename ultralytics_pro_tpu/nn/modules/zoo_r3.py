@@ -1461,12 +1461,68 @@ class MFAM(ConvBase):
         return Conv(c2=self.c2, k=1, dtype=self.dtype, name="proj")(acc * g, train)
 
 
+def _frgabor_bank(k: int, order: float, angles, scales):
+    """Fractional-Gabor kernel bank (reference SFSConv.py:78-97): one (k, k)
+    map per (angle, scale) pair, exp(-((x'^2+(y'/s)^2)^order)) * cos(2*pi*x'/s)
+    on a rotated [-1,1] grid. Returned as the init values of the learnable
+    modulation maps (the reference wraps each in nn.Parameter)."""
+    import numpy as _np
+
+    maps = []
+    for angle in angles:
+        for scale in scales:
+            xx, yy = _np.meshgrid(_np.linspace(-1, 1, k), _np.linspace(-1, 1, k))
+            xt = xx * _np.cos(angle) + yy * _np.sin(angle)
+            yt = -xx * _np.sin(angle) + yy * _np.cos(angle)
+            maps.append(_np.exp(-((xt ** 2 + (yt / scale) ** 2) ** order))
+                        * _np.cos(2 * _np.pi * xt / scale))
+    return _np.stack(maps).astype(_np.float32)  # (n_maps, k, k)
+
+
+class _GaborSingle(ConvBase):
+    """GaborSingle (reference SFSConv.py:108): learnable base kernel t
+    modulated by the summed learnable Gabor maps, then conv + relu + the
+    shifted 2x2 max-pool smoothing. The reference's unconditional F.dropout
+    (applied even in eval — a torch bug) is omitted: inference is
+    deterministic and training regularization is unaffected at p=0 there."""
+
+    c1: int = 0
+    c2: int = 0
+    k: int = 3
+    order: float = 0.25
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        angles = (0, 45, 90, 135)  # radians-as-integers, as the reference passes them
+        scales = (1, 2, 3, 4)
+        bank0 = _frgabor_bank(self.k, self.order, angles, scales)
+        # reference: ParameterList of (out, 1, k, k) maps, each initialized to
+        # one Gabor map repeated over out channels; summed before modulating t
+        gmaps = self.param("gabor_maps",
+                           lambda rng: jnp.asarray(bank0)[:, None, :, :].repeat(self.c2, 1),
+                           )  # (n_maps, c2, k, k)
+        t = self.param("t", nn.initializers.normal(1.0), (self.c2, self.c1, self.k, self.k))
+        kernel = (gmaps.sum(0)[:, None] * t).astype(self.dtype)  # (c2, c1, k, k)
+        kernel = kernel.transpose(2, 3, 1, 0)  # HWIO
+        p = (self.k - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = jax.nn.relu(y)
+        # F.pad left/top + 2x2 stride-1 max-pool (reference :126-127)
+        y = jnp.pad(y, ((0, 0), (1, 0), (1, 0), (0, 0)))
+        return nn.max_pool(y, (2, 2), strides=(1, 1))
+
+
 class SFS_Conv(ConvBase):
-    """Separated frequency/spatial conv (reference SFSConv.py:255): pw halves;
-    spatial branch = DW conv; frequency branch = Gabor-like fixed-frequency DW
-    filters (approximated by dilated DW conv, COVERAGE.md); softmax-gated sum."""
+    """Separated frequency/spatial conv — faithful to the reference
+    (SFSConv.py:255 SFS_Conv): PWC halves; spatial path SPU (split-half DW k3,
+    DW k5 on the sum, 1x1, +res); frequency path GaborFPU (one SHARED
+    fractional-Gabor-modulated conv applied to 4 channel groups, 1x1, +res);
+    concat -> softmax over pooled channels gate -> halves summed -> 1x1."""
 
     c2: int = 0
+    order: float = 0.25
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -1474,10 +1530,25 @@ class SFS_Conv(ConvBase):
         h = c // 2
         a = Conv(c2=h, k=1, dtype=self.dtype, name="pwc0")(x, train)
         bfr = Conv(c2=h, k=1, dtype=self.dtype, name="pwc1")(x, train)
-        spa = Conv(c2=self.c2, k=3, g=math_gcd(h, self.c2), dtype=self.dtype,
-                   name="spu")(a, train)
-        fre = nn.Conv(self.c2, (3, 3), padding="SAME", kernel_dilation=(2, 2),
-                      dtype=self.dtype, name="fpu")(bfr)
+
+        # SPU (reference :237-253): in = h channels
+        q = h // 2
+        s1 = Conv(c2=q, k=3, g=q, dtype=self.dtype, name="spu_c1")(a[..., :q], train)
+        s2 = Conv(c2=q, k=5, g=q, dtype=self.dtype, name="spu_c2")(a[..., q:] + s1, train)
+        spa = Conv(c2=self.c2, k=1, dtype=self.dtype, name="spu_c3")(
+            jnp.concatenate([s1, s2], -1), train)
+        if spa.shape[-1] == a.shape[-1]:
+            spa = spa + a
+
+        # GaborFPU (reference :129-152): shared GaborSingle over 4 groups
+        g = h // 4
+        gs = _GaborSingle(c1=g, c2=self.c2 // 4, order=self.order,
+                          dtype=self.dtype, name="fpu_gabor")
+        fre = jnp.concatenate([gs(bfr[..., i * g:(i + 1) * g], train) for i in range(4)], -1)
+        fre = nn.Conv(self.c2, (1, 1), dtype=self.dtype, name="fpu_fc")(fre)
+        if fre.shape[-1] == bfr.shape[-1]:
+            fre = fre + bfr
+
         both = jnp.concatenate([spa, fre], -1)
         gate = jax.nn.softmax(both.mean(axis=(1, 2), keepdims=True), axis=-1)
         both = both * gate

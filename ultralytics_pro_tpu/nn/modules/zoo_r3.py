@@ -170,6 +170,44 @@ class DepthSepConv(ConvBase):
         return jax.nn.hard_swish(_bn(self, "bn2", y, train))
 
 
+class RepViTBlockY(ConvBase):
+    """Yaml-form RepViTBlock, faithful to the reference module's stride-2
+    branch (repvit.py:107-119): token mixer = DW k3 s2 + SE(0.25) + PW to
+    oup; channel mixer = Residual(PW 2*oup -> GELU -> PW-linear, zero-init
+    BN). Note the reference's own yolov8-RepViTBlock.yaml args fail the
+    module's `hidden_dim == 2*inp` assert, so that yaml cannot build
+    upstream; this follows the module semantics with the yaml's oup."""
+
+    c2: int = 0
+    k: int = 3
+    s: int = 2
+    use_se: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        p = (self.k - 1) // 2
+        t = nn.Conv(c1, (self.k, self.k), strides=(self.s, self.s),
+                    padding=((p, p), (p, p)), feature_group_count=c1,
+                    use_bias=False, dtype=self.dtype, name="dw")(x)
+        t = _bn(self, "dw_bn", t, train)
+        if self.use_se:
+            from ultralytics_pro_tpu.nn.modules.backbones2 import _se as _se2
+
+            t = _se2(self, t, c1, "se", r=4, gate=jax.nn.sigmoid)
+        t = nn.Conv(self.c2, (1, 1), use_bias=False, dtype=self.dtype, name="pw")(t)
+        t = _bn(self, "pw_bn", t, train)
+        y = nn.Conv(2 * self.c2, (1, 1), use_bias=False, dtype=self.dtype, name="fc1")(t)
+        y = jax.nn.gelu(_bn(self, "fc1_bn", y, train))
+        y = nn.Conv(self.c2, (1, 1), use_bias=False, dtype=self.dtype, name="fc2")(y)
+        # bn_weight_init=0 on the projection (reference Residual branch)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         use_fast_variance=False, epsilon=BN_EPS,
+                         scale_init=nn.initializers.zeros, dtype=self.dtype,
+                         name="fc2_bn", parent=self)(y)
+        return t + y
+
+
 class mobilev3_bneck(ConvBase):
     """MobileNetV3 inverted residual (reference block.py:5159): optional PW
     expand, DW k/s, optional SE, HS/ReLU, PW-linear; identity residual when

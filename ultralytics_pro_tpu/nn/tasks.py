@@ -829,11 +829,12 @@ BUILDERS.update({
         _cx().ODConv2d, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
     "DynamicConv_Single": lambda a, n, w, d, mx, ctx: (
         _cx().ODConv2d, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
-    # yaml [inp, hidden, oup] + stride-2 token mixer (reference repvit.py:96)
+    # yaml [inp, hidden, oup]: the reference module's stride-2 token-mixer
+    # branch (repvit.py:107) — its own yaml args fail the module's
+    # hidden==2*inp assert upstream, see zoo_r3.RepViTBlockY
     "RepViTBlock": lambda a, n, w, d, mx, ctx: (
-        _z3().mobilev3_bneck, _kw(c2=_sc(a[2], w, mx) if len(a) > 2 else _sc(a[0], w, mx),
-                                  hidden=_sc(a[1], w, mx) if len(a) > 1 else _sc(a[0], w, mx),
-                                  k=3, s=2, use_se=True, use_hs=False)),
+        _z3().RepViTBlockY, _kw(c2=_sc(a[2], w, mx) if len(a) > 2 else _sc(a[0], w, mx),
+                                k=3, s=2, use_se=True)),
     "OREPA_2": lambda a, n, w, d, mx, ctx: (
         _rep().OREPA, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
     "HyperComputeModule_11": lambda a, n, w, d, mx, ctx: (

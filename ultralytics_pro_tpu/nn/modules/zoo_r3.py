@@ -966,12 +966,36 @@ class InstanceNorm2d(ConvBase):
         return (x - m) / jnp.sqrt(v + 1e-5)
 
 
+class RepNCSPAK(ConvBase):
+    """RepNCSP with AKConv stems (reference block.py:5601 RepNCSP_AKConv):
+    cv1/cv2/cv3 are AKConv(num_param=5) instead of 1x1 Convs; the
+    RepNBottleneck chain is unchanged."""
+
+    c2: int = 0
+    n: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.conv_extra import AKConv
+        from ultralytics_pro_tpu.nn.modules.v9v10v12 import RepNBottleneck
+
+        c_ = int(self.c2 * self.e)
+        a = AKConv(c2=c_, num_param=5, s=1, dtype=self.dtype, name="cv1")(x, train)
+        b = AKConv(c2=c_, num_param=5, s=1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = RepNBottleneck(c2=c_, e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return AKConv(c2=self.c2, num_param=5, s=1, dtype=self.dtype,
+                      name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
 class ELAN4V(ConvBase):
     """GELAN (RepNCSPELAN4) with selectable branch blocks — serves the
     reference's OREPANCSPELAN4 / RepNCSPELAN4AKConv / KANRepNCSPELAN4 /
     FasterRepNCSPELAN4 variant classes (block.py:5593-5650) from one
-    topology. variant picks the per-branch tail op; the RepNCSP core is
-    shared (declared approximation for AKConv stems: COVERAGE.md)."""
+    topology. variant picks the per-branch CSP core + tail op: 'ak' uses the
+    faithful AKConv-stem RepNCSP cores, plain Conv k3 tails, and an
+    AKConv(num_param=1) cv4, exactly as block.py:5611-5617."""
 
     c2: int = 0
     c3: int = 0
@@ -980,13 +1004,11 @@ class ELAN4V(ConvBase):
     variant: str = "rep"
 
     def _tail(self, c4, i):
-        from ultralytics_pro_tpu.nn.modules import conv_extra, reparam
-        from ultralytics_pro_tpu.nn.modules.backbones2 import FastKANConv2D, PConvBlock
+        from ultralytics_pro_tpu.nn.modules import reparam
+        from ultralytics_pro_tpu.nn.modules.backbones2 import FastKANConv2D
 
         if self.variant == "orepa":
             return reparam.OREPA(c2=c4, k=3, s=1, dtype=self.dtype, name=f"tail_{i}")
-        if self.variant == "ak":
-            return conv_extra.AKConv(c2=c4, num_param=5, s=1, dtype=self.dtype, name=f"tail_{i}")
         if self.variant == "kan":
             return FastKANConv2D(c2=c4, k=3, s=1, dtype=self.dtype, name=f"tail_{i}")
         if self.variant == "faster":
@@ -996,19 +1018,28 @@ class ELAN4V(ConvBase):
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ultralytics_pro_tpu.nn.modules.backbones2 import PConvBlock
+        from ultralytics_pro_tpu.nn.modules.conv_extra import AKConv
         from ultralytics_pro_tpu.nn.modules.v9v10v12 import RepNCSP
 
         y = Conv(c2=self.c3, k=1, dtype=self.dtype, name="cv1")(x, train)
         ys = list(jnp.split(y, 2, axis=-1))
         z = ys[-1]
         for bi in range(2):
+            if self.variant == "ak":  # AKConv stems inside the CSP core
+                z = RepNCSPAK(c2=self.c4, n=self.n, dtype=self.dtype, name=f"csp_{bi}")(z, train)
+                z = Conv(c2=self.c4, k=3, dtype=self.dtype, name=f"tail_{bi}")(z, train)
+                ys.append(z)
+                continue
             z = RepNCSP(c2=self.c4, n=self.n, dtype=self.dtype, name=f"csp_{bi}")(z, train)
             if self.variant == "faster":
                 z = PConvBlock(dim=self.c4, dtype=self.dtype, name=f"tail_{bi}")(z, train)
             else:
                 z = self._tail(self.c4, bi)(z, train)
             ys.append(z)
-        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
+        cat = jnp.concatenate(ys, -1)
+        if self.variant == "ak":  # reference cv4 = AKConv(c3+2c4, c2, 1, 1)
+            return AKConv(c2=self.c2, num_param=1, s=1, dtype=self.dtype, name="cv4")(cat, train)
+        return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv4")(cat, train)
 
 
 class RepNCSPELAN4_high(ConvBase):

@@ -49,7 +49,7 @@ INNER_REGISTRY: Dict[str, Tuple[Callable, str]] = {
     "WTConv": (lambda: _get("backbones3", "WTConv"), "dim"),
     "ConvNeXtV2Block": (lambda: _get("backbones", "ConvNeXtBlock"), "dim"),
     "iRMB": (lambda: _get("backbones2", "MBConvV2"), "c2"),
-    "DynamicConv": (lambda: _get("conv_extra", "ODConv2d"), "c2"),
+    "DynamicConv": (lambda: _get("zoo_r3", "DynamicConv"), "c2"),
     "UniRepLKNetBlock": (lambda: _get("reparam", "UniRepLKNetBlock"), "dimk"),
     # round-3 inners (zoo_r3.py): mode "unit" = channel-preserving block that
     # fully replaces the bottleneck after a 1x1 expand

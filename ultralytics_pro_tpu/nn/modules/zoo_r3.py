@@ -1307,18 +1307,51 @@ class FasterEMA(ConvBase):
         return EMA(dtype=self.dtype, name="ema")(y, train)
 
 
+class DynamicConv(ConvBase):
+    """CondConv dynamic expert conv — faithful to the reference
+    (C2fGhostModuleDynamicConv.py:23 DynamicConv = sigmoid routing over 4
+    timm CondConv2d experts). The per-sample mixed-kernel conv is computed
+    as the routing-weighted sum of the K expert convs — mathematically
+    identical (conv is linear in its kernel) and MXU-friendly: K dense
+    batched convs instead of per-sample grouped kernels."""
+
+    c2: int = 0
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    num_experts: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pooled = x.mean(axis=(1, 2))
+        route = jax.nn.sigmoid(
+            nn.Dense(self.num_experts, dtype=self.dtype, name="routing")(pooled))  # (B, K)
+        p = self.k // 2
+        out = 0.0
+        for e in range(self.num_experts):
+            y = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                        padding=((p, p), (p, p)), feature_group_count=self.g,
+                        use_bias=False, dtype=self.dtype, name=f"expert{e}")(x)
+            out = out + y * route[:, e][:, None, None, None]
+        return out
+
+
 class GhostDynamicConv(ConvBase):
-    """GhostModule + dynamic (omni-dimensional) conv (C2f_GhostModule_
-    DynamicConv inner)."""
+    """GhostModule built from DynamicConv experts (reference
+    C2fGhostModuleDynamicConv.py:78 GhostModule: primary DynamicConv k1 +
+    cheap depthwise DynamicConv k3, concat)."""
 
     c2: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from ultralytics_pro_tpu.nn.modules.conv_extra import ODConv2d
-
-        y = GhostConv(c2=self.c2, k=1, dtype=self.dtype, name="ghost")(x, train)
-        return ODConv2d(c2=self.c2, k=3, s=1, dtype=self.dtype, name="dyn")(y, train)
+        half = self.c2 - self.c2 // 2  # init_channels = ceil(oup/2)
+        y = DynamicConv(c2=half, k=1, dtype=self.dtype, name="primary")(x, train)
+        y = jax.nn.relu(_bn(self, "bn1", y, train))
+        z = DynamicConv(c2=self.c2 - half, k=3, g=half if half == self.c2 - half else 1,
+                        dtype=self.dtype, name="cheap")(y, train)
+        z = jax.nn.relu(_bn(self, "bn2", z, train))
+        return jnp.concatenate([y, z], -1)
 
 
 class iRMB(ConvBase):

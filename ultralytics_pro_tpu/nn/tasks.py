@@ -828,7 +828,7 @@ BUILDERS.update({
     "DynamicConv": lambda a, n, w, d, mx, ctx: (
         _cx().ODConv2d, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
     "DynamicConv_Single": lambda a, n, w, d, mx, ctx: (
-        _cx().ODConv2d, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+        _z3().DynamicConv, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
     # yaml [inp, hidden, oup]: the reference module's stride-2 token-mixer
     # branch (repvit.py:107) — its own yaml args fail the module's
     # hidden==2*inp assert upstream, see zoo_r3.RepViTBlockY

@@ -1366,9 +1366,10 @@ class iRMB(ConvBase):
 
 
 class TorchVisionBackbone(ConvBase):
-    """`TorchVision` yaml module equivalent: native ResNet-18/34 stages built
-    from this repo's blocks (reference TorchVision wraps torchvision models;
-    zero-egress build recreates the named topology). Emits the final stage."""
+    """`TorchVision` yaml module equivalent: native ResNet stages built from
+    this repo's blocks (reference TorchVision wraps torchvision models;
+    zero-egress build recreates the named topology — basic blocks for 18/34,
+    4x-expansion bottlenecks for 50/101/152). Emits the final stage."""
 
     model: str = "resnet18"
 
@@ -1376,14 +1377,17 @@ class TorchVisionBackbone(ConvBase):
     def __call__(self, x, train: bool = False):
         from ultralytics_pro_tpu.nn.modules.block import ResNetLayer
 
-        depths = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}.get(self.model)
-        if depths is None:
+        cfg = {"resnet18": ((2, 2, 2, 2), 1), "resnet34": ((3, 4, 6, 3), 1),
+               "resnet50": ((3, 4, 6, 3), 4), "resnet101": ((3, 4, 23, 3), 4),
+               "resnet152": ((3, 8, 36, 3), 4)}.get(self.model)
+        if cfg is None:
             raise NotImplementedError(
                 f"TorchVision model '{self.model}' not available in the TPU build; "
-                "supported: resnet18, resnet34")
+                "supported: resnet18/34/50/101/152")
+        depths, e = cfg
         x = ResNetLayer(c2=64, s=1, is_first=True, dtype=self.dtype, name="stem")(x, train)
         for si, (c, n0) in enumerate(zip((64, 128, 256, 512), depths)):
-            x = ResNetLayer(c2=c, s=1 if si == 0 else 2, n=n0, e=1, dtype=self.dtype,
+            x = ResNetLayer(c2=c, s=1 if si == 0 else 2, n=n0, e=e, dtype=self.dtype,
                             name=f"layer{si + 1}")(x, train)
         return x
 

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ultralytics_pro_tpu.nn.modules.backbones2 import _bn
 from ultralytics_pro_tpu.nn.modules.conv import Conv, ConvBase, DWConv
 
 
@@ -270,6 +271,58 @@ class ResNetBackbone(ConvBase):
         return outs
 
 
+class MoEResNetBackbone(ConvBase):
+    """ResNet with per-sample hard expert routing — faithful to the reference
+    (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
+    SimpleRouter (avg-pool + Linear -> n_expert scores); every conv inside
+    the residual blocks is a MoEConv — one conv producing c2*E channels from
+    which the argmax expert's slice is selected per sample via a
+    straight-through one-hot (GetMask.backward passes the one-hot gradient
+    to the scores) and summed. Returns the 4 stage maps."""
+
+    depths: Sequence[int] = (2, 2, 2, 2)
+    n_expert: int = 5  # reference factory default when use_moe (ResNet_MoE.py:377)
+
+    def _moe_conv(self, x, c2, k, s, name, gate):
+        p = k // 2
+        y = nn.Conv(c2 * self.n_expert, (k, k), strides=(s, s),
+                    padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
+                    name=name, parent=self)(x)
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h, w, self.n_expert, c2) * gate[:, None, None, :, None]
+        return y.sum(3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # plain stem: conv7 s2 + BN + relu + maxpool3 s2 (reference :196-200)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = jax.nn.relu(_bn(self, "bn1", x, train))
+        x = nn.max_pool(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                                constant_values=-jnp.inf), (3, 3), strides=(2, 2))
+        # router on the pooled stem features (reference forward :308-320)
+        scores = nn.Dense(self.n_expert, dtype=self.dtype,
+                          name="router")(x.mean(axis=(1, 2)))
+        oh = jax.nn.one_hot(jnp.argmax(scores, -1), self.n_expert, dtype=x.dtype)
+        gate = oh + scores.astype(x.dtype) - jax.lax.stop_gradient(scores.astype(x.dtype))
+
+        outs = []
+        for si, (c, n0) in enumerate(zip((64, 128, 256, 512), self.depths)):
+            for bi in range(n0):
+                s = 2 if (si > 0 and bi == 0) else 1
+                idn = x
+                y = self._moe_conv(x, c, 3, s, f"l{si}_b{bi}_conv1", gate)
+                y = jax.nn.relu(_bn(self, f"l{si}_b{bi}_bn1", y, train))
+                y = self._moe_conv(y, c, 3, 1, f"l{si}_b{bi}_conv2", gate)
+                y = _bn(self, f"l{si}_b{bi}_bn2", y, train)
+                if s != 1 or idn.shape[-1] != c:
+                    idn = self._moe_conv(idn, c, 1, s, f"l{si}_b{bi}_down", gate)
+                    idn = _bn(self, f"l{si}_b{bi}_down_bn", idn, train)
+                x = jax.nn.relu(y + idn)
+            outs.append(x)
+        return outs
+
+
 def _register_alias_variants():
     from ultralytics_pro_tpu.nn.modules.backbones import (
         BACKBONE_VARIANTS as B1,
@@ -296,7 +349,7 @@ def _register_alias_variants():
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "QARepVGG_A0": (RepVGGBackbone, ()),
         "kw_resnet18": (ResNetBackbone, ()),
-        "resnet18_moe": (ResNetBackbone, ()),
+        "resnet18_moe": (MoEResNetBackbone, ()),
         "uni_resnet50": (ResNetBackbone, tuple(dict(
             depths=(3, 4, 6, 3), e=4).items())),
         # Slab variants: linear-attention re-params of Swin/PVT — served by

@@ -271,6 +271,63 @@ class ResNetBackbone(ConvBase):
         return outs
 
 
+class RepLKNetBackbone(ConvBase):
+    """RepLKNet — faithful to the reference (RepLKNet.py:187): 4-conv stem
+    (conv3s2, dw3, 1x1, dw3s2), stages of [RepLKBlock, ConvFFN] pairs where
+    RepLKBlock = preBN -> 1x1(bn,relu) -> reparam large-kernel DW (31/29/27/13
+    + parallel small-5 branch, deploy-fusable) -> relu -> 1x1(bn) -> residual,
+    ConvFFN = preBN -> 1x1 -> GELU -> 1x1 -> residual; 1x1 + dw3s2
+    transitions. 31B config: channels (128,256,512,1024), layers (2,2,18,2)."""
+
+    dims: Sequence[int] = (128, 256, 512, 1024)
+    depths: Sequence[int] = (2, 2, 18, 2)
+    lk_sizes: Sequence[int] = (31, 29, 27, 13)
+    small_kernel: int = 5
+    ffn_ratio: int = 4
+
+    def _cbr(self, x, c, k, s, g, name, train, act=True):
+        p = k // 2
+        y = nn.Conv(c, (k, k), strides=(s, s), padding=((p, p), (p, p)),
+                    feature_group_count=g, use_bias=False, dtype=self.dtype,
+                    name=name, parent=self)(x)
+        y = _bn(self, f"{name}_bn", y, train)
+        return jax.nn.relu(y) if act else y
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w0 = self.dims[0]
+        x = self._cbr(x, w0, 3, 2, 1, "stem0", train)
+        x = self._cbr(x, w0, 3, 1, w0, "stem1", train)
+        x = self._cbr(x, w0, 1, 1, 1, "stem2", train)
+        x = self._cbr(x, w0, 3, 2, w0, "stem3", train)
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            lk = self.lk_sizes[si]
+            for bi in range(self.depths[si]):
+                # RepLKBlock
+                y = _bn(self, f"s{si}_b{bi}_prebn", x, train)
+                y = self._cbr(y, c, 1, 1, 1, f"s{si}_b{bi}_pw1", train)
+                big = self._cbr(y, c, lk, 1, c, f"s{si}_b{bi}_lk", train, act=False)
+                small = self._cbr(y, c, self.small_kernel, 1, c,
+                                  f"s{si}_b{bi}_sk", train, act=False)
+                y = jax.nn.relu(big + small)
+                y = self._cbr(y, c, 1, 1, 1, f"s{si}_b{bi}_pw2", train, act=False)
+                x = x + y
+                # ConvFFN
+                y = _bn(self, f"s{si}_b{bi}_ffnbn", x, train)
+                y = self._cbr(y, c * self.ffn_ratio, 1, 1, 1, f"s{si}_b{bi}_f1", train, act=False)
+                y = jax.nn.gelu(y)
+                y = self._cbr(y, c, 1, 1, 1, f"s{si}_b{bi}_f2", train, act=False)
+                x = x + y
+            outs.append(x)
+            if si < 3:
+                c2 = self.dims[si + 1]
+                x = self._cbr(x, c2, 1, 1, 1, f"t{si}_pw", train)
+                x = self._cbr(x, c2, 3, 2, c2, f"t{si}_dw", train)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -340,9 +397,7 @@ def _register_alias_variants():
     BACKBONE_VARIANTS4.update({
         "wtconvnext_small": (WTConvNeXt, tuple(dict(
             dims=(96, 192, 384, 768), depths=(3, 3, 27, 3)).items())),
-        "RepLKNet31B": (UniRepLKNet, tuple(dict(
-            dims=(128, 256, 512, 1024)).items())) if _has_dims(UniRepLKNet)
-        else (UniRepLKNet, ()),
+        "RepLKNet31B": (RepLKNetBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(
@@ -357,10 +412,6 @@ def _register_alias_variants():
         "SlabSwinTransformer_T": B1["SwinTransformer_Tiny"],
         "slab_pvt_v2_b0": B1["pvt_v2_b0"],
     })
-
-
-def _has_dims(cls):
-    return "dims" in getattr(cls, "__dataclass_fields__", {})
 
 
 _register_alias_variants()

@@ -375,3 +375,41 @@ def test_sfs_conv_parity():
     # our YOLO Conv uses BN eps=1e-3 vs the reference's local Conv 1e-5; with
     # var ~ [0.75, 1.25] the eps mismatch bounds the error at ~1e-3
     assert err < 5e-3, f"rel err {err}"
+
+
+def test_vheat_import_parity():
+    """Faithful vHeat (DCT heat-conduction) backbone vs the reference
+    vHeat.py:227 with transplanted weights — both the matched-resolution path
+    (freq_embed used as-is) and the bilinear-resized freq path."""
+    from ultralytics.nn.modules.vHeat import vHeat as RefVHeat
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import vheat_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import VHeatBackbone
+
+    torch.manual_seed(7)
+    ref = RefVHeat(depths=[1, 1, 2, 1], dims=[16, 32, 64, 128], img_size=64,
+                   post_norm=False, drop_path_rate=0.0, num_classes=8)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.03)
+
+    m = VHeatBackbone(dims=(16, 32, 64, 128), depths=(1, 1, 2, 1), img_size=64)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = vheat_state_dict_to_flax(v, sd, strict=True)
+
+    # matched resolution: 64px input -> H == freq res at every stage
+    x = np.random.default_rng(2).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)
+
+    # resized-freq path: 96px input -> bilinear freq interpolation on both sides
+    x2 = np.random.default_rng(3).normal(0, 1, (1, 3, 96, 96)).astype(np.float32)
+    theirs2 = _stage_outs_torch(ref, x2)
+    ours2 = m.apply(v, jnp.asarray(x2.transpose(0, 2, 3, 1)))
+    _assert_close(ours2, theirs2, tol=2e-3)

@@ -32,7 +32,7 @@ import numpy as np
 
 __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "swin_state_dict_to_flax", "efficientformerv2_state_dict_to_flax",
-           "load_backbone_checkpoint"]
+           "vheat_state_dict_to_flax", "load_backbone_checkpoint"]
 
 
 def _conv_w(w):
@@ -380,6 +380,86 @@ def efficientformerv2_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool
     return tree
 
 
+def vheat_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """vHeat backbone (reference vHeat.py:227).
+
+    Torch layout: patch_embed.{conv1,norm1.1,conv2,norm2.1}; freq_embed.{i}
+    (res,res,C) parameters; stages.{s}.{b}.{norm1,norm2,op.*,mlp.fc1/fc2}
+    where op = Heat2D {dwconv, linear, to_k.0, out_norm, out_linear} and the
+    mlp fc layers are 1x1 Conv2d (channels_first); downsamples.{s}.{0:conv,
+    1:LayerNorm2d}; classifier.* ignored."""
+    tree = _deep_dict(variables)
+    written = set()
+    for tkey, w in sd.items():
+        w = np.asarray(w, np.float32)
+        if tkey.startswith("classifier."):
+            continue
+        m = re.match(r"patch_embed\.conv(\d)\.(weight|bias)$", tkey)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            _set(tree, ["params", f"stem_conv{m.group(1)}", leaf],
+                 _conv_w(w) if leaf == "kernel" else w, written)
+            continue
+        m = re.match(r"patch_embed\.norm(\d)\.1\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", f"stem_norm{m.group(1)}",
+                        "scale" if m.group(2) == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"freq_embed\.(\d+)$", tkey)
+        if m:
+            _set(tree, ["params", f"freq{m.group(1)}"], w, written)
+            continue
+        m = re.match(r"downsamples\.(\d+)\.0\.weight$", tkey)
+        if m:
+            _set(tree, ["params", f"down{m.group(1)}", "kernel"], _conv_w(w), written)
+            continue
+        m = re.match(r"downsamples\.(\d+)\.1\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", f"down{m.group(1)}_norm",
+                        "scale" if m.group(2) == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"stages\.(\d+)\.(\d+)\.(.+)$", tkey)
+        if m:
+            s, b, rest = m.group(1), m.group(2), m.group(3)
+            pre = f"s{s}_b{b}"
+            if re.match(r"norm[12]\.(weight|bias)$", rest):
+                n, leaf = rest.split(".")
+                _set(tree, ["params", f"{pre}_{n}",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif rest == "op.dwconv.weight":
+                _set(tree, ["params", f"{pre}_op", "dwconv", "kernel"], _conv_w(w), written)
+            elif rest == "op.dwconv.bias":
+                _set(tree, ["params", f"{pre}_op", "dwconv", "bias"], w, written)
+            elif re.match(r"op\.(linear|out_linear)\.(weight|bias)$", rest):
+                _, n, leaf = rest.replace(".", " ").split()
+                _set(tree, ["params", f"{pre}_op", n,
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif re.match(r"op\.to_k\.0\.(weight|bias)$", rest):
+                leaf = rest.rsplit(".", 1)[1]
+                _set(tree, ["params", f"{pre}_op", "to_k",
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif re.match(r"op\.out_norm\.(weight|bias)$", rest):
+                leaf = rest.rsplit(".", 1)[1]
+                _set(tree, ["params", f"{pre}_op", "out_norm",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif re.match(r"mlp\.fc[12]\.(weight|bias)$", rest):
+                _, n, leaf = rest.replace(".", " ").split()
+                _set(tree, ["params", f"{pre}_{n}",
+                            "kernel" if leaf == "weight" else "bias"],
+                     w[:, :, 0, 0].T if leaf == "weight" else w, written)
+            elif strict:
+                raise KeyError(f"unmapped vHeat block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped vHeat key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -399,5 +479,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
     fn = {"convnext": convnext_state_dict_to_flax,
           "fasternet": fasternet_state_dict_to_flax,
           "swin": swin_state_dict_to_flax,
-          "efficientformerv2": efficientformerv2_state_dict_to_flax}[family]
+          "efficientformerv2": efficientformerv2_state_dict_to_flax,
+          "vheat": vheat_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -198,7 +198,7 @@ BACKBONE_VARIANTS4 = {
     "StripNet_tiny": _e((48, 96, 192, 384), (2, 2, 6, 2), "strip"),
     # SSM (reference EfficientViM.py) — true SS2D mixer
     "EfficientViM_M5": _e((64, 128, 256, 512), (2, 2, 4, 2), "ss2d"),
-    "vheat_tiny": _e((96, 192, 384, 768), (2, 2, 6, 2), "pool"),
+    # vheat_tiny is re-bound to the faithful VHeatBackbone below
     # conv-modulation family (reference SMT.py / Conv2Former lineage)
     "smt_l": _e((96, 192, 384, 768), (4, 6, 28, 4), "convmod"),
     "cosnet_tiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "convmod"),
@@ -328,6 +328,105 @@ class RepLKNetBackbone(ConvBase):
         return outs
 
 
+def _dct_maps(h: int, w: int):
+    """DCT-II basis + squared-frequency decay map (reference vHeat.py:116-131
+    get_cos_map/get_decay_map), computed in f32."""
+    import numpy as np
+
+    def cos_map(n):
+        wx = (np.linspace(0, n - 1, n, dtype=np.float32)[None, :] + 0.5) / n
+        wn = np.linspace(0, n - 1, n, dtype=np.float32)[:, None]
+        m = np.cos(wn * wx * np.pi) * np.sqrt(2.0 / n)
+        m[0, :] /= np.sqrt(2.0)
+        return m
+
+    wn = np.linspace(0, np.pi, h + 1, dtype=np.float32)[:h][:, None]
+    wm = np.linspace(0, np.pi, w + 1, dtype=np.float32)[:w][None, :]
+    decay = np.exp(-(wn ** 2 + wm ** 2))
+    return jnp.asarray(cos_map(h)), jnp.asarray(cos_map(w)), jnp.asarray(decay)
+
+
+class Heat2D(ConvBase):
+    """vHeat heat-conduction operator (reference vHeat.py:99 Heat2D), NHWC.
+
+    dwconv3 -> linear to (x, z) -> 2-D DCT-II over H,W (cos-map matmuls; MXU
+    work, not FFT) -> per-frequency decay exp(-(n^2+m^2))^k with k =
+    ReLU(Linear(freq_embed)) -> inverse DCT -> LayerNorm -> silu(z) gate ->
+    out linear."""
+
+    @nn.compact
+    def __call__(self, x, freq, train: bool = False):
+        c = x.shape[-1]
+        x = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+                    dtype=self.dtype, name="dwconv")(x)
+        xz = nn.Dense(2 * c, dtype=self.dtype, name="linear")(x)
+        x, z = jnp.split(xz, 2, axis=-1)
+        h, w = x.shape[1], x.shape[2]
+        cosn, cosm, decay = _dct_maps(h, w)
+        xf = x.astype(jnp.float32)
+        xf = jnp.einsum("bhwc,nh->bnwc", xf, cosn)
+        xf = jnp.einsum("bnwc,mw->bnmc", xf, cosm)
+        k = jax.nn.relu(nn.Dense(c, dtype=self.dtype, name="to_k")(freq))
+        xf = xf * jnp.power(decay[:, :, None], k.astype(jnp.float32))
+        xf = jnp.einsum("bnmc,nh->bhmc", xf, cosn)
+        xf = jnp.einsum("bhmc,mw->bhwc", xf, cosm)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(xf.astype(x.dtype))
+        x = x * jax.nn.silu(z)
+        return nn.Dense(c, dtype=self.dtype, name="out_linear")(x)
+
+
+class VHeatBackbone(ConvBase):
+    """Faithful vHeat visual-heat-conduction backbone (reference vHeat.py:227
+    vHeat; vheat_tiny :383 = dims (96,192,384,768), depths (2,2,6,2),
+    post_norm=False). Stem = conv3s2 -> LN -> GELU -> conv3s2 -> LN; stages of
+    pre-norm HeatBlocks (x += Heat2D(LN(x), freq); x += MLP(LN(x))); per-stage
+    learnable frequency embeddings (res_i, res_i, C_i) bilinearly resized to
+    the running (H, W) as the reference's forward does; stage outputs emitted
+    BEFORE each conv3s2+LN downsample (strides 4/8/16/32)."""
+
+    dims: Sequence[int] = (96, 192, 384, 768)
+    depths: Sequence[int] = (2, 2, 6, 2)
+    img_size: int = 224
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c0 = self.dims[0]
+        x = nn.Conv(c0 // 2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="stem_conv1")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="stem_norm1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(c0, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="stem_conv2")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="stem_norm2")(x)
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            res = max(self.img_size // 4 // (2 ** si), 1)
+            freq = self.param(f"freq{si}",
+                              nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                              (res, res, c))
+            h, w = x.shape[1], x.shape[2]
+            if (h, w) != (res, res):
+                freq = jax.image.resize(freq, (h, w, c), method="linear")
+            freq = freq.astype(self.dtype)
+            for bi in range(self.depths[si]):
+                y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"s{si}_b{bi}_norm1")(x)
+                x = x + Heat2D(dtype=self.dtype, name=f"s{si}_b{bi}_op")(y, freq, train)
+                y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"s{si}_b{bi}_norm2")(x)
+                y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
+                             name=f"s{si}_b{bi}_fc1")(y)
+                y = nn.Dense(c, dtype=self.dtype, name=f"s{si}_b{bi}_fc2")(jax.nn.gelu(y, approximate=False))
+                x = x + y
+            outs.append(x)
+            if si < 3:
+                x = nn.Conv(self.dims[si + 1], (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), use_bias=False,
+                            dtype=self.dtype, name=f"down{si}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"down{si}_norm")(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -398,6 +497,8 @@ def _register_alias_variants():
         "wtconvnext_small": (WTConvNeXt, tuple(dict(
             dims=(96, 192, 384, 768), depths=(3, 3, 27, 3)).items())),
         "RepLKNet31B": (RepLKNetBackbone, ()),
+        # vHeat (reference vHeat.py:383 vheat_tiny) — faithful Heat2D operator
+        "vheat_tiny": (VHeatBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

@@ -413,3 +413,47 @@ def test_vheat_import_parity():
     theirs2 = _stage_outs_torch(ref, x2)
     ours2 = m.apply(v, jnp.asarray(x2.transpose(0, 2, 3, 1)))
     _assert_close(ours2, theirs2, tol=2e-3)
+
+
+def test_spanet_import_parity():
+    """Faithful SPANet (FFT spectral-pooling SPAM mixer) vs the reference
+    SPANet.py:329 with transplanted weights, covering both the 3-chunk and
+    2-chunk SPAM fallback dims and matched + padded filter resolutions."""
+    from ultralytics.nn.modules.SPANet import SPANet as RefSPANet
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import spanet_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import SPANetBackbone
+
+    torch.manual_seed(9)
+    dims, layers = [6, 8, 12, 16], [1, 1, 2, 1]  # 6/12: 3 chunks; 8/16: 2
+    ref = RefSPANet(layers=layers, embed_dims=dims,
+                    patch_dims_hw=[(16, 16), (8, 8), (4, 4), (2, 2)],
+                    mlp_ratios=[4, 4, 4, 4], downsamples=[True] * 4,
+                    radius=[2, 2, 1, 1], drop_path_rate=0.0,
+                    res_scale_init_values=[None, None, 1.0, 1.0],
+                    fork_feat=True, img_size=64, num_classes=0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = SPANetBackbone(dims=tuple(dims), depths=tuple(layers),
+                       radius=(2.0, 2.0, 1.0, 1.0),
+                       res_scale=(0.0, 0.0, 1.0, 1.0), img_size=64)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = spanet_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(4).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)
+
+    # padded-filter path: 96px input -> runtime H != config filter res
+    x2 = np.random.default_rng(5).normal(0, 1, (1, 3, 96, 96)).astype(np.float32)
+    theirs2 = _stage_outs_torch(ref, x2)
+    ours2 = m.apply(v, jnp.asarray(x2.transpose(0, 2, 3, 1)))
+    _assert_close(ours2, theirs2, tol=2e-3)

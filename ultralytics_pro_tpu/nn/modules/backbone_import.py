@@ -32,7 +32,8 @@ import numpy as np
 
 __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "swin_state_dict_to_flax", "efficientformerv2_state_dict_to_flax",
-           "vheat_state_dict_to_flax", "load_backbone_checkpoint"]
+           "vheat_state_dict_to_flax", "spanet_state_dict_to_flax",
+           "load_backbone_checkpoint"]
 
 
 def _conv_w(w):
@@ -460,6 +461,79 @@ def vheat_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def spanet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """SPANet backbone (reference SPANet.py:329).
+
+    Torch layout: patch_embed.proj; network.{even}=stage blocks /
+    network.{odd}=downsample PatchEmbed; block = {norm1,norm2 GroupNorm,
+    token_mixer.{proj_in,conv.0,conv.1,proj_out,pws.{i},sps.{i}.filter_base},
+    mlp.{fc1,fc2} 1x1 convs, res_scale{1,2}.scale}; norm_feat_stage{i}.
+    SPF filter_base buffers are deterministic and recomputed on our side."""
+    tree = _deep_dict(variables)
+    written = set()
+    for tkey, w in sd.items():
+        w = np.asarray(w, np.float32)
+        if ".sps." in tkey or tkey.startswith(("head.", "norm_cls.")):
+            continue  # deterministic FFT filter buffers / cls leftovers
+        m = re.match(r"patch_embed\.proj\.(weight|bias)$", tkey)
+        if m:
+            leaf = "kernel" if m.group(1) == "weight" else "bias"
+            _set(tree, ["params", "stem", leaf],
+                 _conv_w(w) if leaf == "kernel" else w, written)
+            continue
+        m = re.match(r"norm_feat_stage(\d+)\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", f"norm_feat{m.group(1)}",
+                        "scale" if m.group(2) == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"network\.(\d+)\.proj\.(weight|bias)$", tkey)
+        if m:  # downsample PatchEmbed at odd indices -> stage (idx+1)//2
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            _set(tree, ["params", f"down{(int(m.group(1)) + 1) // 2}", leaf],
+                 _conv_w(w) if leaf == "kernel" else w, written)
+            continue
+        m = re.match(r"network\.(\d+)\.(\d+)\.(.+)$", tkey)
+        if m:
+            si, b, rest = int(m.group(1)) // 2, m.group(2), m.group(3)
+            pre = f"s{si}_b{b}"
+            if re.match(r"norm[12]\.(weight|bias)$", rest):
+                n, leaf = rest.split(".")
+                _set(tree, ["params", f"{pre}_{n}",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif re.match(r"token_mixer\.(proj_in|proj_out)\.(weight|bias)$", rest):
+                _, n, leaf = rest.replace(".", " ").split()
+                _set(tree, ["params", f"{pre}_mix", n,
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif re.match(r"token_mixer\.conv\.([01])\.(weight|bias)$", rest):
+                mm = re.match(r"token_mixer\.conv\.([01])\.(weight|bias)$", rest)
+                leaf = "kernel" if mm.group(2) == "weight" else "bias"
+                _set(tree, ["params", f"{pre}_mix", f"conv{mm.group(1)}", leaf],
+                     _conv_w(w) if leaf == "kernel" else w, written)
+            elif re.match(r"token_mixer\.pws\.(\d+)\.(weight|bias)$", rest):
+                mm = re.match(r"token_mixer\.pws\.(\d+)\.(weight|bias)$", rest)
+                leaf = "kernel" if mm.group(2) == "weight" else "bias"
+                _set(tree, ["params", f"{pre}_mix", f"pw{mm.group(1)}", leaf],
+                     _conv_w(w) if leaf == "kernel" else w, written)
+            elif re.match(r"mlp\.fc[12]\.(weight|bias)$", rest):
+                _, n, leaf = rest.replace(".", " ").split()
+                _set(tree, ["params", f"{pre}_{n}",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif re.match(r"res_scale[12]\.scale$", rest):
+                n = rest.split(".")[0][-1]
+                _set(tree, ["params", f"{pre}_res{n}"], w, written)
+            elif strict:
+                raise KeyError(f"unmapped SPANet block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped SPANet key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -480,5 +554,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "fasternet": fasternet_state_dict_to_flax,
           "swin": swin_state_dict_to_flax,
           "efficientformerv2": efficientformerv2_state_dict_to_flax,
-          "vheat": vheat_state_dict_to_flax}[family]
+          "vheat": vheat_state_dict_to_flax,
+          "spanet": spanet_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

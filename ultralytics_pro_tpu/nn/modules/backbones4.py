@@ -223,7 +223,7 @@ BACKBONE_VARIANTS4 = {
     "transnext_micro": _e((48, 96, 192, 384), (2, 2, 15, 2), "linattn"),
     "sgformer_s": _e((64, 128, 256, 512), (2, 2, 6, 2), "linattn"),
     "GroupMixFormerTiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "cga"),
-    "spanet_s": _e((64, 128, 320, 512), (2, 2, 6, 2), "pool"),
+    # spanet_s is re-bound to the faithful SPANetBackbone below
     "LWGANet_L2_1442_e96_k11_ReLU": _e((96, 192, 384, 768), (1, 4, 4, 2), "cga"),
 }
 
@@ -427,6 +427,144 @@ class VHeatBackbone(ConvBase):
         return outs
 
 
+def _spam_chunks(dim: int):
+    """SPAM chunk count + lambdas (reference SPANet.py:191-216): lambs from
+    arange(0.7, 1.0, 0.1) in float32; if dim isn't divisible by 3, fall back
+    to 2 (even dims) or 1 chunks, reusing the first lambs."""
+    import numpy as np
+
+    lambs = [float(v) for v in np.arange(0.7, 1.0, 0.1, dtype=np.float32)]
+    n = len(lambs)
+    if dim % n != 0:
+        n = 3 if dim % 3 == 0 else (2 if dim % 2 == 0 else 1)
+    return n, lambs[:n]
+
+
+def _spf_filter(h0: int, w0: int, r: float, lamb: float, h: int, w: int):
+    """Spectral Pooling Filter base at the config resolution (h0, w0), then
+    pad (with the center value) or center-crop to the runtime (h, w), exactly
+    as the reference SPF.forward does (SPANet.py:86-163). Note the reference
+    compares the ROW index against W//2 and the COLUMN index against H//2
+    (X from arange(H) with indexing='ij'); all shipped configs are square so
+    it is symmetric, but we replicate it verbatim."""
+    import numpy as np
+
+    xc, yc = w0 // 2, h0 // 2
+    I, J = np.meshgrid(np.arange(h0, dtype=np.float32),
+                       np.arange(w0, dtype=np.float32), indexing="ij")
+    circle = np.sqrt((I - xc) ** 2 + (J - yc) ** 2)
+    filt = np.where(circle < r, np.float32(lamb), 0.0) + \
+        np.where(circle > r, np.float32(1.0 - lamb), 0.0)
+    filt = np.where(np.isclose(circle, np.float32(r)), np.float32(1.0 / 3.0),
+                    filt).astype(np.float32)
+    if (h, w) != (h0, w0):
+        pad_val = float(filt[h0 // 2, w0 // 2])
+        dh, dw = h - h0, w - w0
+        if dh < 0 or dw < 0:  # center-crop
+            ct = max(0, (h0 - h) // 2)
+            cb = h0 - max(0, (h0 - h) // 2 + (h0 - h) % 2)
+            cl = max(0, (w0 - w) // 2)
+            cr = w0 - max(0, (w0 - w) // 2 + (w0 - w) % 2)
+            filt = filt[ct:cb, cl:cr]
+        if filt.shape != (h, w):  # pad (top/left get the odd pixel)
+            dh, dw = h - filt.shape[0], w - filt.shape[1]
+            filt = np.pad(filt,
+                          ((max(0, dh // 2 + dh % 2), max(0, dh // 2)),
+                           (max(0, dw // 2 + dw % 2), max(0, dw // 2))),
+                          constant_values=pad_val)
+    return jnp.asarray(filt)
+
+
+class SPAM(ConvBase):
+    """SPANet spectral-pooling aggregation mixer (reference SPANet.py:191):
+    1x1 proj -> separable dw (1,k)+(k,1) conv -> channel chunks, each FFT2
+    (ortho) -> fftshift -> circular low/high-pass filter -> ifft2 -> per-chunk
+    1x1 up-proj, summed into a context map that modulates the conv features."""
+
+    k_size: int = 7
+    r: float = 2.0
+    h0: int = 56
+    w0: int = 56
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        k = self.k_size
+        n_chunk, lambs = _spam_chunks(c)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        y = nn.Conv(c, (1, k), padding=((0, 0), (k // 2, k // 2)),
+                    feature_group_count=c, dtype=self.dtype, name="conv0")(y)
+        y = nn.Conv(c, (k, 1), padding=((k // 2, k // 2), (0, 0)),
+                    feature_group_count=c, dtype=self.dtype, name="conv1")(y)
+        h, w = y.shape[1], y.shape[2]
+        chunks = jnp.split(y, n_chunk, axis=-1)
+        ctx = None
+        for i, (ch, lamb) in enumerate(zip(chunks, lambs)):
+            filt = _spf_filter(self.h0, self.w0, self.r, lamb, h, w)
+            f = jnp.fft.fft2(ch.astype(jnp.float32), axes=(1, 2), norm="ortho")
+            f = jnp.fft.fftshift(f, axes=(1, 2)) * filt[None, :, :, None]
+            f = jnp.fft.ifftshift(f, axes=(1, 2))
+            sp = jnp.real(jnp.fft.ifft2(f, axes=(1, 2), norm="ortho")).astype(y.dtype)
+            p = nn.Conv(c, (1, 1), dtype=self.dtype, name=f"pw{i}")(sp)
+            ctx = p if ctx is None else ctx + p
+        return nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y * ctx)
+
+
+class SPANetBackbone(ConvBase):
+    """Faithful SPANet (reference SPANet.py:329; spanet_s :536 = layers
+    (4,4,12,4), dims (64,128,320,512), radius (2,2,1,1), res-scale on the
+    last two stages). conv7-s4-p2 stem, conv3-s2-p1 downsamples, GroupNorm(1)
+    norms, SPAM token mixer, 1x1-conv MLP; per-stage GroupNorm'd outputs."""
+
+    dims: Sequence[int] = (64, 128, 320, 512)
+    depths: Sequence[int] = (4, 4, 12, 4)
+    radius: Sequence[float] = (2.0, 2.0, 1.0, 1.0)
+    res_scale: Sequence[float] = (0.0, 0.0, 1.0, 1.0)  # 0 = Identity
+    mlp_ratio: float = 4.0
+    k_size: int = 7
+    img_size: int = 224
+
+    def _gn(self, x, name):
+        return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
+                            name=name, parent=self)(x)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.dims[0], (7, 7), strides=(4, 4),
+                    padding=((2, 2), (2, 2)), dtype=self.dtype, name="stem")(x)
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            res0 = self.img_size // 4 // (2 ** si)
+            if si > 0:
+                x = nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"down{si}")(x)
+            for bi in range(self.depths[si]):
+                pre = f"s{si}_b{bi}"
+                y = SPAM(k_size=self.k_size, r=float(self.radius[si]), h0=res0,
+                         w0=res0, dtype=self.dtype, name=f"{pre}_mix")(
+                    self._gn(x, f"{pre}_norm1"), train)
+                if self.res_scale[si]:
+                    g = self.param(f"{pre}_res1", nn.initializers.constant(
+                        self.res_scale[si]), (c,))
+                    x = x * g + y
+                else:
+                    x = x + y
+                y = self._gn(x, f"{pre}_norm2")
+                y = nn.Conv(int(c * self.mlp_ratio), (1, 1), dtype=self.dtype,
+                            name=f"{pre}_fc1")(y)
+                y = nn.Conv(c, (1, 1), dtype=self.dtype,
+                            name=f"{pre}_fc2")(jax.nn.gelu(y, approximate=False))
+                if self.res_scale[si]:
+                    g = self.param(f"{pre}_res2", nn.initializers.constant(
+                        self.res_scale[si]), (c,))
+                    x = x * g + y
+                else:
+                    x = x + y
+            outs.append(self._gn(x, f"norm_feat{si}"))
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -499,6 +637,8 @@ def _register_alias_variants():
         "RepLKNet31B": (RepLKNetBackbone, ()),
         # vHeat (reference vHeat.py:383 vheat_tiny) — faithful Heat2D operator
         "vheat_tiny": (VHeatBackbone, ()),
+        # SPANet (reference SPANet.py:536 spanet_s) — faithful SPAM FFT mixer
+        "spanet_s": (SPANetBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

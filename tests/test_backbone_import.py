@@ -457,3 +457,39 @@ def test_spanet_import_parity():
     theirs2 = _stage_outs_torch(ref, x2)
     ours2 = m.apply(v, jnp.asarray(x2.transpose(0, 2, 3, 1)))
     _assert_close(ours2, theirs2, tol=2e-3)
+
+
+def test_smt_import_parity():
+    """Faithful SMT (scale-aware modulation transformer) vs the reference
+    SMT.py with transplanted weights — covers both the CA (multi-kernel
+    depthwise modulation) and SA (MHSA + local dwconv) stages."""
+    from ultralytics.nn.modules.SMT import SMT as RefSMT
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import smt_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import SMTBackbone
+
+    torch.manual_seed(11)
+    dims, depths = [8, 16, 32, 64], [1, 1, 2, 1]
+    ref = RefSMT(img_size=64, embed_dims=dims, depths=depths,
+                 ca_num_heads=[4, 4, 4, -1], sa_num_heads=[-1, -1, 8, 16],
+                 mlp_ratios=[8, 6, 4, 2], qkv_bias=True,
+                 ca_attentions=[1, 1, 1, 0], head_conv=7, expand_ratio=2,
+                 drop_path_rate=0.0, num_classes=8)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = SMTBackbone(dims=tuple(dims), depths=tuple(depths))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = smt_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(6).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
+                   mutable=False)
+    _assert_close(ours, theirs, tol=2e-3)

@@ -33,6 +33,7 @@ import numpy as np
 __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "swin_state_dict_to_flax", "efficientformerv2_state_dict_to_flax",
            "vheat_state_dict_to_flax", "spanet_state_dict_to_flax",
+           "smt_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -534,6 +535,102 @@ def spanet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def smt_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """SMT backbone (reference SMT.py:300).
+
+    Torch layout: patch_embed1 = Head {conv.0 conv, conv.1 BN, conv.3 conv,
+    conv.4 BN, norm LN}; patch_embed{2..4} = OverlapPatchEmbed {proj, norm};
+    block{i}.{j} = {norm1, norm2, attn.{v,s,local_conv_k,proj0,bn,proj1 |
+    q,kv,local_conv}, attn.proj, mlp.{fc1, dwconv.dwconv, fc2}}; stage norms
+    norm{i}; classification head ignored."""
+    tree = _deep_dict(variables)
+    written = set()
+    done_bn = set()
+
+    def bn(params_path, tkey):
+        if tkey not in done_bn:
+            _bn_entries(tree, params_path, params_path, sd, tkey, written)
+            done_bn.add(tkey)
+
+    for tkey, w in sd.items():
+        if tkey.endswith("num_batches_tracked") or tkey.startswith("head."):
+            continue
+        w = np.asarray(w, np.float32)
+        m = re.match(r"patch_embed1\.conv\.([014])\.", tkey)
+        if m:
+            idx = m.group(1)
+            if idx == "0":
+                _set(tree, ["params", "stem_conv1", "kernel"], _conv_w(w), written)
+            elif idx == "1":
+                bn(["stem_bn1"], "patch_embed1.conv.1")
+            else:
+                bn(["stem_bn2"], "patch_embed1.conv.4")
+            continue
+        if re.match(r"patch_embed1\.conv\.3\.weight$", tkey):
+            _set(tree, ["params", "stem_conv2", "kernel"], _conv_w(w), written)
+            continue
+        m = re.match(r"patch_embed1\.norm\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", "stem_norm",
+                        "scale" if m.group(1) == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"patch_embed(\d)\.(proj|norm)\.(weight|bias)$", tkey)
+        if m:
+            si, kind, leaf = int(m.group(1)) - 1, m.group(2), m.group(3)
+            if kind == "proj":
+                _set(tree, ["params", f"pe{si}", "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            else:
+                _set(tree, ["params", f"pe{si}_norm",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"norm(\d)\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", f"norm{m.group(1)}",
+                        "scale" if m.group(2) == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"block(\d)\.(\d+)\.(.+)$", tkey)
+        if m:
+            si, b, rest = int(m.group(1)) - 1, m.group(2), m.group(3)
+            pre = f"s{si}_b{b}"
+            if re.match(r"norm[12]\.(weight|bias)$", rest):
+                n, leaf = rest.split(".")
+                _set(tree, ["params", f"{pre}_{n}",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif re.match(r"attn\.(v|s|q|kv|proj)\.(weight|bias)$", rest):
+                _, n, leaf = rest.replace(".", " ").split()
+                _set(tree, ["params", f"{pre}_attn", n,
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif re.match(r"attn\.(local_conv(_\d+)?|proj0|proj1)\.(weight|bias)$", rest):
+                parts = rest.split(".")
+                n, leaf = parts[1], parts[2]
+                _set(tree, ["params", f"{pre}_attn", n,
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif rest.startswith("attn.bn."):
+                bn([f"{pre}_attn", "bn"], f"block{si + 1}.{b}.attn.bn")
+            elif re.match(r"mlp\.fc[12]\.(weight|bias)$", rest):
+                _, n, leaf = rest.replace(".", " ").split()
+                _set(tree, ["params", f"{pre}_{n}",
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif re.match(r"mlp\.dwconv\.dwconv\.(weight|bias)$", rest):
+                leaf = rest.rsplit(".", 1)[1]
+                _set(tree, ["params", f"{pre}_dw",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif strict:
+                raise KeyError(f"unmapped SMT block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped SMT key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -555,5 +652,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "swin": swin_state_dict_to_flax,
           "efficientformerv2": efficientformerv2_state_dict_to_flax,
           "vheat": vheat_state_dict_to_flax,
-          "spanet": spanet_state_dict_to_flax}[family]
+          "spanet": spanet_state_dict_to_flax,
+          "smt": smt_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -200,7 +200,7 @@ BACKBONE_VARIANTS4 = {
     "EfficientViM_M5": _e((64, 128, 256, 512), (2, 2, 4, 2), "ss2d"),
     # vheat_tiny is re-bound to the faithful VHeatBackbone below
     # conv-modulation family (reference SMT.py / Conv2Former lineage)
-    "smt_l": _e((96, 192, 384, 768), (4, 6, 28, 4), "convmod"),
+    # smt_l is re-bound to the faithful SMTBackbone below
     "cosnet_tiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "convmod"),
     "florane_tiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "dwconv"),
     "decouplenet_d2": _e((64, 128, 256, 512), (2, 2, 8, 2), "dwconv"),
@@ -565,6 +565,127 @@ class SPANetBackbone(ConvBase):
         return outs
 
 
+class SMTAttention(ConvBase):
+    """SMT mixer (reference SMT.py:57). ca=True: scale-aware modulation —
+    per-head depthwise convs of growing kernel (3,5,7,...) on the `s` branch,
+    grouped-1x1 expand + BN + GELU + 1x1 back, modulating `v`. ca=False:
+    MHSA plus a parallel depthwise-3x3 local branch on v."""
+
+    ca_heads: int = 4
+    sa_heads: int = 8
+    ca: bool = True
+    expand_ratio: int = 2
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        if self.ca:
+            h = self.ca_heads
+            ch = c // h
+            v = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x)
+            s = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="s")(x)
+            outs = []
+            for i in range(h):
+                k = 3 + i * 2
+                outs.append(nn.Conv(ch, (k, k), padding="SAME",
+                                    feature_group_count=ch, dtype=self.dtype,
+                                    name=f"local_conv_{i + 1}")(
+                    s[..., i * ch:(i + 1) * ch]))
+            so = jnp.concatenate(outs, -1)
+            so = nn.Conv(c * self.expand_ratio, (1, 1), feature_group_count=ch,
+                         dtype=self.dtype, name="proj0")(so)
+            so = _bn(self, "bn", so, train)
+            so = jax.nn.gelu(so, approximate=False)
+            so = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj1")(so)
+            x = so * v
+        else:
+            b, hh, ww, _ = x.shape
+            nh = self.sa_heads
+            d = c // nh
+            t = x.reshape(b, hh * ww, c)
+            q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(t)
+            kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(t)
+            kk, vv = jnp.split(kv, 2, -1)
+            q = q.reshape(b, -1, nh, d).transpose(0, 2, 1, 3)
+            kk = kk.reshape(b, -1, nh, d).transpose(0, 2, 1, 3)
+            vv = vv.reshape(b, -1, nh, d).transpose(0, 2, 1, 3)
+            att = jax.nn.softmax((q @ kk.transpose(0, 1, 3, 2)) * (d ** -0.5), -1)
+            out = (att @ vv).transpose(0, 2, 1, 3).reshape(b, hh * ww, c)
+            vsp = vv.transpose(0, 2, 1, 3).reshape(b, hh, ww, c)
+            local = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+                            dtype=self.dtype, name="local_conv")(vsp)
+            x = (out + local.reshape(b, hh * ww, c)).reshape(b, hh, ww, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(x)
+
+
+class SMTBackbone(ConvBase):
+    """Faithful SMT / scale-aware modulation transformer (reference SMT.py:300
+    SMT; smt_l :SMT.py smt_l = dims (96,192,384,768), depths (4,6,28,4),
+    ca_attentions (1,1,1,0), head_conv 7, qkv_bias True). Head stem =
+    conv(head_conv,s2,BN,ReLU) + conv3(s2,BN,ReLU) + LN; stage embeds are
+    overlap conv3-s2 + LN (eps 1e-5); pre-norm blocks (LN eps 1e-6) with
+    SMTAttention mixer and an Mlp whose fc1 output is fused with a depthwise
+    3x3 (act(x + dwconv(x))); per-stage output LN (eps 1e-6)."""
+
+    dims: Sequence[int] = (96, 192, 384, 768)
+    depths: Sequence[int] = (4, 6, 28, 4)
+    ca_heads: Sequence[int] = (4, 4, 4, -1)
+    sa_heads: Sequence[int] = (-1, -1, 8, 16)
+    mlp_ratios: Sequence[float] = (8, 6, 4, 2)
+    ca_attentions: Sequence[int] = (1, 1, 1, 0)
+    head_conv: int = 7
+    expand_ratio: int = 2
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            if si == 0:
+                p = self.head_conv // 2
+                x = nn.Conv(c, (self.head_conv, self.head_conv), strides=(2, 2),
+                            padding=((p, p), (p, p)), use_bias=False,
+                            dtype=self.dtype, name="stem_conv1")(x)
+                x = jax.nn.relu(_bn(self, "stem_bn1", x, train))
+                x = nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            use_bias=False, dtype=self.dtype, name="stem_conv2")(x)
+                x = jax.nn.relu(_bn(self, "stem_bn2", x, train))
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="stem_norm")(x)
+            else:
+                x = nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"pe{si}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name=f"pe{si}_norm")(x)
+            for bi in range(self.depths[si]):
+                pre = f"s{si}_b{bi}"
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm1")(x)
+                x = x + SMTAttention(
+                    ca_heads=self.ca_heads[si], sa_heads=self.sa_heads[si],
+                    ca=bool(self.ca_attentions[si]),
+                    expand_ratio=self.expand_ratio, qkv_bias=self.qkv_bias,
+                    dtype=self.dtype, name=f"{pre}_attn")(y, train)
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm2")(x)
+                y = nn.Dense(int(c * self.mlp_ratios[si]), dtype=self.dtype,
+                             name=f"{pre}_fc1")(y)
+                y = jax.nn.gelu(
+                    y + nn.Conv(y.shape[-1], (3, 3), padding="SAME",
+                                feature_group_count=y.shape[-1],
+                                dtype=self.dtype, name=f"{pre}_dw")(y),
+                    approximate=False)
+                y = nn.Dense(c, dtype=self.dtype, name=f"{pre}_fc2")(y)
+                x = x + y
+            # the reference hands the NORMED stage output to the next stage's
+            # patch embed (SMT.py forward_features: x = x_spatial)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"norm{si + 1}")(x)
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -639,6 +760,8 @@ def _register_alias_variants():
         "vheat_tiny": (VHeatBackbone, ()),
         # SPANet (reference SPANet.py:536 spanet_s) — faithful SPAM FFT mixer
         "spanet_s": (SPANetBackbone, ()),
+        # SMT (reference SMT.py smt_l) — faithful scale-aware modulation
+        "smt_l": (SMTBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

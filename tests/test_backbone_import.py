@@ -493,3 +493,37 @@ def test_smt_import_parity():
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
                    mutable=False)
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_cosnet_import_parity():
+    """Faithful COSNet (MCFS sharpening mixer) vs the reference COSNet.py
+    with transplanted weights."""
+    from ultralytics.nn.modules.COSNet import COSNET_SPECS, COSNet as RefCOSNet
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import cosnet_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import COSNetBackbone
+
+    torch.manual_seed(13)
+    COSNET_SPECS["cosnet_test"] = {
+        "depths": [1, 1, 2, 1], "base_dim": 8, "expan_ratio": 4,
+        "s_kernel_sizes": [5, 5, 3, 3], "drop_path_rate": 0.0,
+        "layer_scale_init_value": 1e-6,
+    }
+    ref = RefCOSNet("cosnet_test", input_size=64)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = COSNetBackbone(depths=(1, 1, 2, 1), base_dim=8)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = cosnet_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(8).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

@@ -33,7 +33,7 @@ import numpy as np
 __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "swin_state_dict_to_flax", "efficientformerv2_state_dict_to_flax",
            "vheat_state_dict_to_flax", "spanet_state_dict_to_flax",
-           "smt_state_dict_to_flax",
+           "smt_state_dict_to_flax", "cosnet_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -631,6 +631,62 @@ def smt_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def cosnet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """COSNet backbone (reference COSNet.py:164).
+
+    Torch layout: downsample_layers.{0..3} convs; stages.{s}.{b} FSB =
+    {conv_dw, norm_dw, layer_norm_1/2, attn.{proj_1,norm_proj,s_ctx_1,
+    s_ctx_2,norm_s,h_ctx,norm_h,proj_2}, mlp.{fc_1,pos,fc_2}}."""
+    tree = _deep_dict(variables)
+    written = set()
+    ln = {"layer_norm_1": "ln1", "layer_norm_2": "ln2"}
+    for tkey, w in sd.items():
+        w = np.asarray(w, np.float32)
+        m = re.match(r"downsample_layers\.(\d+)\.(weight|bias)$", tkey)
+        if m:
+            s, leaf = int(m.group(1)), m.group(2)
+            name = "stem" if s == 0 else f"down{s}"
+            _set(tree, ["params", name, "kernel" if leaf == "weight" else "bias"],
+                 _conv_w(w) if leaf == "weight" else w, written)
+            continue
+        m = re.match(r"stages\.(\d+)\.(\d+)\.(.+)$", tkey)
+        if m:
+            s, b, rest = m.group(1), m.group(2), m.group(3)
+            pre = f"s{s}_b{b}"
+            parts = rest.split(".")
+            leaf = parts[-1]
+            if parts[0] in ("conv_dw",):
+                _set(tree, ["params", f"{pre}_conv_dw",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif parts[0] in ("norm_dw", "layer_norm_1", "layer_norm_2"):
+                name = {"norm_dw": "norm_dw", **ln}[parts[0]]
+                _set(tree, ["params", f"{pre}_{name}",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif parts[0] == "attn":
+                n = parts[1]
+                if n.startswith("norm"):
+                    _set(tree, ["params", f"{pre}_attn", n,
+                                "scale" if leaf == "weight" else "bias"], w, written)
+                else:
+                    _set(tree, ["params", f"{pre}_attn", n,
+                                "kernel" if leaf == "weight" else "bias"],
+                         _conv_w(w) if leaf == "weight" else w, written)
+            elif parts[0] == "mlp":
+                _set(tree, ["params", f"{pre}_{parts[1]}",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif strict:
+                raise KeyError(f"unmapped COSNet block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped COSNet key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -653,5 +709,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "efficientformerv2": efficientformerv2_state_dict_to_flax,
           "vheat": vheat_state_dict_to_flax,
           "spanet": spanet_state_dict_to_flax,
-          "smt": smt_state_dict_to_flax}[family]
+          "smt": smt_state_dict_to_flax,
+          "cosnet": cosnet_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -201,7 +201,7 @@ BACKBONE_VARIANTS4 = {
     # vheat_tiny is re-bound to the faithful VHeatBackbone below
     # conv-modulation family (reference SMT.py / Conv2Former lineage)
     # smt_l is re-bound to the faithful SMTBackbone below
-    "cosnet_tiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "convmod"),
+    # cosnet_tiny is re-bound to the faithful COSNetBackbone below
     "florane_tiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "dwconv"),
     "decouplenet_d2": _e((64, 128, 256, 512), (2, 2, 8, 2), "dwconv"),
     "overlock_xt": _e((56, 112, 256, 336), (2, 2, 8, 2), "lka"),
@@ -686,6 +686,92 @@ class SMTBackbone(ConvBase):
         return outs
 
 
+class MCFS(ConvBase):
+    """COSNet multi-scale contextual feature sharpening mixer (reference
+    COSNet.py:57): 1x1 proj -> (a) dual grouped convs at dilation 1/2 summed,
+    (b) depthwise-5 sharpening branch where the channel-softmax of the
+    spatially-pooled response scales the deviation from the channel mean;
+    concat + 1x1 out. All norms are channel LayerNorms (eps 1e-6)."""
+
+    s_kernel: int = 3
+
+    def _ln(self, x, name):
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name,
+                            parent=self)(x)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        sk = self.s_kernel
+        g = c // 4 if c >= 4 else 1
+        gelu = lambda t: jax.nn.gelu(t, approximate=False)
+        xp = self._ln(gelu(nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_1")(x)),
+                      "norm_proj")
+        p = sk // 2
+        sx1 = gelu(nn.Conv(c, (sk, sk), padding=((p, p), (p, p)),
+                           feature_group_count=g, dtype=self.dtype,
+                           name="s_ctx_1")(xp))
+        sx2 = gelu(nn.Conv(c, (sk, sk), kernel_dilation=(2, 2),
+                           padding=((p * 2, p * 2), (p * 2, p * 2)),
+                           feature_group_count=g, dtype=self.dtype,
+                           name="s_ctx_2")(xp))
+        sx = self._ln(sx1 + sx2, "norm_s")
+        hx = gelu(nn.Conv(c, (5, 5), padding=((2, 2), (2, 2)), use_bias=False,
+                          feature_group_count=c, dtype=self.dtype, name="h_ctx")(xp))
+        hx_t = xp - hx.mean(axis=-1, keepdims=True)
+        sharp = jax.nn.softmax(hx.mean(axis=(1, 2), keepdims=True), axis=-1)
+        hx = self._ln(hx + sharp * hx_t, "norm_h")
+        return gelu(nn.Conv(c, (1, 1), dtype=self.dtype,
+                            name="proj_2")(jnp.concatenate([sx, hx], -1)))
+
+
+class COSNetBackbone(ConvBase):
+    """Faithful COSNet (reference COSNet.py:164; cosnet_tiny spec :9 = depths
+    (2,2,6,2), base dim 64, expansion 4, MCFS kernels (5,5,3,3)). conv5-s4
+    stem, conv3-s2 downsamples, FSB blocks (:121): dwconv3+LN residual, MCFS
+    residual, MLP (1x1 -> gelu -> +gelu(dw3) -> 1x1) residual."""
+
+    depths: Sequence[int] = (2, 2, 6, 2)
+    base_dim: int = 64
+    expan_ratio: int = 4
+    s_kernels: Sequence[int] = (5, 5, 3, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        gelu = lambda t: jax.nn.gelu(t, approximate=False)
+        outs = []
+        for si in range(4):
+            c = self.base_dim * (2 ** si)
+            if si == 0:
+                x = nn.Conv(c, (5, 5), strides=(4, 4), padding=((2, 2), (2, 2)),
+                            dtype=self.dtype, name="stem")(x)
+            else:
+                x = nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"down{si}")(x)
+            for bi in range(self.depths[si]):
+                pre = f"s{si}_b{bi}"
+                y = gelu(nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                                 feature_group_count=c, dtype=self.dtype,
+                                 name=f"{pre}_conv_dw")(x))
+                x = x + nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                     name=f"{pre}_norm_dw")(y)
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_ln1")(x)
+                x = x + MCFS(s_kernel=self.s_kernels[si], dtype=self.dtype,
+                             name=f"{pre}_attn")(y, train)
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_ln2")(x)
+                y = gelu(nn.Conv(c * self.expan_ratio, (1, 1), dtype=self.dtype,
+                                 name=f"{pre}_fc_1")(y))
+                y = y + gelu(nn.Conv(y.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                                     feature_group_count=y.shape[-1],
+                                     dtype=self.dtype, name=f"{pre}_pos")(y))
+                x = x + nn.Conv(c, (1, 1), dtype=self.dtype,
+                                name=f"{pre}_fc_2")(y)
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -762,6 +848,8 @@ def _register_alias_variants():
         "spanet_s": (SPANetBackbone, ()),
         # SMT (reference SMT.py smt_l) — faithful scale-aware modulation
         "smt_l": (SMTBackbone, ()),
+        # COSNet (reference COSNet.py:9 cosnet_tiny) — faithful MCFS mixer
+        "cosnet_tiny": (COSNetBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

@@ -86,6 +86,7 @@ STUB_ROOTS = {
     "depthwise_conv2d_implicit_gemm", "paddle", "mmcv", "mmdet", "mmengine",
     "basicsr", "kornia", "spikingjelly", "thop", "pytorch_wavelets", "taichi",
     "torch_dct", "xformers", "deform_conv2d_onnx_exporter", "ptflops", "onnx",
+    "antialiased_cnns",
 }
 
 
@@ -117,11 +118,38 @@ class _DropPath(torch.nn.Module):
         return x * mask / keep
 
 
+
+
+class _BlurPool(torch.nn.Module):
+    """Real antialiased_cnns.BlurPool semantics (Zhang 2019): reflect pad +
+    fixed binomial depthwise conv (default filt_size=4, stride=2) — needed so
+    DecoupleNet's FID computes real values in the parity tests."""
+
+    def __init__(self, channels, pad_type="reflect", filt_size=4, stride=2, pad_off=0):
+        super().__init__()
+        import math as _math
+        self.stride = stride
+        p = [int(1.0 * (filt_size - 1) / 2), int(_math.ceil(1.0 * (filt_size - 1) / 2))]
+        self.pad_sizes = [p[0] + pad_off, p[1] + pad_off, p[0] + pad_off, p[1] + pad_off]
+        a = {1: [1.0], 2: [1.0, 1.0], 3: [1.0, 2.0, 1.0], 4: [1.0, 3.0, 3.0, 1.0],
+             5: [1.0, 4.0, 6.0, 4.0, 1.0], 6: [1.0, 5.0, 10.0, 10.0, 5.0, 1.0],
+             7: [1.0, 6.0, 15.0, 20.0, 15.0, 6.0, 1.0]}[filt_size]
+        a = torch.tensor(a)
+        filt = a[:, None] * a[None, :]
+        filt = filt / filt.sum()
+        self.register_buffer("filt", filt[None, None].repeat(channels, 1, 1, 1))
+        self.pad = torch.nn.ReflectionPad2d(self.pad_sizes)
+
+    def forward(self, x):
+        import torch.nn.functional as _F
+        return _F.conv2d(self.pad(x), self.filt, stride=self.stride, groups=x.shape[1])
+
+
 # functional (not Mock) implementations for the handful of timm helpers the
 # backbone files actually execute at construction/forward time
 _REAL_STUBS = {
     "to_2tuple": _to_ntuple(2), "to_3tuple": _to_ntuple(3), "to_4tuple": _to_ntuple(4),
-    "to_ntuple": _to_ntuple, "DropPath": _DropPath,
+    "to_ntuple": _to_ntuple, "DropPath": _DropPath, "BlurPool": _BlurPool,
     "trunc_normal_": lambda t, *a, **k: torch.nn.init.normal_(t, std=k.get("std", 0.02))
     if hasattr(t, "normal_") else t,
 }

@@ -527,3 +527,38 @@ def test_cosnet_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_decouplenet_import_parity():
+    """Faithful DecoupleNet (MBFD channel decoupling + MRLA/GA + FID
+    downsamplers with real BlurPool) vs the reference DecoupleNet.py with
+    transplanted weights. The reference returns [embed, s0..s3]; ours emits
+    the 4 stage maps."""
+    from ultralytics.nn.modules.DecoupleNet import DECOUPLE_NET_SPECS, DecoupleNet as RefDN
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import decouplenet_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import DecoupleNetBackbone
+
+    torch.manual_seed(17)
+    DECOUPLE_NET_SPECS["decouplenet_test"] = {
+        "embed_dim": 16, "depths": (1, 1, 2, 1), "att_kernel": (9, 9, 9, 9),
+        "drop_path_rate": 0.0, "feature_dim": 64,
+    }
+    ref = RefDN("decouplenet_test", input_size=(3, 64, 64), num_classes=8)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = DecoupleNetBackbone(embed_dim=16, depths=(1, 1, 2, 1))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = decouplenet_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(10).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)[1:]  # drop the embed map
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

@@ -34,6 +34,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "swin_state_dict_to_flax", "efficientformerv2_state_dict_to_flax",
            "vheat_state_dict_to_flax", "spanet_state_dict_to_flax",
            "smt_state_dict_to_flax", "cosnet_state_dict_to_flax",
+           "decouplenet_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -687,6 +688,106 @@ def cosnet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def decouplenet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """DecoupleNet backbone (reference DecoupleNet.py:234).
+
+    Torch layout: patch_embed.{proj,norm}; stages.{even}=BasicStage
+    (.blocks.{b}.{MBFD.{Conv,MRLA.*,GA.*,norm}, mlp.{0,1,3}}),
+    stages.{odd}=FID ({Gconv,pii.conv,conv_D,batch_norm_c,batch_norm_m,
+    fusion,max_m2.filt}); norm_feat_stage{even}. Classifier head + fixed
+    BlurPool buffers ignored."""
+    tree = _deep_dict(variables)
+    written = set()
+    done_bn = set()
+
+    def bn(path, tkey):
+        if tkey not in done_bn:
+            _bn_entries(tree, path, path, sd, tkey, written)
+            done_bn.add(tkey)
+
+    def conv(path, leaf, w):
+        _set(tree, ["params", *path[:-1], path[-1],
+                    "kernel" if leaf == "weight" else "bias"],
+             _conv_w(w) if leaf == "weight" else w, written)
+
+    mrla_map = {"primary_conv.0": ("primary", "conv"), "primary_conv.1": ("primary_bn", "bn"),
+                "cheap_operation.0": ("cheap", "conv"), "cheap_operation.1": ("cheap_bn", "bn"),
+                "init.0": ("init", "conv"), "init.1": ("init_bn", "bn"),
+                "H_att": ("h_att", "conv"), "V_att": ("v_att", "conv"),
+                "batchnorm": ("bn", "bn")}
+    for tkey, w in sd.items():
+        if (tkey.endswith("num_batches_tracked") or ".max_m2." in tkey or
+                tkey.startswith(("head.", "avgpool_pre_head."))):
+            continue
+        w = np.asarray(w, np.float32)
+        if tkey == "patch_embed.proj.weight":
+            conv(["stem"], "weight", w)
+            continue
+        if tkey.startswith("patch_embed.norm."):
+            bn(["stem_bn"], "patch_embed.norm")
+            continue
+        m = re.match(r"norm_feat_stage(\d+)\.", tkey)
+        if m:
+            bn([f"norm_feat{int(m.group(1)) // 2}"], f"norm_feat_stage{m.group(1)}")
+            continue
+        m = re.match(r"stages\.(\d+)\.blocks\.(\d+)\.(.+)$", tkey)
+        if m:  # BasicStage block
+            si, b, rest = int(m.group(1)) // 2, m.group(2), m.group(3)
+            pre = f"s{si}_b{b}"
+            tpre = f"stages.{m.group(1)}.blocks.{b}"
+            leaf = rest.rsplit(".", 1)[1]
+            if rest.startswith("MBFD.Conv."):
+                conv([pre, "mbfd_conv"], leaf, w)
+            elif rest.startswith("MBFD.MRLA."):
+                inner = rest[len("MBFD.MRLA."):].rsplit(".", 1)[0]
+                name, kind = mrla_map[inner]
+                if kind == "bn":
+                    bn([pre, "mrla", name], f"{tpre}.MBFD.MRLA.{inner}")
+                else:
+                    conv([pre, "mrla", name], leaf, w)
+            elif rest.startswith("MBFD.GA."):
+                n = rest.split(".")[2]
+                _set(tree, ["params", pre, "ga", n, "kernel"], w.T, written)
+            elif rest.startswith("MBFD.norm."):
+                bn([pre, "ga_norm"], f"{tpre}.MBFD.norm")
+            elif re.match(r"mlp\.0\.weight$", rest):
+                conv([pre, "mlp0"], "weight", w)
+            elif rest.startswith("mlp.1."):
+                bn([pre, "mlp_bn"], f"{tpre}.mlp.1")
+            elif re.match(r"mlp\.3\.weight$", rest):
+                conv([pre, "mlp3"], "weight", w)
+            elif strict:
+                raise KeyError(f"unmapped DecoupleNet block key {tkey}")
+            continue
+        m = re.match(r"stages\.(\d+)\.(.+)$", tkey)
+        if m:  # FID at odd indices
+            fi, rest = (int(m.group(1)) - 1) // 2, m.group(2)
+            pre = f"fid{fi}"
+            tpre = f"stages.{m.group(1)}"
+            leaf = rest.rsplit(".", 1)[1]
+            if rest.startswith("Gconv."):
+                conv([pre, "gconv"], leaf, w)
+            elif rest.startswith("pii.conv."):
+                conv([pre, "pii_conv"], leaf, w)
+            elif rest.startswith("conv_D."):
+                conv([pre, "conv_d"], leaf, w)
+            elif rest.startswith("batch_norm_c."):
+                bn([pre, "bn_c"], f"{tpre}.batch_norm_c")
+            elif rest.startswith("batch_norm_m."):
+                bn([pre, "bn_m"], f"{tpre}.batch_norm_m")
+            elif rest.startswith("fusion."):
+                conv([pre, "fusion"], leaf, w)
+            elif strict:
+                raise KeyError(f"unmapped DecoupleNet FID key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped DecoupleNet key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -710,5 +811,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "vheat": vheat_state_dict_to_flax,
           "spanet": spanet_state_dict_to_flax,
           "smt": smt_state_dict_to_flax,
-          "cosnet": cosnet_state_dict_to_flax}[family]
+          "cosnet": cosnet_state_dict_to_flax,
+          "decouplenet": decouplenet_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -203,7 +203,7 @@ BACKBONE_VARIANTS4 = {
     # smt_l is re-bound to the faithful SMTBackbone below
     # cosnet_tiny is re-bound to the faithful COSNetBackbone below
     "florane_tiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "dwconv"),
-    "decouplenet_d2": _e((64, 128, 256, 512), (2, 2, 8, 2), "dwconv"),
+    # decouplenet_d2 is re-bound to the faithful DecoupleNetBackbone below
     "overlock_xt": _e((56, 112, 256, 336), (2, 2, 8, 2), "lka"),
     "pkinet_t": _e((32, 64, 128, 256), (2, 2, 4, 2), "inception"),
     "iformer_small": _e((96, 192, 320, 384), (3, 3, 9, 3), "inception"),
@@ -772,6 +772,169 @@ class COSNetBackbone(ConvBase):
         return outs
 
 
+def _blurpool2(x):
+    """Anti-aliased BlurPool stride 2, filt_size 4 (Zhang 2019; the reference
+    FID uses antialiased_cnns.BlurPool — DecoupleNet.py:60): reflect pad
+    (1,2) then a fixed binomial [1,3,3,1] depthwise conv."""
+    import numpy as np
+
+    a = np.array([1.0, 3.0, 3.0, 1.0], np.float32)
+    f = np.outer(a, a)
+    f /= f.sum()
+    c = x.shape[-1]
+    k = jnp.broadcast_to(jnp.asarray(f, x.dtype)[:, :, None, None], (4, 4, 1, c))
+    x = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        x, k, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+class DecoupleMRLA(ConvBase):
+    """DecoupleNet MRLA attention (reference DecoupleNet.py:119): ghost-style
+    primary 1x1 + cheap dw3 halves, gated by a sigmoid of strip-conv (kx1 +
+    1xk depthwise) responses on the 2x-downsampled map, nearest-upsampled."""
+
+    att_kernel: int = 9
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        c2 = c // 2
+        k = self.att_kernel
+        p = k // 2
+        t = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        t = _bn(self, "init_bn", nn.Conv(c, (1, 1), use_bias=False,
+                                         dtype=self.dtype, name="init")(t), train)
+        xh = nn.Conv(c, (k, 1), padding=((p, p), (0, 0)), use_bias=False,
+                     feature_group_count=c, dtype=self.dtype, name="h_att")(t)
+        xw = nn.Conv(c, (1, k), padding=((0, 0), (p, p)), use_bias=False,
+                     feature_group_count=c, dtype=self.dtype, name="v_att")(t)
+        gate = jax.nn.sigmoid(_bn(self, "bn", xh + xw, train))
+        x1 = jax.nn.gelu(_bn(self, "primary_bn", nn.Conv(
+            c2, (1, 1), use_bias=False, dtype=self.dtype, name="primary")(x),
+            train), approximate=False)
+        x2 = jax.nn.gelu(_bn(self, "cheap_bn", nn.Conv(
+            c2, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            feature_group_count=c2, dtype=self.dtype, name="cheap")(x1),
+            train), approximate=False)
+        out = jnp.concatenate([x1, x2], -1)
+        g = jnp.repeat(jnp.repeat(gate, 2, 1), 2, 2)[:, :out.shape[1], :out.shape[2]]
+        return out * g
+
+
+class DecoupleGA(ConvBase):
+    """DecoupleNet global attention (reference DecoupleNet.py:151): MHSA with
+    head_dim 4, bias-free qkv/proj."""
+
+    head_dim: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh = max(c // self.head_dim, 1)
+        ad = nh * self.head_dim
+        t = x.reshape(b, h * w, c)
+        qkv = nn.Dense(ad * 3, use_bias=False, dtype=self.dtype, name="qkv")(t)
+        q, kk, v = jnp.split(qkv.reshape(b, -1, 3, nh, self.head_dim)
+                             .transpose(2, 0, 3, 1, 4), 3, 0)
+        q, kk, v = q[0], kk[0], v[0]
+        att = jax.nn.softmax((q @ kk.transpose(0, 1, 3, 2)) *
+                             (self.head_dim ** -0.5), -1)
+        out = (att @ v).transpose(0, 2, 1, 3).reshape(b, h * w, ad)
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="proj")(out)
+        return out.reshape(b, h, w, c)
+
+
+class DecoupleBlock(ConvBase):
+    """DecoupleNet MLPBlock (reference DecoupleNet.py:197): MBFD channel
+    decoupling (conv3 quarter / MRLA quarter / GA-or-identity half) followed
+    by a BN-GELU 1x1 MLP, residual."""
+
+    stage: int = 0
+    att_kernel: int = 9
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        cl = c // 4
+        cu = c - 2 * cl
+        x1, x2, x3 = x[..., :cl], x[..., cl:2 * cl], x[..., 2 * cl:]
+        x1 = nn.Conv(cl, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                     dtype=self.dtype, name="mbfd_conv")(x1)
+        x2 = DecoupleMRLA(att_kernel=self.att_kernel, dtype=self.dtype,
+                          name="mrla")(x2, train)
+        if self.stage > 2:
+            x3 = _bn(self, "ga_norm",
+                     x3 + DecoupleGA(dtype=self.dtype, name="ga")(x3, train),
+                     train)
+        y = jnp.concatenate([x1, x2, x3], -1)
+        y = nn.Conv(int(c * self.mlp_ratio), (1, 1), use_bias=False,
+                    dtype=self.dtype, name="mlp0")(y)
+        y = jax.nn.gelu(_bn(self, "mlp_bn", y, train), approximate=False)
+        y = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="mlp3")(y)
+        return x + y
+
+
+class DecoupleFID(ConvBase):
+    """DecoupleNet FID downsampler (reference DecoupleNet.py:49): grouped
+    conv3 doubling channels, PII partial-interaction conv (with its channel
+    reordering), then a dw-conv-s2 branch and a maxpool+BlurPool branch,
+    concatenated and fused 1x1."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        c2 = c * 2
+        y = nn.Conv(c2, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=c, dtype=self.dtype, name="gconv")(x)
+        # PII(dim=2c, n_div=8): split [dc, du, dc, du], conv the two dc parts
+        dc = c2 // 8
+        du = c - dc
+        x1c, x1u = y[..., :dc], y[..., dc:dc + du]
+        x2c, x2u = y[..., dc + du:2 * dc + du], y[..., 2 * dc + du:]
+        conv = nn.Conv(2 * dc, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                       dtype=self.dtype, name="pii_conv")(
+            jnp.concatenate([x1c, x2c], -1))
+        y = jnp.concatenate([conv, x1u, x2u], -1)
+        mx = nn.max_pool(y, (2, 2), strides=(1, 1))
+        mx = _bn(self, "bn_m", _blurpool2(mx), train)
+        cv = jax.nn.gelu(nn.Conv(c2, (3, 3), strides=(2, 2),
+                                 padding=((1, 1), (1, 1)),
+                                 feature_group_count=c2, dtype=self.dtype,
+                                 name="conv_d")(y), approximate=False)
+        cv = _bn(self, "bn_c", cv, train)
+        return nn.Conv(c2, (1, 1), dtype=self.dtype,
+                       name="fusion")(jnp.concatenate([cv, mx], -1))
+
+
+class DecoupleNetBackbone(ConvBase):
+    """Faithful DecoupleNet (reference DecoupleNet.py:234; decouplenet_d2
+    spec :26 = embed 64, depths (1,6,6,2), att_kernel 9). conv4-s4+BN stem,
+    DecoupleBlock stages with FID downsamplers, per-stage output BN."""
+
+    embed_dim: int = 64
+    depths: Sequence[int] = (1, 6, 6, 2)
+    att_kernel: int = 9
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), use_bias=False,
+                    dtype=self.dtype, name="stem")(x)
+        x = _bn(self, "stem_bn", x, train)
+        outs = []
+        for si in range(4):
+            for bi in range(self.depths[si]):
+                x = DecoupleBlock(stage=si, att_kernel=self.att_kernel,
+                                  mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                                  name=f"s{si}_b{bi}")(x, train)
+            outs.append(_bn(self, f"norm_feat{si}", x, train))
+            if si < 3:
+                x = DecoupleFID(dtype=self.dtype, name=f"fid{si}")(x, train)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -850,6 +1013,8 @@ def _register_alias_variants():
         "smt_l": (SMTBackbone, ()),
         # COSNet (reference COSNet.py:9 cosnet_tiny) — faithful MCFS mixer
         "cosnet_tiny": (COSNetBackbone, ()),
+        # DecoupleNet (reference DecoupleNet.py:26 decouplenet_d2)
+        "decouplenet_d2": (DecoupleNetBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

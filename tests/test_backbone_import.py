@@ -562,3 +562,37 @@ def test_decouplenet_import_parity():
     theirs = _stage_outs_torch(ref, x)[1:]  # drop the embed map
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_uninext_import_parity():
+    """Faithful UniNeXt / DilatedFormer_Windows vs the reference UniNeXt.py
+    with transplanted weights — exercises the zero-padded (unmasked) window
+    attention path (16 % 7 != 0) exactly as the reference computes it."""
+    from ultralytics.nn.modules.UniNeXt import DilatedFormer_Windows
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import uninext_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import UniNeXtBackbone
+
+    torch.manual_seed(19)
+    ref = DilatedFormer_Windows(embed_dim=16, depth=[1, 1, 2, 1],
+                                ws=[7, 7, 7, 7], wd=[3, 3, 3, 3],
+                                num_heads=[2, 4, 8, 16], mlp_ratio=4.0,
+                                qkv_bias=True, drop_path_rate=0.0,
+                                num_classes=8, img_size=64)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = UniNeXtBackbone(embed_dim=16, depths=(1, 1, 2, 1))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = uninext_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(12).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

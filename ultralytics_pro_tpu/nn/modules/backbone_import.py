@@ -34,7 +34,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "swin_state_dict_to_flax", "efficientformerv2_state_dict_to_flax",
            "vheat_state_dict_to_flax", "spanet_state_dict_to_flax",
            "smt_state_dict_to_flax", "cosnet_state_dict_to_flax",
-           "decouplenet_state_dict_to_flax",
+           "decouplenet_state_dict_to_flax", "uninext_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -788,6 +788,88 @@ def decouplenet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = Tru
     return tree
 
 
+def uninext_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """UniNeXt / DilatedFormer_Windows backbone (reference UniNeXt.py:279).
+
+    Torch layout: stem{1,2,3} convs + norm_act{1,2,3}.0 LNs; merge{0..3}
+    {conv,norm}; stage{i}.{j} DilatedBlock = {norm1, qkv, q_bias, v_bias,
+    attns.0.lepe, proj, norm2, mlp.{fc1,dwconv,norm_act.0,fc2}}; cpe{i}.{j}
+    depthwise convs; final norm/head ignored."""
+    tree = _deep_dict(variables)
+    written = set()
+    for tkey, w in sd.items():
+        if tkey.startswith(("head.", "norm.")):
+            continue
+        w = np.asarray(w, np.float32)
+        m = re.match(r"stem(\d)\.(weight|bias)$", tkey)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            _set(tree, ["params", f"stem{m.group(1)}", leaf],
+                 _conv_w(w) if leaf == "kernel" else w, written)
+            continue
+        m = re.match(r"norm_act(\d)\.0\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", f"norm_act{m.group(1)}",
+                        "scale" if m.group(2) == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"merge(\d)\.(conv|norm)\.(weight|bias)$", tkey)
+        if m:
+            i, kind, leaf = m.group(1), m.group(2), m.group(3)
+            if kind == "conv":
+                _set(tree, ["params", f"merge{i}", "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            else:
+                _set(tree, ["params", f"merge{i}_norm",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"cpe(\d)\.(\d+)\.(weight|bias)$", tkey)
+        if m:
+            leaf = "kernel" if m.group(3) == "weight" else "bias"
+            _set(tree, ["params", f"s{int(m.group(1)) - 1}_cpe{m.group(2)}", leaf],
+                 _conv_w(w) if leaf == "kernel" else w, written)
+            continue
+        m = re.match(r"stage(\d)\.(\d+)\.(.+)$", tkey)
+        if m:
+            pre = f"s{int(m.group(1)) - 1}_b{m.group(2)}"
+            rest = m.group(3)
+            leaf = rest.rsplit(".", 1)[1] if "." in rest else rest
+            if re.match(r"norm[12]\.(weight|bias)$", rest):
+                _set(tree, ["params", pre, rest.split(".")[0],
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif rest == "qkv.weight":
+                _set(tree, ["params", pre, "qkv", "kernel"], w.T, written)
+            elif rest in ("q_bias", "v_bias"):
+                _set(tree, ["params", pre, rest], w, written)
+            elif rest.startswith("attns.0.lepe."):
+                _set(tree, ["params", pre, "lepe",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif re.match(r"proj\.(weight|bias)$", rest):
+                _set(tree, ["params", pre, "proj",
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif re.match(r"mlp\.fc[12]\.(weight|bias)$", rest):
+                _set(tree, ["params", pre, rest.split(".")[1],
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif rest.startswith("mlp.dwconv."):
+                _set(tree, ["params", pre, "mlp_dw",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif rest.startswith("mlp.norm_act.0."):
+                _set(tree, ["params", pre, "mlp_norm",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif strict:
+                raise KeyError(f"unmapped UniNeXt block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped UniNeXt key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -812,5 +894,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "spanet": spanet_state_dict_to_flax,
           "smt": smt_state_dict_to_flax,
           "cosnet": cosnet_state_dict_to_flax,
-          "decouplenet": decouplenet_state_dict_to_flax}[family]
+          "decouplenet": decouplenet_state_dict_to_flax,
+          "uninext": uninext_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

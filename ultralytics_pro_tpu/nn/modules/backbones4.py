@@ -211,8 +211,7 @@ BACKBONE_VARIANTS4 = {
                          ("inception", "inception", "attn", "attn")),
     "glnet_4g": _e((64, 128, 256, 512), (3, 3, 12, 5),
                    ("dwconv", "dwconv", "attn", "attn")),
-    "uninext_t": _e((64, 128, 256, 512), (2, 2, 6, 2),
-                    ("dwconv", "dwconv", "attn", "attn")),
+    # uninext_t is re-bound to the faithful UniNeXtBackbone below
     "EMO2_1M_k5_hybrid": _e((32, 48, 96, 192), (2, 2, 8, 3),
                             ("mbconv", "mbconv", "attn", "attn"), mlp_ratio=2.0),
     "EMO2_5M_k5_hybrid": _e((48, 72, 160, 288), (3, 3, 9, 3),
@@ -935,6 +934,117 @@ class DecoupleNetBackbone(ConvBase):
         return outs
 
 
+class UniNeXtBlock(ConvBase):
+    """UniNeXt DilatedBlock (reference UniNeXt.py:197): pre-norm windowed
+    MHSA (ws x ws zero-padded windows, no pad masking — faithful to the
+    reference) with split q/v biases and a depthwise-3x3 LEPE on the full-res
+    v, then an Mlp whose hidden adds a LN+GELU'd depthwise branch."""
+
+    num_heads: int = 2
+    ws: int = 7
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh, ws = self.num_heads, self.ws
+        d = c // nh
+        t = x.reshape(b, h * w, c)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(t)
+        qb = self.param("q_bias", nn.initializers.zeros, (c,))
+        vb = self.param("v_bias", nn.initializers.zeros, (c,))
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(y)
+        qkv = qkv + jnp.concatenate([qb, jnp.zeros_like(qb), vb]).astype(qkv.dtype)
+        q, k, v = jnp.split(qkv, 3, -1)
+        lepe = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                       dtype=self.dtype, name="lepe")(v.reshape(b, h, w, c))
+        lepe = lepe.reshape(b, h * w, c)
+
+        ph = (ws - h % ws) % ws
+        pw = (ws - w % ws) % ws
+        hh, www = h + ph, w + pw
+        gh, gw = hh // ws, www // ws
+
+        def win(z):  # (B, N, C) -> (B*G, nh, ws*ws, d)
+            z = z.reshape(b, h, w, c)
+            z = jnp.pad(z, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            z = z.reshape(b, gh, ws, gw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+            z = z.reshape(b * gh * gw, ws * ws, nh, d).transpose(0, 2, 1, 3)
+            return z
+
+        qw, kw, vw = win(q), win(k), win(v)
+        att = jax.nn.softmax((qw * (d ** -0.5)) @ kw.transpose(0, 1, 3, 2), -1)
+        o = att @ vw  # (B*G, nh, ws*ws, d)
+        o = o.reshape(b, gh, gw, nh, ws, ws, d).transpose(0, 1, 4, 2, 5, 3, 6)
+        o = o.reshape(b, hh, www, c)[:, :h, :w, :].reshape(b, h * w, c)
+        o = nn.Dense(c, dtype=self.dtype, name="proj")(o + lepe)
+        t = t + o
+
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(t)
+        y = jax.nn.gelu(nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
+                                 name="fc1")(y), approximate=False)
+        hid = y.shape[-1]
+        y1 = nn.Conv(hid, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=hid,
+                     dtype=self.dtype, name="mlp_dw")(y.reshape(b, h, w, hid))
+        y1 = jax.nn.gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                      name="mlp_norm")(y1.reshape(b, h * w, hid)),
+                         approximate=False)
+        y = nn.Dense(c, dtype=self.dtype, name="fc2")(y + y1)
+        return (t + y).reshape(b, h, w, c)
+
+
+class UniNeXtBackbone(ConvBase):
+    """Faithful UniNeXt / DilatedFormer_Windows (reference UniNeXt.py:279;
+    uninext_t :476 = embed 64, depths (2,2,18,2), heads (2,4,8,16),
+    ws 7). Three-conv stem with token LN+GELU after each, Merge_Block
+    (conv3-s2 + LN) downsamples, DilatedBlocks each followed by a depthwise
+    CPE residual."""
+
+    embed_dim: int = 64
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (2, 4, 8, 16)
+    ws: int = 7
+    mlp_ratio: float = 4.0
+
+    def _ln_gelu(self, x, name):
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name, parent=self)(x)
+        return jax.nn.gelu(y, approximate=False)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        so = self.embed_dim // 2
+        x = nn.Conv(so, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="stem1")(x)
+        x = self._ln_gelu(x, "norm_act1")
+        x = nn.Conv(so, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="stem2")(x)
+        x = self._ln_gelu(x, "norm_act2")
+        x = nn.Conv(so, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="stem3")(x)
+        x = self._ln_gelu(x, "norm_act3")
+        c = self.embed_dim
+        x = nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="merge0")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="merge0_norm")(x)
+        outs = []
+        for si in range(4):
+            c = x.shape[-1]
+            for bi in range(self.depths[si]):
+                x = UniNeXtBlock(num_heads=self.num_heads[si], ws=self.ws,
+                                 mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                                 name=f"s{si}_b{bi}")(x, train)
+                x = x + nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                                feature_group_count=c, dtype=self.dtype,
+                                name=f"s{si}_cpe{bi}")(x)
+            outs.append(x)
+            if si < 3:
+                x = nn.Conv(c * 2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"merge{si + 1}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name=f"merge{si + 1}_norm")(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -1015,6 +1125,8 @@ def _register_alias_variants():
         "cosnet_tiny": (COSNetBackbone, ()),
         # DecoupleNet (reference DecoupleNet.py:26 decouplenet_d2)
         "decouplenet_d2": (DecoupleNetBackbone, ()),
+        # UniNeXt (reference UniNeXt.py:476 uninext_t)
+        "uninext_t": (UniNeXtBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

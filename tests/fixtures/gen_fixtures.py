@@ -145,11 +145,32 @@ class _BlurPool(torch.nn.Module):
         return _F.conv2d(self.pad(x), self.filt, stride=self.stride, groups=x.shape[1])
 
 
+
+
+class _TimmMlp(torch.nn.Module):
+    """Real timm Mlp semantics (fc1 -> act -> drop -> fc2 -> drop) so
+    backbones that import it (iFormer.py:34) compute real values."""
+
+    def __init__(self, in_features, hidden_features=None, out_features=None,
+                 act_layer=torch.nn.GELU, drop=0.0, bias=True, **kw):
+        super().__init__()
+        out_features = out_features or in_features
+        hidden_features = hidden_features or in_features
+        self.fc1 = torch.nn.Linear(in_features, hidden_features, bias=bias)
+        self.act = act_layer()
+        self.fc2 = torch.nn.Linear(hidden_features, out_features, bias=bias)
+        self.drop = torch.nn.Dropout(drop if not isinstance(drop, (tuple, list)) else drop[0])
+
+    def forward(self, x):
+        return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+
 # functional (not Mock) implementations for the handful of timm helpers the
 # backbone files actually execute at construction/forward time
 _REAL_STUBS = {
     "to_2tuple": _to_ntuple(2), "to_3tuple": _to_ntuple(3), "to_4tuple": _to_ntuple(4),
     "to_ntuple": _to_ntuple, "DropPath": _DropPath, "BlurPool": _BlurPool,
+    "Mlp": _TimmMlp,
     "trunc_normal_": lambda t, *a, **k: torch.nn.init.normal_(t, std=k.get("std", 0.02))
     if hasattr(t, "normal_") else t,
 }

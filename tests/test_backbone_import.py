@@ -633,3 +633,36 @@ def test_iformer_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_evit_import_parity():
+    """Faithful EViT (cascaded spatial-reduction attention + BFFN) vs the
+    reference EViT.py with transplanted weights — covers both the sr>1
+    cascaded path and the sr==1 plain-MHSA stage."""
+    from ultralytics.nn.modules.EViT import EViT as RefEViT
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import evit_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import EViTBackbone
+
+    torch.manual_seed(29)
+    ref = RefEViT(img_size=64, embed_dims=[8, 16, 32, 64], stem_channel=8,
+                  num_heads=[1, 2, 4, 8], mlp_ratios=[3, 3, 3, 3],
+                  qkv_bias=True, depths=[1, 1, 2, 1], sr_ratios=[8, 4, 2, 1],
+                  drop_path_rate=0.0, num_classes=0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = EViTBackbone(dims=(8, 16, 32, 64), stem_channel=8, depths=(1, 1, 2, 1))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = evit_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(16).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

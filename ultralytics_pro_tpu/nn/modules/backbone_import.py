@@ -35,7 +35,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "vheat_state_dict_to_flax", "spanet_state_dict_to_flax",
            "smt_state_dict_to_flax", "cosnet_state_dict_to_flax",
            "decouplenet_state_dict_to_flax", "uninext_state_dict_to_flax",
-           "iformer_state_dict_to_flax",
+           "iformer_state_dict_to_flax", "evit_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -954,6 +954,102 @@ def iformer_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def evit_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """EViT backbone (reference EViT.py:196).
+
+    Torch layout: stem_conv{1..3}/stem_norm{1..3} (BN); patch_embed_{a..d}
+    {proj, norm LN}; blocks_{a..d}.{b} = {norm1, norm2, proj (dw pos conv),
+    attn.{q,k,v,proj | q_1,k_1,v_1,proj_1,sr_1,norm_1,q_2,k_2,v_2,proj_2,
+    sr_2,norm_2}, mlp.{fc1,dwconv_1,Batch_Norm_1,dwconv_2,Batch_Norm_2,fc2}};
+    stage norms norm_{a..d}."""
+    tree = _deep_dict(variables)
+    written = set()
+    done_bn = set()
+    st = {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def bn(path, tkey):
+        if tkey not in done_bn:
+            _bn_entries(tree, path, path, sd, tkey, written)
+            done_bn.add(tkey)
+
+    for tkey, w in sd.items():
+        if tkey.endswith("num_batches_tracked") or tkey.startswith("head."):
+            continue
+        w = np.asarray(w, np.float32)
+        m = re.match(r"stem_conv(\d)\.(weight|bias)$", tkey)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            _set(tree, ["params", f"stem_conv{m.group(1)}", leaf],
+                 _conv_w(w) if leaf == "kernel" else w, written)
+            continue
+        m = re.match(r"stem_norm(\d)\.", tkey)
+        if m:
+            bn([f"stem_bn{m.group(1)}"], f"stem_norm{m.group(1)}")
+            continue
+        m = re.match(r"patch_embed_([abcd])\.(proj|norm)\.(weight|bias)$", tkey)
+        if m:
+            si, kind, leaf = st[m.group(1)], m.group(2), m.group(3)
+            if kind == "proj":
+                _set(tree, ["params", f"pe{si}", "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            else:
+                _set(tree, ["params", f"pe{si}_norm",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"norm_([abcd])\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", f"norm_out{st[m.group(1)]}",
+                        "scale" if m.group(2) == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"blocks_([abcd])\.(\d+)\.(.+)$", tkey)
+        if m:
+            pre = f"s{st[m.group(1)]}_b{m.group(2)}"
+            rest = m.group(3)
+            leaf = rest.rsplit(".", 1)[1]
+            if re.match(r"norm[12]\.(weight|bias)$", rest):
+                _set(tree, ["params", f"{pre}_{rest.split('.')[0]}",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif re.match(r"proj\.(weight|bias)$", rest):
+                _set(tree, ["params", f"{pre}_proj",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif re.match(r"attn\.(q|k|v|proj|q_[12]|k_[12]|v_[12]|proj_[12])\.(weight|bias)$", rest):
+                n = rest.split(".")[1]
+                _set(tree, ["params", f"{pre}_attn", n,
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif re.match(r"attn\.sr_[12]\.(weight|bias)$", rest):
+                n = rest.split(".")[1]
+                _set(tree, ["params", f"{pre}_attn", n,
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif re.match(r"attn\.norm_[12]\.(weight|bias)$", rest):
+                n = rest.split(".")[1]
+                _set(tree, ["params", f"{pre}_attn", n,
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif re.match(r"mlp\.fc[12]\.(weight|bias)$", rest):
+                _set(tree, ["params", f"{pre}_{rest.split('.')[1]}",
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif re.match(r"mlp\.dwconv_([12])\.(weight|bias)$", rest):
+                i = rest.split(".")[1][-1]
+                _set(tree, ["params", f"{pre}_dw{i}",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif re.match(r"mlp\.Batch_Norm_([12])\.", rest):
+                i = rest.split(".")[1][-1]
+                bn([f"{pre}_bn{i}"], f"blocks_{m.group(1)}.{m.group(2)}.mlp.Batch_Norm_{i}")
+            elif strict:
+                raise KeyError(f"unmapped EViT block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped EViT key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -980,5 +1076,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "cosnet": cosnet_state_dict_to_flax,
           "decouplenet": decouplenet_state_dict_to_flax,
           "uninext": uninext_state_dict_to_flax,
-          "iformer": iformer_state_dict_to_flax}[family]
+          "iformer": iformer_state_dict_to_flax,
+          "evit": evit_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -217,7 +217,7 @@ BACKBONE_VARIANTS4 = {
     "EMO2_5M_k5_hybrid": _e((48, 72, 160, 288), (3, 3, 9, 3),
                             ("mbconv", "mbconv", "attn", "attn"), mlp_ratio=2.0),
     # attention tail substitutions
-    "EViT_Tiny": _e((64, 128, 240, 384), (2, 2, 6, 2), "cga"),
+    # EViT_Tiny is re-bound to the faithful EViTBackbone below
     "stvit_small": _e((96, 192, 384, 512), (2, 2, 6, 2), "attn"),
     "transnext_micro": _e((48, 96, 192, 384), (2, 2, 15, 2), "linattn"),
     "sgformer_s": _e((64, 128, 256, 512), (2, 2, 6, 2), "linattn"),
@@ -1159,6 +1159,123 @@ class IFormerBackbone(ConvBase):
         return outs
 
 
+class EViTAttention(ConvBase):
+    """EViT attention (reference EViT.py:66). sr_ratio>1: two cascaded
+    rounds — each reduces k/v tokens with a depthwise strided conv +
+    LN + GELU, the second round re-queries from the first's output and adds
+    it residually. sr_ratio==1: plain MHSA with separate q/k/v projections."""
+
+    num_heads: int = 1
+    sr_ratio: int = 1
+
+    def _mhsa(self, q, k, v, b, n, c):
+        nh = self.num_heads
+        d = c // nh
+        q = q.reshape(b, -1, nh, d).transpose(0, 2, 1, 3)
+        k = k.reshape(b, -1, nh, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, -1, nh, d).transpose(0, 2, 1, 3)
+        att = jax.nn.softmax((q @ k.transpose(0, 1, 3, 2)) * (d ** -0.5), -1)
+        return (att @ v).transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    @nn.compact
+    def __call__(self, t, h, w, train: bool = False):
+        b, n, c = t.shape
+        sr = self.sr_ratio
+        gelu = lambda z: jax.nn.gelu(z, approximate=False)
+        if sr > 1:
+            def reduced(z, idx):
+                zs = z.reshape(b, h, w, c)
+                zs = nn.Conv(c, (sr, sr), strides=(sr, sr), feature_group_count=c,
+                             dtype=self.dtype, name=f"sr_{idx}", parent=self)(zs)
+                zs = zs.reshape(b, -1, c)
+                return gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                         name=f"norm_{idx}", parent=self)(zs))
+
+            x1r = reduced(t, 1)
+            q1 = nn.Dense(c, dtype=self.dtype, name="q_1")(t)
+            k1 = nn.Dense(c, dtype=self.dtype, name="k_1")(x1r)
+            v1 = nn.Dense(c, dtype=self.dtype, name="v_1")(x1r)
+            x1 = nn.Dense(c, dtype=self.dtype,
+                          name="proj_1")(self._mhsa(q1, k1, v1, b, n, c))
+            x2r = reduced(x1, 2)
+            q2 = nn.Dense(c, dtype=self.dtype, name="q_2")(x1)
+            k2 = nn.Dense(c, dtype=self.dtype, name="k_2")(x2r)
+            v2 = nn.Dense(c, dtype=self.dtype, name="v_2")(x2r)
+            x2 = x1 + self._mhsa(q2, k2, v2, b, n, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj_2")(x2)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(t)
+        k = nn.Dense(c, dtype=self.dtype, name="k")(t)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(t)
+        return nn.Dense(c, dtype=self.dtype,
+                        name="proj")(self._mhsa(q, k, v, b, n, c))
+
+
+class EViTBackbone(ConvBase):
+    """Faithful EViT (reference EViT.py:196; EViT_Tiny :330 = dims
+    (56,112,224,448), stem 28, heads (1,2,4,8), mlp 3, depths (2,4,8,2),
+    sr (8,4,2,1)). Three-conv GELU+BN stem; conv2-s2+LN patch embeds; blocks
+    apply a depthwise positional residual, cascaded-SR attention on the
+    pre-proj tokens (faithful to the reference's x_proj + attn(norm1(x))
+    quirk), and the BFFN dual-dwconv MLP; per-stage LN outputs feed forward."""
+
+    dims: Sequence[int] = (56, 112, 224, 448)
+    stem_channel: int = 28
+    depths: Sequence[int] = (2, 4, 8, 2)
+    num_heads: Sequence[int] = (1, 2, 4, 8)
+    mlp_ratios: Sequence[float] = (3, 3, 3, 3)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        gelu = lambda z: jax.nn.gelu(z, approximate=False)
+        sc = self.stem_channel
+        for i, s in enumerate((2, 1, 1), 1):
+            x = nn.Conv(sc, (3, 3), strides=(s, s), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name=f"stem_conv{i}")(x)
+            x = _bn(self, f"stem_bn{i}", gelu(x), train)
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            x = nn.Conv(c, (2, 2), strides=(2, 2), dtype=self.dtype,
+                        name=f"pe{si}")(x)
+            b, h, w, _ = x.shape
+            t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"pe{si}_norm")(x.reshape(b, h * w, c))
+            for bi in range(self.depths[si]):
+                pre = f"s{si}_b{bi}"
+                cnn = t.reshape(b, h, w, c)
+                xp = cnn + nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                                   feature_group_count=c, dtype=self.dtype,
+                                   name=f"{pre}_proj")(cnn)
+                xp = xp.reshape(b, h * w, c)
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm1")(t)
+                t = xp + EViTAttention(num_heads=self.num_heads[si],
+                                       sr_ratio=self.sr_ratios[si],
+                                       dtype=self.dtype,
+                                       name=f"{pre}_attn")(y, h, w, train)
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm2")(t)
+                # BFFN (reference EViT.py:27)
+                y = nn.Dense(int(c * self.mlp_ratios[si]), dtype=self.dtype,
+                             name=f"{pre}_fc1")(y)
+                hid = y.shape[-1]
+                ys = y.reshape(b, h, w, hid)
+                y1 = _bn(self, f"{pre}_bn1", gelu(nn.Conv(
+                    hid, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=hid,
+                    dtype=self.dtype, name=f"{pre}_dw1")(ys)), train)
+                y2 = _bn(self, f"{pre}_bn2", gelu(nn.Conv(
+                    hid, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=hid,
+                    dtype=self.dtype, name=f"{pre}_dw2")(y1)), train)
+                y = (y1 + y2).reshape(b, h * w, hid)
+                t = t + nn.Dense(c, dtype=self.dtype, name=f"{pre}_fc2")(y)
+            t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"norm_out{si}")(t)
+            x = t.reshape(b, h, w, c)
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -1243,6 +1360,8 @@ def _register_alias_variants():
         "uninext_t": (UniNeXtBackbone, ()),
         # iFormer (reference iFormer.py:530 iformer_small)
         "iformer_small": (IFormerBackbone, ()),
+        # EViT (reference EViT.py:330 EViT_Tiny)
+        "EViT_Tiny": (EViTBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

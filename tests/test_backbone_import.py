@@ -666,3 +666,40 @@ def test_evit_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_stvit_import_parity():
+    """Faithful STViT (super-token attention with soft-association affinity)
+    vs the reference STViT.py with transplanted weights — covers both the
+    super-token (stoken>1, incl. the padded-grid path) and direct-refine
+    (stoken=1) stages."""
+    from ultralytics.nn.modules.STViT import STViT as RefSTViT
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import stvit_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import STViTBackbone
+
+    torch.manual_seed(31)
+    ref = RefSTViT(img_size=64, embed_dim=[8, 16, 20, 32], depths=[1, 1, 2, 1],
+                   num_heads=[1, 2, 5, 8], n_iter=[1, 1, 1, 1],
+                   stoken_size=[8, 3, 1, 1], projection=None, mlp_ratio=4,
+                   qkv_bias=True, drop_path_rate=0.0, num_classes=0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            if ".unfold." in n or ".fold." in n:
+                continue  # fixed identity kernels — must stay exact
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = STViTBackbone(dims=(8, 16, 20, 32), depths=(1, 1, 2, 1),
+                      num_heads=(1, 2, 5, 8), stoken=(8, 3, 1, 1))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = stvit_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(18).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

@@ -36,6 +36,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "smt_state_dict_to_flax", "cosnet_state_dict_to_flax",
            "decouplenet_state_dict_to_flax", "uninext_state_dict_to_flax",
            "iformer_state_dict_to_flax", "evit_state_dict_to_flax",
+           "stvit_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1050,6 +1051,91 @@ def evit_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def stvit_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """STViT backbone (reference STViT.py:307).
+
+    Torch layout: patch_embed.proj.{0,3,6,9} convs / .{2,5,8,11} BNs;
+    layers.{i}.blocks.{j} = {pos_embed.conv, norm1.norm LN,
+    attn.stoken_refine.{qkv,proj} (+ fixed unfold/fold identity weights,
+    skipped), norm2 BN, mlp2.{fc1, conv.conv, fc2}};
+    layers.{i}.downsample.proj.{0 conv, 1 BN}; classification proj/norm/head
+    ignored."""
+    tree = _deep_dict(variables)
+    written = set()
+    done_bn = set()
+    pe_conv = {"0": "pe0", "3": "pe1", "6": "pe2", "9": "pe3"}
+    pe_bn = {"2": "pe0_bn", "5": "pe1_bn", "8": "pe2_bn", "11": "pe3_bn"}
+
+    def bn(path, tkey):
+        if tkey not in done_bn:
+            _bn_entries(tree, path, path, sd, tkey, written)
+            done_bn.add(tkey)
+
+    for tkey, w in sd.items():
+        if (tkey.endswith("num_batches_tracked") or ".unfold." in tkey or
+                ".fold." in tkey or tkey.startswith(("head.", "norm.", "proj."))):
+            continue
+        w = np.asarray(w, np.float32)
+        m = re.match(r"patch_embed\.proj\.(\d+)\.(weight|bias|running_mean|running_var)$", tkey)
+        if m:
+            idx, leaf = m.group(1), m.group(2)
+            if idx in pe_conv and leaf in ("weight", "bias"):
+                _set(tree, ["params", pe_conv[idx],
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            else:
+                bn([pe_bn[idx]], f"patch_embed.proj.{idx}")
+            continue
+        m = re.match(r"layers\.(\d)\.downsample\.proj\.([01])\.", tkey)
+        if m:
+            i, idx = int(m.group(1)), m.group(2)
+            if idx == "0":
+                leaf = tkey.rsplit(".", 1)[1]
+                _set(tree, ["params", f"down{i + 1}",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            else:
+                bn([f"down{i + 1}_bn"], f"layers.{i}.downsample.proj.1")
+            continue
+        m = re.match(r"layers\.(\d)\.blocks\.(\d+)\.(.+)$", tkey)
+        if m:
+            pre = f"s{m.group(1)}_b{m.group(2)}"
+            tpre = f"layers.{m.group(1)}.blocks.{m.group(2)}"
+            rest = m.group(3)
+            leaf = rest.rsplit(".", 1)[1]
+            if rest.startswith("pos_embed.conv."):
+                _set(tree, ["params", f"{pre}_pos",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif rest.startswith("norm1.norm."):
+                _set(tree, ["params", f"{pre}_norm1",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            elif rest.startswith("attn.stoken_refine."):
+                n = rest.split(".")[2]
+                _set(tree, ["params", f"{pre}_attn", "stoken_refine", n,
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif rest.startswith("norm2."):
+                bn([f"{pre}_norm2"], f"{tpre}.norm2")
+            elif re.match(r"mlp2\.fc[12]\.(weight|bias)$", rest):
+                _set(tree, ["params", f"{pre}_{rest.split('.')[1]}",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif rest.startswith("mlp2.conv.conv."):
+                _set(tree, ["params", f"{pre}_mlp_dw",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif strict:
+                raise KeyError(f"unmapped STViT block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped STViT key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1077,5 +1163,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "decouplenet": decouplenet_state_dict_to_flax,
           "uninext": uninext_state_dict_to_flax,
           "iformer": iformer_state_dict_to_flax,
-          "evit": evit_state_dict_to_flax}[family]
+          "evit": evit_state_dict_to_flax,
+          "stvit": stvit_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -218,7 +218,7 @@ BACKBONE_VARIANTS4 = {
                             ("mbconv", "mbconv", "attn", "attn"), mlp_ratio=2.0),
     # attention tail substitutions
     # EViT_Tiny is re-bound to the faithful EViTBackbone below
-    "stvit_small": _e((96, 192, 384, 512), (2, 2, 6, 2), "attn"),
+    # stvit_small is re-bound to the faithful STViTBackbone below
     "transnext_micro": _e((48, 96, 192, 384), (2, 2, 15, 2), "linattn"),
     "sgformer_s": _e((64, 128, 256, 512), (2, 2, 6, 2), "linattn"),
     "GroupMixFormerTiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "cga"),
@@ -1276,6 +1276,157 @@ class EViTBackbone(ConvBase):
         return outs
 
 
+def _unfold3(x):
+    """3x3 neighborhood extraction with zero pad (reference STViT.py:98
+    Unfold): (B, hh, ww, C) -> (B, hh, ww, 9, C), k = i*3+j."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.stack([xp[:, i:i + h, j:j + w] for i in range(3)
+                      for j in range(3)], axis=3)
+
+
+def _fold3(x):
+    """Transpose of _unfold3 (reference STViT.py:111 Fold): scatter-add each
+    of the 9 shifted planes back; (B, hh, ww, 9, C) -> (B, hh, ww, C)."""
+    b, h, w, _, c = x.shape
+    out = jnp.zeros((b, h + 2, w + 2, c), x.dtype)
+    for k in range(9):
+        i, j = k // 3, k % 3
+        out = out.at[:, i:i + h, j:j + w].add(x[:, :, :, k])
+    return out[:, 1:1 + h, 1:1 + w]
+
+
+class STViTRefine(ConvBase):
+    """STViT refine attention (reference STViT.py:72): 1x1-conv qkv with the
+    (head, 3d) interleaved split, MHSA over all super-tokens, 1x1 proj."""
+
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        d = c // nh
+        qkv = nn.Conv(3 * c, (1, 1), dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, nh, 3 * d)
+        q, k, v = jnp.split(qkv, 3, -1)  # (B, N, nh, d) each
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        att = jax.nn.softmax((q @ k.transpose(0, 1, 3, 2)) * (d ** -0.5), -1)
+        o = (att @ v).transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        return nn.Conv(c, (1, 1), dtype=self.dtype, name="proj")(o)
+
+
+class StokenAttention(ConvBase):
+    """STViT super-token attention (reference STViT.py:124): pad to the
+    super-token grid, average-pool initial super tokens, one (stop-gradient)
+    soft-association iteration against the 3x3 super-token neighborhood,
+    aggregate pixels into super tokens, refine with MHSA, and scatter back
+    through the affinity."""
+
+    stoken: int = 8
+    n_iter: int = 1
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        st = self.stoken
+        if st <= 1:
+            return STViTRefine(num_heads=self.num_heads, dtype=self.dtype,
+                               name="stoken_refine")(x, train)
+        b, h0, w0, c = x.shape
+        pb = (st - h0 % st) % st
+        pr = (st - w0 % st) % st
+        x = jnp.pad(x, ((0, 0), (0, pb), (0, pr), (0, 0)))
+        h, w = x.shape[1], x.shape[2]
+        hh, ww = h // st, w // st
+        scale = c ** -0.5
+
+        pix = x.reshape(b, hh, st, ww, st, c).transpose(0, 1, 3, 2, 4, 5)
+        pix = pix.reshape(b, hh * ww, st * st, c)
+        stok = x.reshape(b, hh, st, ww, st, c).mean(axis=(2, 4))  # (B, hh, ww, C)
+
+        aff = aff_sum = None
+        for it in range(self.n_iter):
+            nb = _unfold3(stok).reshape(b, hh * ww, 9, c)  # (B, G, 9, C)
+            aff = jax.nn.softmax(
+                jnp.einsum("bgpc,bgkc->bgpk", pix, nb) * scale, -1)
+            aff = jax.lax.stop_gradient(aff)
+            asum = aff.sum(2).reshape(b, hh, ww, 9)[..., None]  # (B,hh,ww,9,1)
+            aff_sum = _fold3(asum)[..., 0]  # (B, hh, ww)
+            if it < self.n_iter - 1:
+                sf = jnp.einsum("bgpc,bgpk->bgkc", pix, aff)
+                sf = _fold3(sf.reshape(b, hh, ww, 9, c))
+                stok = sf / (aff_sum[..., None] + 1e-12)
+
+        sf = jnp.einsum("bgpc,bgpk->bgkc", pix, aff)
+        stok = _fold3(sf.reshape(b, hh, ww, 9, c)) / \
+            (jax.lax.stop_gradient(aff_sum)[..., None] + 1e-12)
+        stok = STViTRefine(num_heads=self.num_heads, dtype=self.dtype,
+                           name="stoken_refine")(stok, train)
+        nb = _unfold3(stok).reshape(b, hh * ww, 9, c)
+        pix = jnp.einsum("bgkc,bgpk->bgpc", nb, aff)
+        pix = pix.reshape(b, hh, ww, st, st, c).transpose(0, 1, 3, 2, 4, 5)
+        pix = pix.reshape(b, h, w, c)
+        return pix[:, :h0, :w0]
+
+
+class STViTBackbone(ConvBase):
+    """Faithful STViT / super-token vision transformer (reference STViT.py:307;
+    stvit_small :413 = dims (64,128,320,512), depths (3,5,9,3), heads
+    (1,2,5,8), stoken (8,4,1,1)). Four-conv GELU+BN patch embed, blocks =
+    ResDWC pos-embed + LN2d -> StokenAttention residual + BN2d -> conv MLP
+    with ResDWC; conv3-s2+BN PatchMerging between stages."""
+
+    dims: Sequence[int] = (64, 128, 320, 512)
+    depths: Sequence[int] = (3, 5, 9, 3)
+    num_heads: Sequence[int] = (1, 2, 5, 8)
+    stoken: Sequence[int] = (8, 4, 1, 1)
+    n_iter: int = 1
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        gelu = lambda z: jax.nn.gelu(z, approximate=False)
+        c0 = self.dims[0]
+        specs = [(c0 // 2, 2, "pe0"), (c0 // 2, 1, "pe1"),
+                 (c0, 2, "pe2"), (c0, 1, "pe3")]
+        for cc, s, nm in specs:
+            x = nn.Conv(cc, (3, 3), strides=(s, s), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name=nm)(x)
+            x = _bn(self, f"{nm}_bn", gelu(x), train)
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            for bi in range(self.depths[si]):
+                pre = f"s{si}_b{bi}"
+                x = x + nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                                feature_group_count=c, dtype=self.dtype,
+                                name=f"{pre}_pos")(x)
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm1")(x)
+                x = x + StokenAttention(
+                    stoken=self.stoken[si], n_iter=self.n_iter,
+                    num_heads=self.num_heads[si], dtype=self.dtype,
+                    name=f"{pre}_attn")(y, train)
+                y = _bn(self, f"{pre}_norm2", x, train)
+                y = gelu(nn.Conv(int(c * self.mlp_ratio), (1, 1),
+                                 dtype=self.dtype, name=f"{pre}_fc1")(y))
+                y = y + nn.Conv(y.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                                feature_group_count=y.shape[-1],
+                                dtype=self.dtype, name=f"{pre}_mlp_dw")(y)
+                x = x + nn.Conv(c, (1, 1), dtype=self.dtype,
+                                name=f"{pre}_fc2")(y)
+            outs.append(x)
+            if si < 3:
+                x = nn.Conv(self.dims[si + 1], (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), dtype=self.dtype,
+                            name=f"down{si + 1}")(x)
+                x = _bn(self, f"down{si + 1}_bn", x, train)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -1362,6 +1513,8 @@ def _register_alias_variants():
         "iformer_small": (IFormerBackbone, ()),
         # EViT (reference EViT.py:330 EViT_Tiny)
         "EViT_Tiny": (EViTBackbone, ()),
+        # STViT (reference STViT.py:413 stvit_small)
+        "stvit_small": (STViTBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

@@ -703,3 +703,37 @@ def test_stvit_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_transxnet_import_parity():
+    """Faithful TransXNet (IDConv dynamic depthwise + OSRA attention D-Mixer,
+    MS-FFN) vs the reference TransXNet.py with transplanted weights."""
+    from ultralytics.nn.modules.TransXNet import TransXNet as RefTXN
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import transxnet_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import TransXNetBackbone
+
+    torch.manual_seed(37)
+    arch = {"layers": [1, 1, 2, 1], "embed_dims": [16, 32, 64, 128],
+            "kernel_size": [7, 7, 7, 7], "num_groups": [2, 2, 2, 2],
+            "sr_ratio": [8, 4, 2, 1], "num_heads": [1, 2, 4, 8],
+            "mlp_ratios": [4, 4, 4, 4], "layer_scale_init_value": 1e-5}
+    ref = RefTXN(image_size=64, arch=arch, num_classes=0, drop_path_rate=0.0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = TransXNetBackbone(dims=(16, 32, 64, 128), depths=(1, 1, 2, 1),
+                          img_size=64)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = transxnet_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(20).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

@@ -36,7 +36,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "smt_state_dict_to_flax", "cosnet_state_dict_to_flax",
            "decouplenet_state_dict_to_flax", "uninext_state_dict_to_flax",
            "iformer_state_dict_to_flax", "evit_state_dict_to_flax",
-           "stvit_state_dict_to_flax",
+           "stvit_state_dict_to_flax", "transxnet_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1136,6 +1136,114 @@ def stvit_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def transxnet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """TransXNet backbone (reference TransXNet.py:333).
+
+    Torch layout: patch_embed.{proj,norm GN}; relative_pos_enc.{i};
+    network.{even}.{b} Block = {pos_embed, norm1/2 GN,
+    token_mixer.{local_unit.{weight,bias,proj.0,proj.1,proj.3},
+    global_unit.{q,kv,local_conv,sr.0,sr.1,sr.3,sr.4},
+    proj.{0,2,3,5,6,7}}, mlp.{fc1.0,fc1.2,dwconv.proj.{0..3},norm,fc2.0,
+    fc2.1}, layer_scale_1/2.{weight,bias}}; network.{odd} downsample
+    PatchEmbed; norm_out_layers.{i}; unused norm{dim} + classifier ignored."""
+    tree = _deep_dict(variables)
+    written = set()
+
+    def gn(path, leaf, w):
+        _set(tree, ["params", *path, "scale" if leaf == "weight" else "bias"],
+             w, written)
+
+    def conv(path, leaf, w):
+        _set(tree, ["params", *path, "kernel" if leaf == "weight" else "bias"],
+             _conv_w(w) if leaf == "weight" else w, written)
+
+    mixer_proj = {"0": ("mix_proj0", "conv"), "2": ("mix_gn1", "gn"),
+                  "3": ("mix_proj3", "conv"), "5": ("mix_gn2", "gn"),
+                  "6": ("mix_proj6", "conv"), "7": ("mix_gn3", "gn")}
+    sr_map = {"0": ("sr0", "conv"), "1": ("sr_gn1", "gn"),
+              "3": ("sr3", "conv"), "4": ("sr_gn2", "gn")}
+    for tkey, w in sd.items():
+        if (tkey.startswith(("classifier_head.",)) or
+                re.match(r"norm\d+\.(weight|bias)$", tkey)):
+            continue
+        w = np.asarray(w, np.float32)
+        leaf = tkey.rsplit(".", 1)[1]
+        if tkey.startswith("patch_embed.proj."):
+            conv(["stem"], leaf, w)
+            continue
+        if tkey.startswith("patch_embed.norm."):
+            gn(["stem_gn"], leaf, w)
+            continue
+        m = re.match(r"relative_pos_enc\.(\d)$", tkey)
+        if m:
+            _set(tree, ["params", f"rel_pos{m.group(1)}"], w[0], written)
+            continue
+        m = re.match(r"network\.(\d+)\.(proj|norm)\.(weight|bias)$", tkey)
+        if m:  # downsample PatchEmbed at odd indices
+            i = (int(m.group(1)) + 1) // 2
+            if m.group(2) == "proj":
+                conv([f"down{i}"], m.group(3), w)
+            else:
+                gn([f"down{i}_gn"], m.group(3), w)
+            continue
+        m = re.match(r"norm_out_layers\.(\d)\.(weight|bias)$", tkey)
+        if m:
+            gn([f"norm_out{m.group(1)}"], m.group(2), w)
+            continue
+        m = re.match(r"network\.(\d+)\.(\d+)\.(.+)$", tkey)
+        if m:
+            pre = f"s{int(m.group(1)) // 2}_b{m.group(2)}"
+            rest = m.group(3)
+            if rest.startswith("pos_embed."):
+                conv([pre, "pos_embed"], leaf, w)
+            elif re.match(r"norm[12]\.", rest):
+                gn([pre, rest.split(".")[0]], leaf, w)
+            elif re.match(r"layer_scale_([12])\.(weight|bias)$", rest):
+                i = rest.split(".")[0][-1]
+                _set(tree, ["params", pre,
+                            f"ls{i}_{'w' if leaf == 'weight' else 'b'}"],
+                     w.reshape(-1), written)
+            elif rest == "token_mixer.local_unit.weight":
+                _set(tree, ["params", pre, "local_unit", "weight"], w, written)
+            elif rest == "token_mixer.local_unit.bias":
+                _set(tree, ["params", pre, "local_unit", "bias"], w, written)
+            elif re.match(r"token_mixer\.local_unit\.proj\.([013])\.", rest):
+                idx = rest.split(".")[3]
+                nmap = {"0": ("proj0", "conv"), "1": ("proj_gn", "gn"),
+                        "3": ("proj3", "conv")}
+                n, kind = nmap[idx]
+                (conv if kind == "conv" else gn)([pre, "local_unit", n], leaf, w)
+            elif re.match(r"token_mixer\.global_unit\.(q|kv|local_conv)\.", rest):
+                conv([pre, "global_unit", rest.split(".")[2]], leaf, w)
+            elif re.match(r"token_mixer\.global_unit\.sr\.([0134])\.", rest):
+                n, kind = sr_map[rest.split(".")[3]]
+                (conv if kind == "conv" else gn)([pre, "global_unit", n], leaf, w)
+            elif re.match(r"token_mixer\.proj\.([023567])\.", rest):
+                n, kind = mixer_proj[rest.split(".")[2]]
+                (conv if kind == "conv" else gn)([pre, n], leaf, w)
+            elif re.match(r"mlp\.fc1\.0\.weight$", rest):
+                conv([pre, "fc1"], "weight", w)
+            elif re.match(r"mlp\.fc1\.2\.", rest):
+                gn([pre, "fc1_gn"], leaf, w)
+            elif re.match(r"mlp\.dwconv\.proj\.(\d)\.", rest):
+                conv([pre, f"msdw{rest.split('.')[3]}"], leaf, w)
+            elif re.match(r"mlp\.norm\.", rest):
+                gn([pre, "mid_gn"], leaf, w)
+            elif re.match(r"mlp\.fc2\.0\.weight$", rest):
+                conv([pre, "fc2"], "weight", w)
+            elif re.match(r"mlp\.fc2\.1\.", rest):
+                gn([pre, "fc2_gn"], leaf, w)
+            elif strict:
+                raise KeyError(f"unmapped TransXNet block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped TransXNet key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1164,5 +1272,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "uninext": uninext_state_dict_to_flax,
           "iformer": iformer_state_dict_to_flax,
           "evit": evit_state_dict_to_flax,
-          "stvit": stvit_state_dict_to_flax}[family]
+          "stvit": stvit_state_dict_to_flax,
+          "transxnet": transxnet_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -207,8 +207,7 @@ BACKBONE_VARIANTS4 = {
     "overlock_xt": _e((56, 112, 256, 336), (2, 2, 8, 2), "lka"),
     "pkinet_t": _e((32, 64, 128, 256), (2, 2, 4, 2), "inception"),
     # iformer_small is re-bound to the faithful IFormerBackbone below
-    "transxnet_tiny": _e((48, 96, 224, 448), (3, 3, 9, 3),
-                         ("inception", "inception", "attn", "attn")),
+    # transxnet_tiny is re-bound to the faithful TransXNetBackbone below
     "glnet_4g": _e((64, 128, 256, 512), (3, 3, 12, 5),
                    ("dwconv", "dwconv", "attn", "attn")),
     # uninext_t is re-bound to the faithful UniNeXtBackbone below
@@ -1427,6 +1426,238 @@ class STViTBackbone(ConvBase):
         return outs
 
 
+def _adaptive_avg_pool(x, k: int):
+    """torch F.adaptive_avg_pool2d semantics ((B,H,W,C) -> (B,k,k,C)):
+    bin i spans [floor(i*H/k), ceil((i+1)*H/k)) — bins may overlap."""
+    import math as _m
+
+    b, h, w, c = x.shape
+    rows = []
+    for i in range(k):
+        h0, h1 = (i * h) // k, _m.ceil((i + 1) * h / k)
+        cols = []
+        for j in range(k):
+            w0, w1 = (j * w) // k, _m.ceil((j + 1) * w / k)
+            cols.append(x[:, h0:h1, w0:w1].mean(axis=(1, 2)))
+        rows.append(jnp.stack(cols, 1))
+    return jnp.stack(rows, 1)  # (B, k, k, C)
+
+
+def _gn1(mod, x, name):
+    """build_group_norm(num_groups=1, eps=1e-6) — reference TransXNet.py:11."""
+    return nn.GroupNorm(num_groups=1, epsilon=1e-6, dtype=mod.dtype,
+                        name=name, parent=mod)(x)
+
+
+class IDConv(ConvBase):
+    """TransXNet input-dependent dynamic conv (reference TransXNet.py:80
+    DynamicConv2d): a bank of `num_groups` depthwise KxK kernels mixed
+    per-sample (and per kernel tap) by a softmax over groups of a projected
+    adaptive-KxK pooled descriptor; bias mixed from the GAP descriptor."""
+
+    kernel_size: int = 3
+    num_groups: int = 2
+    reduction_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        kk, g = self.kernel_size, self.num_groups
+        wbank = self.param("weight",
+                           nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                           (g, c, kk, kk))
+        bbank = self.param("bias",
+                           nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                           (g, c))
+
+        proj0 = nn.Conv(c // self.reduction_ratio, (1, 1), dtype=self.dtype,
+                        name="proj0")
+        proj_gn = nn.GroupNorm(num_groups=1, epsilon=1e-6, dtype=self.dtype,
+                               name="proj_gn")
+        proj3 = nn.Conv(c * g, (1, 1), dtype=self.dtype, name="proj3")
+
+        def proj(z):  # the reference shares one proj for scale AND bias
+            return proj3(jax.nn.gelu(proj_gn(proj0(z)), approximate=False))
+
+        pooled = _adaptive_avg_pool(x, kk)
+        scale = proj(pooled).reshape(b, kk, kk, g, c)
+        scale = jax.nn.softmax(scale, axis=3)
+        # per-sample depthwise kernel (B, K, K, C)
+        wk = jnp.einsum("bijgc,gcij->bijc", scale.astype(jnp.float32),
+                        wbank.astype(jnp.float32))
+        sb = proj(x.mean(axis=(1, 2), keepdims=True)).reshape(b, g, c)
+        sb = jax.nn.softmax(sb, axis=1)
+        bias = jnp.einsum("bgc,gc->bc", sb.astype(jnp.float32),
+                          bbank.astype(jnp.float32))
+
+        def one(xi, wi, bi):
+            y = jax.lax.conv_general_dilated(
+                xi[None].astype(jnp.float32), wi[:, :, None, :],
+                (1, 1), [(kk // 2, kk // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c)
+            return (y[0] + bi).astype(x.dtype)
+
+        return jax.vmap(one)(x, wk, bias)
+
+
+class OSRAttention(ConvBase):
+    """TransXNet overlapping spatial-reduction attention (reference
+    TransXNet.py:33): strided overlapping dw conv + GN/GELU + per-channel 1x1
+    reduce the k/v grid; a dw3 local residual refines it; learnable relative
+    position bias added to the logits (bicubic-resized off-resolution)."""
+
+    num_heads: int = 1
+    sr_ratio: int = 1
+
+    @nn.compact
+    def __call__(self, x, rpe, train: bool = False):
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        d = c // nh
+        sr = self.sr_ratio
+
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(x)
+        if sr > 1:
+            k_ = sr + 3
+            kv = nn.Conv(c, (k_, k_), strides=(sr, sr),
+                         padding=((k_ // 2, k_ // 2), (k_ // 2, k_ // 2)),
+                         use_bias=False, feature_group_count=c,
+                         dtype=self.dtype, name="sr0")(x)
+            kv = jax.nn.gelu(_gn1(self, kv, "sr_gn1"), approximate=False)
+            kv = nn.Conv(c, (1, 1), use_bias=False, feature_group_count=c,
+                         dtype=self.dtype, name="sr3")(kv)
+            kv = _gn1(self, kv, "sr_gn2")
+        else:
+            kv = x
+        kv = kv + nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                          feature_group_count=c, dtype=self.dtype,
+                          name="local_conv")(kv)
+        kv = nn.Conv(2 * c, (1, 1), dtype=self.dtype, name="kv")(kv)
+        kk, v = jnp.split(kv, 2, -1)
+        hs, ws = kk.shape[1], kk.shape[2]
+        qh = q.reshape(b, h * w, nh, d).transpose(0, 2, 1, 3)
+        kh = kk.reshape(b, hs * ws, nh, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, hs * ws, nh, d).transpose(0, 2, 1, 3)
+        att = (qh @ kh.transpose(0, 1, 3, 2)) * (d ** -0.5)
+        if att.shape[2:] != rpe.shape[1:]:
+            rpe = jax.image.resize(rpe, (nh, att.shape[2], att.shape[3]),
+                                   method="cubic")
+        att = jax.nn.softmax(att + rpe[None].astype(att.dtype), -1)
+        o = (att @ vh).transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        return o
+
+
+class TransXBlock(ConvBase):
+    """TransXNet block (reference TransXNet.py:248): dw7 pos-embed residual;
+    D-Mixer (IDConv half + OSRA half, STE 1x1 proj residual) with layer
+    scale; MS-FFN (multi-scale depthwise 1/3/5/7) with layer scale. All norms
+    GroupNorm(1, eps 1e-6)."""
+
+    kernel_size: int = 3
+    num_groups: int = 2
+    num_heads: int = 1
+    sr_ratio: int = 1
+    mlp_ratio: float = 4.0
+    ls_init: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, rpe, train: bool = False):
+        gelu = lambda z: jax.nn.gelu(z, approximate=False)
+        c = x.shape[-1]
+        x = x + nn.Conv(c, (7, 7), padding=((3, 3), (3, 3)),
+                        feature_group_count=c, dtype=self.dtype,
+                        name="pos_embed")(x)
+        # --- D-Mixer
+        y = _gn1(self, x, "norm1")
+        c2 = c // 2
+        y1 = IDConv(kernel_size=self.kernel_size, num_groups=self.num_groups,
+                    dtype=self.dtype, name="local_unit")(y[..., :c2], train)
+        y2 = OSRAttention(num_heads=self.num_heads, sr_ratio=self.sr_ratio,
+                          dtype=self.dtype,
+                          name="global_unit")(y[..., c2:], rpe, train)
+        y = jnp.concatenate([y1, y2], -1)
+        inner = max(16, c // 8)
+        p = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                    dtype=self.dtype, name="mix_proj0")(y)
+        p = _gn1(self, gelu(p), "mix_gn1")
+        p = _gn1(self, gelu(nn.Conv(inner, (1, 1), dtype=self.dtype,
+                                    name="mix_proj3")(p)), "mix_gn2")
+        p = _gn1(self, nn.Conv(c, (1, 1), dtype=self.dtype,
+                               name="mix_proj6")(p), "mix_gn3")
+        y = p + y
+        g1 = self.param("ls1_w", nn.initializers.constant(self.ls_init), (c,))
+        b1 = self.param("ls1_b", nn.initializers.zeros, (c,))
+        x = x + y * g1 + b1
+        # --- MS-FFN
+        y = _gn1(self, x, "norm2")
+        hid = int(c * self.mlp_ratio)
+        y = nn.Conv(hid, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="fc1")(y)
+        y = _gn1(self, gelu(y), "fc1_gn")
+        chans = [hid - (hid // 4) * 3, hid // 4, hid // 4, hid // 4]
+        parts, off = [], 0
+        for i, (cc, kk) in enumerate(zip(chans, (1, 3, 5, 7))):
+            parts.append(nn.Conv(cc, (kk, kk),
+                                 padding=((kk // 2, kk // 2), (kk // 2, kk // 2)),
+                                 feature_group_count=cc, dtype=self.dtype,
+                                 name=f"msdw{i}")(y[..., off:off + cc]))
+            off += cc
+        y = jnp.concatenate(parts, -1) + y
+        y = _gn1(self, gelu(y), "mid_gn")
+        y = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="fc2")(y)
+        y = _gn1(self, y, "fc2_gn")
+        g2 = self.param("ls2_w", nn.initializers.constant(self.ls_init), (c,))
+        b2 = self.param("ls2_b", nn.initializers.zeros, (c,))
+        return x + y * g2 + b2
+
+
+class TransXNetBackbone(ConvBase):
+    """Faithful TransXNet (reference TransXNet.py:333; transxnet_tiny 't' =
+    layers (3,3,9,3), dims (48,96,224,448), IDConv kernel 7,
+    kernel_size config (7,7,7,7) feeds the IDConv; heads (1,2,4,8), sr
+    (8,4,2,1), groups 2, layer scale 1e-5). conv7-s4-p3 + GN patch embed,
+    conv3-s2 + GN downsamples, GroupNorm'd stage outputs."""
+
+    dims: Sequence[int] = (48, 96, 224, 448)
+    depths: Sequence[int] = (3, 3, 9, 3)
+    kernel_sizes: Sequence[int] = (7, 7, 7, 7)
+    num_groups: Sequence[int] = (2, 2, 2, 2)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    num_heads: Sequence[int] = (1, 2, 4, 8)
+    mlp_ratios: Sequence[float] = (4, 4, 4, 4)
+    img_size: int = 224
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.dims[0], (7, 7), strides=(4, 4),
+                    padding=((3, 3), (3, 3)), dtype=self.dtype, name="stem")(x)
+        x = _gn1(self, x, "stem_gn")
+        import math as _m
+        outs = []
+        n = _m.ceil(self.img_size / 4)
+        for si in range(4):
+            c = self.dims[si]
+            if si > 0:
+                x = nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"down{si}")(x)
+                x = _gn1(self, x, f"down{si}_gn")
+            nsr = _m.ceil(n / self.sr_ratios[si])
+            rpe = self.param(f"rel_pos{si}", nn.initializers.zeros,
+                             (self.num_heads[si], n * n, nsr * nsr))
+            for bi in range(self.depths[si]):
+                x = TransXBlock(kernel_size=self.kernel_sizes[si],
+                                num_groups=self.num_groups[si],
+                                num_heads=self.num_heads[si],
+                                sr_ratio=self.sr_ratios[si],
+                                mlp_ratio=self.mlp_ratios[si],
+                                dtype=self.dtype,
+                                name=f"s{si}_b{bi}")(x, rpe, train)
+            outs.append(_gn1(self, x, f"norm_out{si}"))
+            n = _m.ceil(n / 2)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -1515,6 +1746,8 @@ def _register_alias_variants():
         "EViT_Tiny": (EViTBackbone, ()),
         # STViT (reference STViT.py:413 stvit_small)
         "stvit_small": (STViTBackbone, ()),
+        # TransXNet (reference TransXNet.py:521 transxnet_tiny)
+        "transxnet_tiny": (TransXNetBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

@@ -737,3 +737,41 @@ def test_transxnet_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_glnet_import_parity():
+    """Faithful GLNet (GLMix slot attention + MHSA_NCHW hybrid) vs the
+    reference GLNet.py with transplanted weights — covers glmix, hybrid, and
+    mha_nchw stages."""
+    from ultralytics.nn.modules.GLNet import GLNet as RefGLNet
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import glnet_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import GLNetBackbone
+
+    torch.manual_seed(41)
+    ref = RefGLNet(depth=[1, 1, 2, 1], embed_dim=[16, 32, 64, 128],
+                   mlp_ratios=[3, 3, 3, 3], head_dim=8,
+                   norm_layer=torch.nn.BatchNorm2d,
+                   mixing_modes=("glmix", "glmix", "glmix.mha_nchw", "mha_nchw"),
+                   local_dw_ks=5, slot_init="ada_avgpool", num_slots=4,
+                   cpe_ks=3, downsample_style="ovlp",
+                   transition_layout="proj.norm", mlp_dw=True,
+                   num_classes=0, drop_path_rate=0.0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = GLNetBackbone(dims=(16, 32, 64, 128), depths=(1, 1, 2, 1),
+                      head_dim=8, num_slots=4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = glnet_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(22).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

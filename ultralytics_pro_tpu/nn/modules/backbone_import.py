@@ -37,6 +37,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "decouplenet_state_dict_to_flax", "uninext_state_dict_to_flax",
            "iformer_state_dict_to_flax", "evit_state_dict_to_flax",
            "stvit_state_dict_to_flax", "transxnet_state_dict_to_flax",
+           "glnet_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1244,6 +1245,97 @@ def transxnet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True)
     return tree
 
 
+def glnet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """GLNet backbone (reference GLNet.py:444, glnet_4g overlapped embeds).
+
+    Torch layout: downsample_layers.0.{0,1,3,4} stem conv/BN pairs;
+    downsample_layers.{1..3}.{0 conv, 1 BN}; stages.{i}.blocks.{j} =
+    GLMixBlock {pos_conv, norm1 BN, slot_scale, relation_mha.{in_proj_weight,
+    in_proj_bias, out_proj}, feature_conv.{0,1,2}, norm2 BN,
+    mlp.{0,1,3}} or MHSA_NCHW {pos_conv, norm1 LN, mha_op.*, norm2 BN,
+    mlp.{0,1,3}}."""
+    tree = _deep_dict(variables)
+    written = set()
+    done_bn = set()
+
+    def bn(path, tkey):
+        if tkey not in done_bn:
+            _bn_entries(tree, path, path, sd, tkey, written)
+            done_bn.add(tkey)
+
+    def conv(path, leaf, w):
+        _set(tree, ["params", *path, "kernel" if leaf == "weight" else "bias"],
+             _conv_w(w) if leaf == "weight" else w, written)
+
+    stem_conv = {"0": "stem_conv1", "3": "stem_conv2"}
+    stem_bn = {"1": "stem_bn1", "4": "stem_bn2"}
+    fc = {"0": "fc_conv0", "1": "fc_dw", "2": "fc_conv2"}
+    mlp = {"0": "mlp0", "1": "mlp_dw", "3": "mlp3"}
+    for tkey, w in sd.items():
+        if tkey.endswith("num_batches_tracked") or tkey.startswith("head."):
+            continue
+        w = np.asarray(w, np.float32)
+        leaf = tkey.rsplit(".", 1)[1]
+        m = re.match(r"downsample_layers\.0\.(\d)\.", tkey)
+        if m:
+            idx = m.group(1)
+            if idx in stem_conv:
+                conv([stem_conv[idx]], leaf, w)
+            else:
+                bn([stem_bn[idx]], f"downsample_layers.0.{idx}")
+            continue
+        m = re.match(r"downsample_layers\.(\d)\.([01])\.", tkey)
+        if m:
+            i, idx = m.group(1), m.group(2)
+            if idx == "0":
+                conv([f"down{i}"], leaf, w)
+            else:
+                bn([f"down{i}_bn"], f"downsample_layers.{i}.1")
+            continue
+        m = re.match(r"stages\.(\d)\.blocks\.(\d+)\.(.+)$", tkey)
+        if m:
+            pre = f"s{m.group(1)}_b{m.group(2)}"
+            tpre = f"stages.{m.group(1)}.blocks.{m.group(2)}"
+            rest = m.group(3)
+            if rest.startswith("pos_conv."):
+                conv([pre, "pos_conv"], leaf, w)
+            elif rest == "slot_scale":
+                _set(tree, ["params", pre, "slot_scale"], w, written)
+            elif rest.startswith("norm1."):
+                if f"{tpre}.norm1.running_mean" in sd:  # BN (GLMix)
+                    bn([pre, "norm1"], f"{tpre}.norm1")
+                else:  # LN (MHSA block)
+                    _set(tree, ["params", pre, "norm1",
+                                "scale" if leaf == "weight" else "bias"],
+                         w, written)
+            elif rest.startswith("norm2."):
+                bn([pre, "norm2"], f"{tpre}.norm2")
+            elif re.match(r"(relation_mha|mha_op)\.in_proj_(weight|bias)$", rest):
+                n = rest.split(".")[0]
+                n = "relation_mha" if n == "relation_mha" else "mha_op"
+                _set(tree, ["params", pre, n, "in_proj",
+                            "kernel" if rest.endswith("weight") else "bias"],
+                     w.T if rest.endswith("weight") else w, written)
+            elif re.match(r"(relation_mha|mha_op)\.out_proj\.(weight|bias)$", rest):
+                n = rest.split(".")[0]
+                _set(tree, ["params", pre, n, "out_proj",
+                            "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif re.match(r"feature_conv\.([012])\.", rest):
+                conv([pre, fc[rest.split(".")[1]]], leaf, w)
+            elif re.match(r"mlp\.([013])\.", rest):
+                conv([pre, mlp[rest.split(".")[1]]], leaf, w)
+            elif strict:
+                raise KeyError(f"unmapped GLNet block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped GLNet key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1273,5 +1365,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "iformer": iformer_state_dict_to_flax,
           "evit": evit_state_dict_to_flax,
           "stvit": stvit_state_dict_to_flax,
-          "transxnet": transxnet_state_dict_to_flax}[family]
+          "transxnet": transxnet_state_dict_to_flax,
+          "glnet": glnet_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -208,8 +208,7 @@ BACKBONE_VARIANTS4 = {
     "pkinet_t": _e((32, 64, 128, 256), (2, 2, 4, 2), "inception"),
     # iformer_small is re-bound to the faithful IFormerBackbone below
     # transxnet_tiny is re-bound to the faithful TransXNetBackbone below
-    "glnet_4g": _e((64, 128, 256, 512), (3, 3, 12, 5),
-                   ("dwconv", "dwconv", "attn", "attn")),
+    # glnet_4g is re-bound to the faithful GLNetBackbone below
     # uninext_t is re-bound to the faithful UniNeXtBackbone below
     "EMO2_1M_k5_hybrid": _e((32, 48, 96, 192), (2, 2, 8, 3),
                             ("mbconv", "mbconv", "attn", "attn"), mlp_ratio=2.0),
@@ -1658,6 +1657,168 @@ class TransXNetBackbone(ConvBase):
         return outs
 
 
+def _l2norm(x, axis=-1, eps=1e-12):
+    n = jnp.sqrt((x.astype(jnp.float32) ** 2).sum(axis, keepdims=True))
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+class TorchMHA(ConvBase):
+    """torch nn.MultiheadAttention semantics (batch_first): joint in-proj,
+    per-head scaled dot product, out-proj."""
+
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, q, k, v, train: bool = False):
+        b, n, c = q.shape
+        nh = self.num_heads
+        d = c // nh
+        qkv_w = nn.Dense(3 * c, dtype=self.dtype, name="in_proj")
+        qq, kk, vv = jnp.split(qkv_w(q), 3, -1) if q is k is v else (
+            None, None, None)
+        if qq is None:  # separate projections (not needed here, q is k is v)
+            raise NotImplementedError
+        def heads(z, m):
+            return z.reshape(b, m, nh, d).transpose(0, 2, 1, 3)
+        qq, kk, vv = heads(qq, n), heads(kk, n), heads(vv, n)
+        att = jax.nn.softmax((qq @ kk.transpose(0, 1, 3, 2)) * (d ** -0.5), -1)
+        o = (att @ vv).transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="out_proj")(o)
+
+
+class GLMixBlock(ConvBase):
+    """GLNet GLMix block (reference GLNet.py:85): adaptive-pooled slots,
+    L2-normalized slot<->pixel affinity (learnable scalar scale), slot MHA
+    relation, affinity-softmax scatter back, plus a 1x1-dw5-1x1 local branch;
+    BN norms, conv MLP with ResDWC."""
+
+    num_heads: int = 2
+    pool_size: int = 8
+    local_dw_ks: int = 5
+    mlp_ratio: float = 3.0
+    cpe_ks: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        slots0 = _adaptive_avg_pool(x, self.pool_size).reshape(b, -1, c)
+        x = x + nn.Conv(c, (self.cpe_ks, self.cpe_ks),
+                        padding="SAME", feature_group_count=c,
+                        dtype=self.dtype, name="pos_conv")(x)
+        shortcut = x
+        y = _bn(self, "norm1", x, train)
+        yf = y.reshape(b, h * w, c)
+        scale = self.param("slot_scale",
+                           nn.initializers.constant(c ** -0.5), ())
+        logits = _l2norm(slots0) @ (scale.astype(yf.dtype) *
+                                    _l2norm(yf).transpose(0, 2, 1))
+        slots = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(yf.dtype) @ yf
+        slots = TorchMHA(num_heads=self.num_heads, dtype=self.dtype,
+                         name="relation_mha")(slots, slots, slots, train)
+        out = jax.nn.softmax(logits.transpose(0, 2, 1).astype(jnp.float32),
+                             -1).astype(yf.dtype) @ slots
+        out = out.reshape(b, h, w, c)
+        loc = nn.Conv(c, (1, 1), dtype=self.dtype, name="fc_conv0")(y)
+        p = self.local_dw_ks // 2
+        loc = nn.Conv(c, (self.local_dw_ks,) * 2, padding=((p, p), (p, p)),
+                      feature_group_count=c, dtype=self.dtype, name="fc_dw")(loc)
+        loc = nn.Conv(c, (1, 1), dtype=self.dtype, name="fc_conv2")(loc)
+        x = shortcut + out + loc
+        y = _bn(self, "norm2", x, train)
+        y = nn.Conv(int(c * self.mlp_ratio), (1, 1), dtype=self.dtype,
+                    name="mlp0")(y)
+        y = y + nn.Conv(y.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                        feature_group_count=y.shape[-1], dtype=self.dtype,
+                        name="mlp_dw")(y)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype,
+                    name="mlp3")(jax.nn.gelu(y, approximate=False))
+        return x + y
+
+
+class MHSAnchwBlock(ConvBase):
+    """GLNet MHSA_NCHW block (reference GLNet.py:238): dw cpe, token-LN MHSA
+    residual, BN + conv MLP (with ResDWC) residual."""
+
+    num_heads: int = 8
+    mlp_ratio: float = 3.0
+    cpe_ks: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        x = x + nn.Conv(c, (self.cpe_ks, self.cpe_ks), padding="SAME",
+                        feature_group_count=c, dtype=self.dtype,
+                        name="pos_conv")(x)
+        t = x.reshape(b, h * w, c)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(t)
+        t = t + TorchMHA(num_heads=self.num_heads, dtype=self.dtype,
+                         name="mha_op")(y, y, y, train)
+        x = t.reshape(b, h, w, c)
+        y = _bn(self, "norm2", x, train)
+        y = nn.Conv(int(c * self.mlp_ratio), (1, 1), dtype=self.dtype,
+                    name="mlp0")(y)
+        y = y + nn.Conv(y.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                        feature_group_count=y.shape[-1], dtype=self.dtype,
+                        name="mlp_dw")(y)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype,
+                    name="mlp3")(jax.nn.gelu(y, approximate=False))
+        return x + y
+
+
+class GLNetBackbone(ConvBase):
+    """Faithful GLNet (reference GLNet.py:444; glnet_4g :745 = depths
+    (4,4,18,4), dims (64,128,256,512), head_dim 32, mixing ('glmix','glmix',
+    'glmix.mha_nchw','mha_nchw'), 64 ada-avgpool slots, cpe 3, dw5 local,
+    mlp_dw, BN norms, overlapped embeds 'proj.norm')."""
+
+    dims: Sequence[int] = (64, 128, 256, 512)
+    depths: Sequence[int] = (4, 4, 18, 4)
+    head_dim: int = 32
+    mlp_ratios: Sequence[float] = (3, 3, 3, 3)
+    mixing: Sequence[str] = ("glmix", "glmix", "glmix.mha_nchw", "mha_nchw")
+    num_slots: int = 64
+    local_dw_ks: int = 5
+    cpe_ks: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math as _m
+
+        c0 = self.dims[0]
+        x = nn.Conv(c0 // 2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="stem_conv1")(x)
+        x = jax.nn.gelu(_bn(self, "stem_bn1", x, train), approximate=False)
+        x = nn.Conv(c0, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="stem_conv2")(x)
+        x = _bn(self, "stem_bn2", x, train)
+        ps = _m.isqrt(self.num_slots)
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            nh = c // self.head_dim
+            if si > 0:
+                x = nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"down{si}")(x)
+                x = _bn(self, f"down{si}_bn", x, train)
+            mode = self.mixing[si]
+            for bi in range(self.depths[si]):
+                kind = mode if mode in ("glmix", "mha_nchw") else (
+                    "glmix" if bi % 2 == 0 else "mha_nchw")
+                if kind == "glmix":
+                    x = GLMixBlock(num_heads=nh, pool_size=ps,
+                                   local_dw_ks=self.local_dw_ks,
+                                   mlp_ratio=self.mlp_ratios[si],
+                                   cpe_ks=self.cpe_ks, dtype=self.dtype,
+                                   name=f"s{si}_b{bi}")(x, train)
+                else:
+                    x = MHSAnchwBlock(num_heads=nh,
+                                      mlp_ratio=self.mlp_ratios[si],
+                                      cpe_ks=self.cpe_ks, dtype=self.dtype,
+                                      name=f"s{si}_b{bi}")(x, train)
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -1748,6 +1909,8 @@ def _register_alias_variants():
         "stvit_small": (STViTBackbone, ()),
         # TransXNet (reference TransXNet.py:521 transxnet_tiny)
         "transxnet_tiny": (TransXNetBackbone, ()),
+        # GLNet (reference GLNet.py:745 glnet_4g)
+        "glnet_4g": (GLNetBackbone, ()),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

@@ -165,12 +165,38 @@ class _TimmMlp(torch.nn.Module):
         return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
 
 
+
+
+def _act_cls(fn):
+    class _Act(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return fn(x)
+    return _Act
+
+
+# timm.models.layers.activations classes used via star-import (EMOv2.py:9)
+_TIMM_ACTS = {
+    "Sigmoid": _act_cls(torch.sigmoid),
+    "Tanh": _act_cls(torch.tanh),
+    "Swish": _act_cls(torch.nn.functional.silu),
+    "Mish": _act_cls(torch.nn.functional.mish),
+    "HardSigmoid": _act_cls(torch.nn.functional.hardsigmoid),
+    "HardSwish": _act_cls(torch.nn.functional.hardswish),
+    "HardMish": _act_cls(lambda x: 0.5 * x * (x + 2).clamp(min=0, max=2)),
+    "PReLU": torch.nn.PReLU,
+    "GELU": _act_cls(torch.nn.functional.gelu),
+}
+
+
 # functional (not Mock) implementations for the handful of timm helpers the
 # backbone files actually execute at construction/forward time
 _REAL_STUBS = {
     "to_2tuple": _to_ntuple(2), "to_3tuple": _to_ntuple(3), "to_4tuple": _to_ntuple(4),
     "to_ntuple": _to_ntuple, "DropPath": _DropPath, "BlurPool": _BlurPool,
-    "Mlp": _TimmMlp,
+    "Mlp": _TimmMlp, **_TIMM_ACTS,
     "trunc_normal_": lambda t, *a, **k: torch.nn.init.normal_(t, std=k.get("std", 0.02))
     if hasattr(t, "normal_") else t,
 }
@@ -178,6 +204,10 @@ _REAL_STUBS = {
 
 class _StubModule(types.ModuleType):
     def __getattr__(self, name):
+        if name == "__all__":
+            # star-imports (e.g. EMOv2.py:9 `from timm...activations import *`)
+            # must materialize the functional stubs
+            return list(_REAL_STUBS)
         if name.startswith("__") and name.endswith("__"):
             raise AttributeError(name)
         if name in _REAL_STUBS:

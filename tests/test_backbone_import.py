@@ -775,3 +775,43 @@ def test_glnet_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_emo2_import_parity():
+    """Faithful EMOv2 (iiRMB with hybrid grid+window EW-MHSA) vs the
+    reference EMOv2.py with transplanted weights — window 2 on a 4px stage-3
+    grid makes the remote (grid) and close (window) partitions distinct."""
+    from ultralytics.nn.modules.EMOv2 import EMO2 as RefEMO2
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import emo2_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones4 import EMO2Backbone
+
+    torch.manual_seed(43)
+    ref = RefEMO2(dim_in=3, img_size=64, depths=[2, 1, 2, 2],
+                  embed_dims=[16, 32, 48, 64], exp_ratios=[2., 2., 2., 2.],
+                  norm_layers=["bn_2d", "bn_2d", "ln_2d", "ln_2d"],
+                  act_layers=["silu", "silu", "gelu", "gelu"],
+                  dw_kss=[5, 5, 5, 5], dim_heads=[8, 8, 8, 8],
+                  window_sizes=[2, 2, 2, 2], hybrid_eopss=[[0], [0], [3], [3]],
+                  conv_kss=[1, 1, 1, 1], conv_groupss=[1, 1, 1, 1],
+                  qkv_bias=True, drop_path=0.0, ls_value=1e-6, num_classes=0)
+    ref.eval()
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = EMO2Backbone(dims=(16, 32, 48, 64), depths=(2, 1, 2, 2),
+                     exp_ratios=(2., 2., 2., 2.), dim_heads=(8, 8, 8, 8),
+                     window=2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = emo2_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(24).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

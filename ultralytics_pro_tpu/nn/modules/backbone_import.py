@@ -37,7 +37,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "decouplenet_state_dict_to_flax", "uninext_state_dict_to_flax",
            "iformer_state_dict_to_flax", "evit_state_dict_to_flax",
            "stvit_state_dict_to_flax", "transxnet_state_dict_to_flax",
-           "glnet_state_dict_to_flax",
+           "glnet_state_dict_to_flax", "emo2_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1336,6 +1336,76 @@ def glnet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def emo2_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """EMOv2 / EMO2 backbone (reference EMOv2.py:560).
+
+    Torch layout: stage0.{0,1,2} stem ConvNormActs; stage{1..4}.{j} iiRMB =
+    {norm (BN or LN2d), eops.0.{net.conv | qk.conv, v.conv},
+    conv_local.{conv,norm}, proj.conv, ls.gamma}; final norm/head ignored."""
+    tree = _deep_dict(variables)
+    written = set()
+    done_bn = set()
+
+    def bn(path, tkey):
+        if tkey not in done_bn:
+            _bn_entries(tree, path, path, sd, tkey, written)
+            done_bn.add(tkey)
+
+    def conv(path, leaf, w):
+        _set(tree, ["params", *path, "kernel" if leaf == "weight" else "bias"],
+             _conv_w(w) if leaf == "weight" else w, written)
+
+    for tkey, w in sd.items():
+        if (tkey.endswith("num_batches_tracked") or
+                tkey.startswith(("head.", "norm."))):
+            continue
+        w = np.asarray(w, np.float32)
+        leaf = tkey.rsplit(".", 1)[1]
+        m = re.match(r"stage0\.(\d)\.(conv|norm)\.", tkey)
+        if m:
+            idx, kind = m.group(1), m.group(2)
+            if kind == "conv":
+                conv([f"stem{idx}"], leaf, w)
+            else:
+                bn([f"stem{idx}_bn"], f"stage0.{idx}.norm")
+            continue
+        m = re.match(r"stage(\d)\.(\d+)\.(.+)$", tkey)
+        if m:
+            pre = f"s{int(m.group(1)) - 1}_b{m.group(2)}"
+            tpre = f"stage{m.group(1)}.{m.group(2)}"
+            rest = m.group(3)
+            if rest.startswith("norm."):
+                if f"{tpre}.norm.running_mean" in sd:
+                    bn([pre, "norm"], f"{tpre}.norm")
+                else:  # ln_2d wraps nn.LayerNorm as .norm.norm
+                    _set(tree, ["params", pre, "norm",
+                                "scale" if leaf == "weight" else "bias"],
+                         w, written)
+            elif rest.startswith("eops.0.net.conv."):
+                conv([pre, "eop_conv"], leaf, w)
+            elif rest.startswith("eops.0.qk.conv."):
+                conv([pre, "eop", "qk"], leaf, w)
+            elif rest.startswith("eops.0.v.conv."):
+                conv([pre, "eop", "v"], leaf, w)
+            elif rest.startswith("conv_local.conv."):
+                conv([pre, "local_conv"], leaf, w)
+            elif rest.startswith("conv_local.norm."):
+                bn([pre, "local_bn"], f"{tpre}.conv_local.norm")
+            elif rest.startswith("proj.conv."):
+                conv([pre, "proj"], leaf, w)
+            elif rest == "ls.gamma":
+                _set(tree, ["params", pre, "ls_gamma"], w.reshape(-1), written)
+            elif strict:
+                raise KeyError(f"unmapped EMO2 block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped EMO2 key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1366,5 +1436,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "evit": evit_state_dict_to_flax,
           "stvit": stvit_state_dict_to_flax,
           "transxnet": transxnet_state_dict_to_flax,
-          "glnet": glnet_state_dict_to_flax}[family]
+          "glnet": glnet_state_dict_to_flax,
+          "emo2": emo2_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

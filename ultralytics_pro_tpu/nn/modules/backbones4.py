@@ -210,10 +210,7 @@ BACKBONE_VARIANTS4 = {
     # transxnet_tiny is re-bound to the faithful TransXNetBackbone below
     # glnet_4g is re-bound to the faithful GLNetBackbone below
     # uninext_t is re-bound to the faithful UniNeXtBackbone below
-    "EMO2_1M_k5_hybrid": _e((32, 48, 96, 192), (2, 2, 8, 3),
-                            ("mbconv", "mbconv", "attn", "attn"), mlp_ratio=2.0),
-    "EMO2_5M_k5_hybrid": _e((48, 72, 160, 288), (3, 3, 9, 3),
-                            ("mbconv", "mbconv", "attn", "attn"), mlp_ratio=2.0),
+    # EMO2_1M/5M are re-bound to the faithful EMO2Backbone below
     # attention tail substitutions
     # EViT_Tiny is re-bound to the faithful EViTBackbone below
     # stvit_small is re-bound to the faithful STViTBackbone below
@@ -1819,6 +1816,180 @@ class GLNetBackbone(ConvBase):
         return outs
 
 
+def _bn6(mod, name, x, train):
+    """EMOv2 'bn_2d' BatchNorm with eps 1e-6 (reference EMOv2.py:123)."""
+    from ultralytics_pro_tpu.nn.modules.backbones2 import BN_MOMENTUM
+    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                        use_fast_variance=False, epsilon=1e-6, dtype=mod.dtype,
+                        name=name, parent=mod)(x)
+
+
+def _emo_act(x, act: str):
+    if act == "silu":
+        return jax.nn.silu(x)
+    if act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    return x
+
+
+class EWMHSAHybrid(ConvBase):
+    """EMOv2 hybrid EW-MHSA (reference EMOv2.py:352): the same padded map is
+    attended under BOTH a grid partition ('remote': window gathers every
+    N-th pixel) and a contiguous window partition ('close'); the two
+    attended v maps are summed."""
+
+    dim_mid: int = 32
+    dim_head: int = 16
+    window: int = 7
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h0, w0, c = x.shape
+        ws = self.window if self.window > 0 else max(h0, w0)
+        pb = (ws - h0 % ws) % ws
+        pr = (ws - w0 % ws) % ws
+        xp = jnp.pad(x, ((0, 0), (0, pb), (0, pr), (0, 0)))
+        hp, wp = h0 + pb, w0 + pr
+        n1, n2 = hp // ws, wp // ws
+        nh = c // self.dim_head
+        dh = self.dim_head
+        dhv = self.dim_mid // nh
+
+        qk = nn.Conv(2 * c, (1, 1), dtype=self.dtype, name="qk")(xp)
+        v = _emo_act(nn.Conv(self.dim_mid, (1, 1), dtype=self.dtype,
+                             name="v")(xp), self.act)
+
+        def part_remote(z):  # (h1 n1)(w1 n2): grid partition (strided gather)
+            cc = z.shape[-1]
+            z = z.reshape(b, ws, n1, ws, n2, cc).transpose(0, 2, 4, 1, 3, 5)
+            return z.reshape(b * n1 * n2, ws * ws, cc)
+
+        def unpart_remote(z, cc):
+            z = z.reshape(b, n1, n2, ws, ws, cc).transpose(0, 3, 1, 4, 2, 5)
+            return z.reshape(b, hp, wp, cc)
+
+        def part_close(z):  # (n1 h1)(n2 w1): contiguous windows
+            cc = z.shape[-1]
+            z = z.reshape(b, n1, ws, n2, ws, cc).transpose(0, 1, 3, 2, 4, 5)
+            return z.reshape(b * n1 * n2, ws * ws, cc)
+
+        def unpart_close(z, cc):
+            z = z.reshape(b, n1, n2, ws, ws, cc).transpose(0, 1, 3, 2, 4, 5)
+            return z.reshape(b, hp, wp, cc)
+
+        def attend(qkw, vw, dv):
+            # qkw: (G, N, 2C) channel layout (qk, heads, dh); vw: (G, N, mid)
+            g, n, _ = qkw.shape
+            qkh = qkw.reshape(g, n, 2, nh, dh).transpose(2, 0, 3, 1, 4)
+            att = jax.nn.softmax(
+                (qkh[0] @ qkh[1].transpose(0, 1, 3, 2)) * (dh ** -0.5), -1)
+            vh = vw.reshape(g, n, nh, dv).transpose(0, 2, 1, 3)
+            o = (att @ vh).transpose(0, 2, 1, 3).reshape(g, n, nh * dv)
+            return o
+
+        o_r = unpart_remote(attend(part_remote(qk), part_remote(v), dhv),
+                            self.dim_mid)
+        o_c = unpart_close(attend(part_close(qk), part_close(v), dhv),
+                           self.dim_mid)
+        out = o_r + o_c
+        return out[:, :h0, :w0]
+
+
+class IIRMB(ConvBase):
+    """EMOv2 improved inverted residual mobile block (reference
+    EMOv2.py:462): pre-norm, expansion via a 1x1 conv eop (first block of a
+    stage) or hybrid EW-MHSA (later blocks of attention stages), dw-k
+    (stride on the first block) BN+SiLU local conv fused residually, 1x1
+    proj, layer scale 1e-6, skip when shape-preserving."""
+
+    dim_out: int = 32
+    exp_ratio: float = 2.0
+    norm: str = "bn"  # 'bn' | 'ln'
+    act: str = "silu"
+    dw_ks: int = 5
+    stride: int = 1
+    dim_head: int = 16
+    window: int = 7
+    use_attn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        dim_mid = int(c * self.exp_ratio)
+        shortcut = x
+        if self.norm == "bn":
+            y = _bn6(self, "norm", x, train)
+        else:
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        if self.use_attn:
+            y = EWMHSAHybrid(dim_mid=dim_mid, dim_head=self.dim_head,
+                             window=self.window, act=self.act,
+                             dtype=self.dtype, name="eop")(y, train)
+        else:
+            y = _emo_act(nn.Conv(dim_mid, (1, 1), dtype=self.dtype,
+                                 name="eop_conv")(y), self.act)
+        k, s = self.dw_ks, self.stride
+        p = -(-((k - 1) + 1 - s) // 2)  # ceil(((k-1)*1+1-s)/2)
+        loc = nn.Conv(dim_mid, (k, k), strides=(s, s), padding=((p, p), (p, p)),
+                      use_bias=False, feature_group_count=dim_mid,
+                      dtype=self.dtype, name="local_conv")(y)
+        loc = jax.nn.silu(_bn6(self, "local_bn", loc, train))
+        y = (y + loc) if s == 1 else loc
+        y = nn.Conv(self.dim_out, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="proj")(y)
+        g = self.param("ls_gamma", nn.initializers.constant(1e-6),
+                       (self.dim_out,))
+        y = y * g
+        if s == 1 and c == self.dim_out:
+            return shortcut + y
+        return y
+
+
+class EMO2Backbone(ConvBase):
+    """Faithful EMOv2 / EMO2 (reference EMOv2.py:560; EMO2_1M_k5_hybrid :771 =
+    dims (32,48,80,180), heads (16,16,20,20), depths (2,2,8,3), exp
+    (2,2.5,3,3.5), dw5, hybrid attention in stages 3-4; EMO2_5M :833 = dims
+    (48,72,160,288), heads (16,24,32,32), depths (3,3,9,3), exp (2,3,4,4)).
+    Stem = conv3-s2(BN,SiLU) + dw3(BN,SiLU) + 1x1; every stage starts with a
+    stride-2 double-expansion conv-eop IIRMB."""
+
+    dims: Sequence[int] = (32, 48, 80, 180)
+    depths: Sequence[int] = (2, 2, 8, 3)
+    exp_ratios: Sequence[float] = (2.0, 2.5, 3.0, 3.5)
+    dim_heads: Sequence[int] = (16, 16, 20, 20)
+    window: int = 7
+    dw_ks: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pre = self.dims[0] // 2
+        x = nn.Conv(pre, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=True, dtype=self.dtype, name="stem0")(x)
+        x = jax.nn.silu(_bn6(self, "stem0_bn", x, train))
+        x = nn.Conv(pre, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    feature_group_count=pre, dtype=self.dtype, name="stem1")(x)
+        x = jax.nn.silu(_bn6(self, "stem1_bn", x, train))
+        x = nn.Conv(pre, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="stem2")(x)
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            norm = "bn" if si < 2 else "ln"
+            act = "silu" if si < 2 else "gelu"
+            for bi in range(self.depths[si]):
+                first = bi == 0
+                x = IIRMB(dim_out=c,
+                          exp_ratio=self.exp_ratios[si] * (2 if first else 1),
+                          norm=norm, act=act, dw_ks=self.dw_ks,
+                          stride=2 if first else 1,
+                          dim_head=self.dim_heads[si], window=self.window,
+                          use_attn=(not first) and si >= 2,
+                          dtype=self.dtype, name=f"s{si}_b{bi}")(x, train)
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -1911,6 +2082,12 @@ def _register_alias_variants():
         "transxnet_tiny": (TransXNetBackbone, ()),
         # GLNet (reference GLNet.py:745 glnet_4g)
         "glnet_4g": (GLNetBackbone, ()),
+        # EMOv2 (reference EMOv2.py:771/:833)
+        "EMO2_1M_k5_hybrid": (EMO2Backbone, ()),
+        "EMO2_5M_k5_hybrid": (EMO2Backbone, tuple(dict(
+            dims=(48, 72, 160, 288), depths=(3, 3, 9, 3),
+            exp_ratios=(2.0, 3.0, 4.0, 4.0),
+            dim_heads=(16, 24, 32, 32)).items())),
         "MobileNetV4HybridMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(

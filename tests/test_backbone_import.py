@@ -815,3 +815,147 @@ def test_emo2_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def _enh_out_torch(mod, x_nchw):
+    import torch
+
+    mod.eval()
+    with torch.no_grad():
+        out = mod(torch.from_numpy(x_nchw))
+    return out.numpy().transpose(0, 2, 3, 1)
+
+
+def test_adnet_import_parity():
+    """Faithful ADNet denoiser vs the reference ADNet.py with transplanted
+    weights."""
+    from ultralytics.nn.modules.ADNet import ADNet as RefADNet
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.enhancers import ADNet
+
+    torch.manual_seed(47)
+    ref = RefADNet(3)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+
+    m = ADNet()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    import numpy as _np
+    tree = jax.tree_util.tree_map(_np.asarray, v)
+    tree = {"params": dict(tree["params"]),
+            "batch_stats": dict(tree.get("batch_stats", {}))}
+    for i in range(1, 16):
+        tree["params"][f"conv{i}"] = {
+            "kernel": sd[f"conv1_{i}.0.weight"].transpose(2, 3, 1, 0)}
+        tree["params"][f"bn{i}"] = {"scale": sd[f"conv1_{i}.1.weight"],
+                                    "bias": sd[f"conv1_{i}.1.bias"]}
+        tree["batch_stats"][f"bn{i}"] = {
+            "mean": sd[f"conv1_{i}.1.running_mean"],
+            "var": sd[f"conv1_{i}.1.running_var"]}
+    tree["params"]["conv16"] = {"kernel": sd["conv1_16.weight"].transpose(2, 3, 1, 0)}
+    tree["params"]["conv_gate"] = {"kernel": sd["conv3.weight"].transpose(2, 3, 1, 0),
+                                   "bias": sd["conv3.bias"]}
+
+    x = np.random.default_rng(26).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+    theirs = _enh_out_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
+    assert err < 2e-3, f"rel err {err}"
+
+
+def test_iat_import_parity():
+    """Faithful IAT illumination-adaptive transformer vs the reference
+    IAT.py with transplanted weights (local mul/add branches + global
+    color-matrix/gamma queries)."""
+    from ultralytics.nn.modules.IAT import IAT as RefIAT
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.enhancers import IAT
+
+    torch.manual_seed(53)
+    ref = RefIAT()
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.03)
+
+    m = IAT()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    import numpy as _np
+    tree = jax.tree_util.tree_map(_np.asarray, v)
+    tree = {"params": {k: dict(vv) if hasattr(vv, "items") else vv
+                       for k, vv in tree["params"].items()},
+            "batch_stats": {k: dict(vv) for k, vv in tree.get("batch_stats", {}).items()}}
+    P = tree["params"]
+
+    def cw(w):
+        return w.transpose(2, 3, 1, 0)
+
+    P["conv1"] = {"kernel": cw(sd["local_net.conv1.weight"]),
+                  "bias": sd["local_net.conv1.bias"]}
+    for br, tb in (("mul", "mul_blocks"), ("add", "add_blocks")):
+        for i in range(3):
+            t = f"local_net.{tb}.{i}"
+            P[f"{br}{i}"] = {
+                "pos_embed": {"kernel": cw(sd[f"{t}.pos_embed.weight"]),
+                              "bias": sd[f"{t}.pos_embed.bias"]},
+                "norm1": {"alpha": sd[f"{t}.norm1.alpha"].reshape(-1),
+                          "beta": sd[f"{t}.norm1.beta"].reshape(-1),
+                          "color": sd[f"{t}.norm1.color"]},
+                "norm2": {"alpha": sd[f"{t}.norm2.alpha"].reshape(-1),
+                          "beta": sd[f"{t}.norm2.beta"].reshape(-1),
+                          "color": sd[f"{t}.norm2.color"]},
+                "conv1": {"kernel": cw(sd[f"{t}.conv1.weight"]), "bias": sd[f"{t}.conv1.bias"]},
+                "conv2": {"kernel": cw(sd[f"{t}.conv2.weight"]), "bias": sd[f"{t}.conv2.bias"]},
+                "attn": {"kernel": cw(sd[f"{t}.attn.weight"]), "bias": sd[f"{t}.attn.bias"]},
+                "gamma_1": sd[f"{t}.gamma_1"].reshape(-1),
+                "gamma_2": sd[f"{t}.gamma_2"].reshape(-1),
+                "fc1": {"kernel": cw(sd[f"{t}.mlp.fc1.weight"]), "bias": sd[f"{t}.mlp.fc1.bias"]},
+                "fc2": {"kernel": cw(sd[f"{t}.mlp.fc2.weight"]), "bias": sd[f"{t}.mlp.fc2.bias"]},
+            }
+    P["mul_end"] = {"kernel": cw(sd["local_net.mul_end.0.weight"]),
+                    "bias": sd["local_net.mul_end.0.bias"]}
+    P["add_end"] = {"kernel": cw(sd["local_net.add_end.0.weight"]),
+                    "bias": sd["local_net.add_end.0.bias"]}
+    g = "global_net"
+    P["ge_conv1"] = {"kernel": cw(sd[f"{g}.conv_large.proj.0.weight"]),
+                     "bias": sd[f"{g}.conv_large.proj.0.bias"]}
+    P["ge_conv2"] = {"kernel": cw(sd[f"{g}.conv_large.proj.3.weight"]),
+                     "bias": sd[f"{g}.conv_large.proj.3.bias"]}
+    for bn, t in (("ge_bn1", f"{g}.conv_large.proj.1"), ("ge_bn2", f"{g}.conv_large.proj.4")):
+        P[bn] = {"scale": sd[f"{t}.weight"], "bias": sd[f"{t}.bias"]}
+        tree["batch_stats"][bn] = {"mean": sd[f"{t}.running_mean"],
+                                   "var": sd[f"{t}.running_var"]}
+    gen = f"{g}.generator"
+    P["gen_pos"] = {"kernel": cw(sd[f"{gen}.pos_embed.weight"]),
+                    "bias": sd[f"{gen}.pos_embed.bias"]}
+    P["gen_norm1"] = {"scale": sd[f"{gen}.norm1.weight"], "bias": sd[f"{gen}.norm1.bias"]}
+    P["gen_norm2"] = {"scale": sd[f"{gen}.norm2.weight"], "bias": sd[f"{gen}.norm2.bias"]}
+    P["q"] = sd[f"{gen}.attn.q"][0]
+    P["gen_k"] = {"kernel": sd[f"{gen}.attn.k.weight"].T}
+    P["gen_v"] = {"kernel": sd[f"{gen}.attn.v.weight"].T}
+    P["gen_proj"] = {"kernel": sd[f"{gen}.attn.proj.weight"].T,
+                     "bias": sd[f"{gen}.attn.proj.bias"]}
+    P["gen_fc1"] = {"kernel": sd[f"{gen}.mlp.fc1.weight"].T, "bias": sd[f"{gen}.mlp.fc1.bias"]}
+    P["gen_fc2"] = {"kernel": sd[f"{gen}.mlp.fc2.weight"].T, "bias": sd[f"{gen}.mlp.fc2.bias"]}
+    P["gamma_base"] = sd[f"{g}.gamma_base"]
+    P["color_base"] = sd[f"{g}.color_base"]
+    P["gamma_linear"] = {"kernel": sd[f"{g}.gamma_linear.weight"].T,
+                         "bias": sd[f"{g}.gamma_linear.bias"]}
+    P["color_linear"] = {"kernel": sd[f"{g}.color_linear.weight"].T,
+                         "bias": sd[f"{g}.color_linear.bias"]}
+
+    x = np.random.default_rng(28).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+    theirs = _enh_out_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
+    assert err < 2e-3, f"rel err {err}"

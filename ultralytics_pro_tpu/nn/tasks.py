@@ -471,6 +471,12 @@ BUILDERS: Dict[str, Callable] = {
 }
 
 
+def _enh():
+    from ultralytics_pro_tpu.nn.modules import enhancers
+
+    return enhancers
+
+
 def _backbone_builder(name):
     def build(a, n, w, d, mx, ctx):
         from ultralytics_pro_tpu.nn.modules.backbones import BACKBONE_VARIANTS
@@ -897,9 +903,12 @@ BUILDERS.update({
     "F2SoftHG": lambda a, n, w, d, mx, ctx: (
         _z3().F2SoftHG, _kw(c2=0, n=int(_a(a, 0, 1)), e=_a(a, 4, 0.5))),
     "MSCAMv3": lambda a, n, w, d, mx, ctx: (_z3().MSCAMv3, _kw(c_=_a(a, 0, 4))),
-    # image-restoration front-ends (compact residual enhancer; COVERAGE.md)
+    # image-restoration front-ends: ADNet + IAT are faithful (enhancers.py);
+    # the rest are the compact residual enhancer (COVERAGE.md approximation)
+    "ADNet": lambda a, n, w, d, mx, ctx: (_enh().ADNet, _kw()),
+    "IAT": lambda a, n, w, d, mx, ctx: (_enh().IAT, _kw()),
     **{name: (lambda a, n, w, d, mx, ctx: (_z3().ImageEnhancer, _kw()))
-       for name in ("ADNet", "AirNet", "FFA", "HAT", "IAT", "RIDNET",
+       for name in ("AirNet", "FFA", "HAT", "RIDNET",
                     "MB_TaylorFormer", "CPA_arch")},
 })
 

@@ -959,3 +959,108 @@ def test_iat_import_parity():
     ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
     err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
     assert err < 2e-3, f"rel err {err}"
+
+
+def test_ridnet_import_parity():
+    """Faithful RIDNet vs the reference RIDNet.py with transplanted weights
+    (the forward uses only the b4 EAM block, like the reference)."""
+    from ultralytics.nn.modules.RIDNet import RIDNET as RefRIDNET
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.enhancers import RIDNET
+
+    torch.manual_seed(59)
+    ref = RefRIDNET(3)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            if "sub_mean" in n or "add_mean" in n:
+                continue  # fixed mean-shift convs
+            p.add_(torch.randn_like(p) * 0.05)
+
+    m = RIDNET()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    import numpy as _np
+    P = {k: dict(vv) if hasattr(vv, "items") else vv
+         for k, vv in jax.tree_util.tree_map(_np.asarray, v)["params"].items()}
+
+    def cv(name, tkey):
+        P[name] = {"kernel": sd[f"{tkey}.weight"].transpose(2, 3, 1, 0),
+                   "bias": sd[f"{tkey}.bias"]}
+
+    cv("sub_mean", "sub_mean")
+    cv("add_mean", "add_mean")
+    cv("head", "head.body.0")
+    cv("r1_b1_0", "b4.r1.body1.0")
+    cv("r1_b1_2", "b4.r1.body1.2")
+    cv("r1_b2_0", "b4.r1.body2.0")
+    cv("r1_b2_2", "b4.r1.body2.2")
+    cv("r1_b3", "b4.r1.body3.0")
+    cv("r2_0", "b4.r2.body.0")
+    cv("r2_2", "b4.r2.body.2")
+    cv("r3_0", "b4.r3.body.0")
+    cv("r3_2", "b4.r3.body.2")
+    cv("r3_4", "b4.r3.body.4")
+    cv("ca_c1", "b4.ca.c1.body.0")
+    cv("ca_c2", "b4.ca.c2.body.0")
+    cv("tail", "tail")
+
+    x = np.random.default_rng(30).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+    theirs = _enh_out_torch(ref, x)
+    ours = m.apply({"params": P}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
+    assert err < 2e-3, f"rel err {err}"
+
+
+def test_ffa_import_parity():
+    """Faithful FFA-Net vs the reference FFANet.py with transplanted
+    weights."""
+    from ultralytics.nn.modules.FFANet import FFA as RefFFA
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.enhancers import FFA
+
+    torch.manual_seed(61)
+    ref = RefFFA(gps=3, blocks=1)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+
+    m = FFA()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    import numpy as _np
+    P = {k: dict(vv) if hasattr(vv, "items") else vv
+         for k, vv in jax.tree_util.tree_map(_np.asarray, v)["params"].items()}
+
+    def cv(name, tkey):
+        P[name] = {"kernel": sd[f"{tkey}.weight"].transpose(2, 3, 1, 0),
+                   "bias": sd[f"{tkey}.bias"]}
+
+    cv("pre", "pre.0")
+    for g in (1, 2, 3):
+        cv(f"g{g}_b0_conv1", f"g{g}.gp.0.conv1")
+        cv(f"g{g}_b0_conv2", f"g{g}.gp.0.conv2")
+        cv(f"g{g}_b0_ca_0", f"g{g}.gp.0.calayer.ca.0")
+        cv(f"g{g}_b0_ca_2", f"g{g}.gp.0.calayer.ca.2")
+        cv(f"g{g}_b0_pa_0", f"g{g}.gp.0.palayer.pa.0")
+        cv(f"g{g}_b0_pa_2", f"g{g}.gp.0.palayer.pa.2")
+        cv(f"g{g}_tail", f"g{g}.gp.1")
+    cv("fca_1", "ca.1")
+    cv("fca_3", "ca.3")
+    cv("pa_0", "palayer.pa.0")
+    cv("pa_2", "palayer.pa.2")
+    cv("post0", "post.0")
+    cv("post1", "post.1")
+
+    x = np.random.default_rng(32).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+    theirs = _enh_out_torch(ref, x)
+    ours = m.apply({"params": P}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
+    assert err < 2e-3, f"rel err {err}"

@@ -146,6 +146,104 @@ class IAT(ConvBase):
         return hi.astype(x.dtype)
 
 
+class RIDNET(ConvBase):
+    """Faithful RIDNet denoiser (reference RIDNet.py:209): fixed MeanShift
+    1x1 convs around a 16-feature trunk; ONE EAM block is used by the
+    forward (b4 — the reference constructs b1-b3 but never calls them):
+    Merge_Run_dual (parallel dilated conv chains, concat-fused, residual) ->
+    ResidualBlock -> EResidualBlock -> channel attention; conv3 tail +
+    global residual."""
+
+    feats: int = 16
+
+    def _c(self, x, c2, k, name, d=1):
+        p = (k // 2) * d
+        return nn.Conv(c2, (k, k), padding=((p, p), (p, p)),
+                       kernel_dilation=(d, d), dtype=self.dtype, name=name,
+                       parent=self)(x)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.feats
+        relu = jax.nn.relu
+        s = self._c(x, 3, 1, "sub_mean")
+        h = relu(self._c(s, f, 3, "head"))
+        # Merge_Run_dual
+        o1 = relu(self._c(relu(self._c(h, f, 3, "r1_b1_0")), f, 3, "r1_b1_2", d=2))
+        o2 = relu(self._c(relu(self._c(h, f, 3, "r1_b2_0", d=3)), f, 3, "r1_b2_2", d=4))
+        r1 = relu(self._c(jnp.concatenate([o1, o2], -1), f, 3, "r1_b3")) + h
+        # ResidualBlock
+        r2 = relu(self._c(relu(self._c(r1, f, 3, "r2_0")), f, 3, "r2_2") + r1)
+        # EResidualBlock
+        y = relu(self._c(r2, f, 3, "r3_0"))
+        y = relu(self._c(y, f, 3, "r3_2"))
+        r3 = relu(self._c(y, f, 1, "r3_4") + r2)
+        # CALayer
+        g = r3.mean(axis=(1, 2), keepdims=True)
+        g = relu(self._c(g, f // 16 if f >= 16 else 1, 1, "ca_c1"))
+        g = jax.nn.sigmoid(self._c(g, f, 1, "ca_c2"))
+        b = r3 * g
+        res = self._c(b, 3, 3, "tail")
+        return self._c(res, 3, 1, "add_mean") + x
+
+
+class FFA(ConvBase):
+    """Faithful FFA-Net dehazer (reference FFANet.py:74, gps=3, dim=8,
+    blocks=1): three residual groups (Block = conv-relu residual + conv +
+    channel attention + pixel attention, residual), fused by a learned
+    per-group channel-attention weighting, pixel attention, conv tail +
+    global residual."""
+
+    dim: int = 8
+    blocks: int = 1
+
+    def _c(self, x, c2, k, name):
+        p = k // 2
+        return nn.Conv(c2, (k, k), padding=((p, p), (p, p)), dtype=self.dtype,
+                       name=name, parent=self)(x)
+
+    def _pa(self, x, prefix):
+        c = x.shape[-1]
+        y = jax.nn.relu(self._c(x, max(c // 8, 1), 1, f"{prefix}_0"))
+        return x * jax.nn.sigmoid(self._c(y, 1, 1, f"{prefix}_2"))
+
+    def _ca(self, x, prefix):
+        c = x.shape[-1]
+        y = x.mean(axis=(1, 2), keepdims=True)
+        y = jax.nn.relu(self._c(y, max(c // 8, 1), 1, f"{prefix}_0"))
+        return x * jax.nn.sigmoid(self._c(y, c, 1, f"{prefix}_2"))
+
+    def _block(self, x, prefix):
+        d = self.dim
+        res = jax.nn.relu(self._c(x, d, 3, f"{prefix}_conv1")) + x
+        res = self._c(res, d, 3, f"{prefix}_conv2")
+        res = self._ca(res, f"{prefix}_ca")
+        res = self._pa(res, f"{prefix}_pa")
+        return res + x
+
+    def _group(self, x, g):
+        y = x
+        for b in range(self.blocks):
+            y = self._block(y, f"g{g}_b{b}")
+        return self._c(y, self.dim, 3, f"g{g}_tail") + x
+
+    @nn.compact
+    def __call__(self, x1, train: bool = False):
+        d = self.dim
+        x = self._c(x1, d, 3, "pre")
+        r1 = self._group(x, 1)
+        r2 = self._group(r1, 2)
+        r3 = self._group(r2, 3)
+        w = jnp.concatenate([r1, r2, r3], -1).mean(axis=(1, 2), keepdims=True)
+        w = jax.nn.relu(self._c(w, d // 4, 1, "fca_1"))
+        w = jax.nn.sigmoid(self._c(w, d * 3, 1, "fca_3"))
+        w = w.reshape(-1, 1, 1, 3, d)
+        out = w[..., 0, :] * r1 + w[..., 1, :] * r2 + w[..., 2, :] * r3
+        out = self._pa(out, "pa")
+        out = self._c(self._c(out, d, 3, "post0"), 3, 3, "post1")
+        return out + x1
+
+
 class ADNet(ConvBase):
     """Faithful attention-guided denoising network (reference ADNet.py:5):
     15 conv3-BN-ReLU layers (dilation 2 at layers 2/5/9/12), a conv3 to 3

@@ -907,9 +907,10 @@ BUILDERS.update({
     # the rest are the compact residual enhancer (COVERAGE.md approximation)
     "ADNet": lambda a, n, w, d, mx, ctx: (_enh().ADNet, _kw()),
     "IAT": lambda a, n, w, d, mx, ctx: (_enh().IAT, _kw()),
+    "RIDNET": lambda a, n, w, d, mx, ctx: (_enh().RIDNET, _kw()),
+    "FFA": lambda a, n, w, d, mx, ctx: (_enh().FFA, _kw()),
     **{name: (lambda a, n, w, d, mx, ctx: (_z3().ImageEnhancer, _kw()))
-       for name in ("AirNet", "FFA", "HAT", "RIDNET",
-                    "MB_TaylorFormer", "CPA_arch")},
+       for name in ("AirNet", "HAT", "MB_TaylorFormer", "CPA_arch")},
 })
 
 

@@ -1064,3 +1064,92 @@ def test_ffa_import_parity():
     ours = m.apply({"params": P}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
     assert err < 2e-3, f"rel err {err}"
+
+
+def test_cpa_arch_import_parity():
+    """Faithful CPA-Enhancer vs the reference CPA.py with transplanted
+    weights — including the prompt-block transformer weights the reference
+    keeps in an unregistered python list (read off the live modules)."""
+    from ultralytics.nn.modules.CPA import CPA_arch as RefCPA
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.enhancers import CPAArch
+
+    torch.manual_seed(67)
+    ref = RefCPA(3, 3, 4)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.03)
+
+    m = CPAArch()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    import numpy as _np
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else _np.asarray(t))
+
+    tree = deep(v)
+    P, BS = tree["params"], tree["batch_stats"]
+
+    def cw(w):
+        return w.transpose(2, 3, 1, 0)
+
+    def rfa(name, t):
+        P[name]["gw_pw"] = {"kernel": cw(sd[f"{t}.get_weight.1.weight"])}
+        P[name]["gf_conv"] = {"kernel": cw(sd[f"{t}.generate_feature.0.weight"])}
+        P[name]["gf_bn"] = {"scale": sd[f"{t}.generate_feature.1.weight"],
+                            "bias": sd[f"{t}.generate_feature.1.bias"]}
+        BS[name]["gf_bn"] = {"mean": sd[f"{t}.generate_feature.1.running_mean"],
+                             "var": sd[f"{t}.generate_feature.1.running_var"]}
+        P[name]["out_conv"] = {"kernel": cw(sd[f"{t}.conv.0.weight"]),
+                               "bias": sd[f"{t}.conv.0.bias"]}
+        P[name]["out_bn"] = {"scale": sd[f"{t}.conv.1.weight"],
+                             "bias": sd[f"{t}.conv.1.bias"]}
+        BS[name]["out_bn"] = {"mean": sd[f"{t}.conv.1.running_mean"],
+                              "var": sd[f"{t}.conv.1.running_var"]}
+
+    for i in range(8):
+        rfa(f"conv{i}", f"conv{i}")
+    for i in (1, 2, 3):
+        P[f"down{i}"] = {"kernel": cw(sd[f"down{i}.body.0.weight"])}
+        P[f"up{i}"] = {"kernel": cw(sd[f"up{i}.body.0.weight"])}
+    P["prompt_param_ini"] = sd["prompt_param_ini"][0].transpose(1, 2, 0)
+    for i in range(3):
+        P[f"chain{i}_w"] = sd[f"myPromptParamGen.chain_prompts.{i}.weight"]
+        P[f"chain{i}_b"] = sd[f"myPromptParamGen.chain_prompts.{i}.bias"]
+
+    def tb(dst, src):  # transformer block from the LIVE torch module
+        s2 = {k: t.detach().numpy() for k, t in src.state_dict().items()}
+        dst["norm1"] = {"scale": s2["norm1.body.weight"], "bias": s2["norm1.body.bias"]}
+        dst["norm2"] = {"scale": s2["norm2.body.weight"], "bias": s2["norm2.body.bias"]}
+        dst["temperature"] = s2["attn.temperature"].reshape(-1)
+        dst["qkv"] = {"kernel": cw(s2["attn.qkv.weight"])}
+        dst["qkv_dw"] = {"kernel": cw(s2["attn.qkv_dwconv.weight"])}
+        dst["proj_out"] = {"kernel": cw(s2["attn.project_out.weight"])}
+        dst["ffn_in"] = {"kernel": cw(s2["ffn.project_in.weight"])}
+        dst["ffn_dw"] = {"kernel": cw(s2["ffn.dwconv.weight"])}
+        dst["ffn_out"] = {"kernel": cw(s2["ffn.project_out.weight"])}
+
+    for pi, rp in (("prompt1", ref.prompt1), ("prompt2", ref.prompt2),
+                   ("prompt3", ref.prompt3)):
+        t = pi
+        P[t]["ca_0"] = {"kernel": cw(sd[f"{t}.ca.ca.0.weight"]), "bias": sd[f"{t}.ca.ca.0.bias"]}
+        P[t]["ca_2"] = {"kernel": cw(sd[f"{t}.ca.ca.2.weight"]), "bias": sd[f"{t}.ca.ca.2.bias"]}
+        P[t]["sa"] = {"kernel": cw(sd[f"{t}.sa.sa.weight"]), "bias": sd[f"{t}.sa.sa.bias"]}
+        P[t]["pa2"] = {"kernel": cw(sd[f"{t}.pa2.weight"]), "bias": sd[f"{t}.pa2.bias"]}
+        P[t]["conv1x1"] = {"kernel": cw(sd[f"{t}.conv1x1.weight"])}
+        P[t]["conv3x3"] = {"kernel": cw(sd[f"{t}.conv3x3.weight"])}
+        P[t]["out_conv1"] = {"kernel": cw(sd[f"{t}.out_conv1.weight"])}
+        for i in range(4):
+            tb(P[t][f"tb{i}"], rp.transformer_block[i])
+
+    x = np.random.default_rng(34).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+    theirs = _enh_out_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
+    assert err < 3e-3, f"rel err {err}"

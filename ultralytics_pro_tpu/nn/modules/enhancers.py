@@ -2,9 +2,10 @@
 
 These serve the reference's enhancer prefix rows (`[-1, 1, ADNet, []]` etc. in
 v10/v11 yamls; reference tasks.py:2873 passes [c1, *args]); each returns a
-3-channel enhanced image. The remaining restoration families
-(AirNet/FFA/HAT/RIDNET/MB_TaylorFormer/CPA_arch) are still served by the
-declared-approximation zoo_r3.ImageEnhancer (COVERAGE.md).
+3-channel enhanced image. HAT and MB_TaylorFormer are still served by the
+declared-approximation zoo_r3.ImageEnhancer; AirNet is defined nowhere in
+the reference nn tree (yaml-only, unbuildable upstream) — the compact
+enhancer makes its yaml buildable here (COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -242,6 +243,208 @@ class FFA(ConvBase):
         out = self._pa(out, "pa")
         out = self._c(self._c(out, d, 3, "post0"), 3, 3, "post1")
         return out + x1
+
+
+class RFAConvE(ConvBase):
+    """CPA's receptive-field-attention conv (reference CPA.py:10): per-pixel
+    softmax over a 3x3 grouped-conv feature bank (weighted by an avg-pooled
+    grouped 1x1 score), unfolded to a 3x-resolution grid and reduced by a
+    stride-3 conv+BN+ReLU."""
+
+    c2: int = 4
+    k: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        k = self.k
+        # scores: avg_pool (count_include_pad) -> grouped 1x1
+        xp = jnp.pad(x, ((0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)))
+        sc = nn.avg_pool(xp, (k, k), strides=(1, 1))
+        sc = nn.Conv(c * k * k, (1, 1), use_bias=False, feature_group_count=c,
+                     dtype=self.dtype, name="gw_pw")(sc)
+        sc = jax.nn.softmax(sc.reshape(b, h, w, c, k * k).astype(jnp.float32),
+                            -1).astype(x.dtype)
+        ft = nn.Conv(c * k * k, (k, k), padding=((k // 2, k // 2),) * 2,
+                     use_bias=False, feature_group_count=c, dtype=self.dtype,
+                     name="gf_conv")(x)
+        ft = jax.nn.relu(_bn5(self, "gf_bn", ft, train))
+        y = ft.reshape(b, h, w, c, k * k) * sc
+        y = y.reshape(b, h, w, c, k, k).transpose(0, 1, 4, 2, 5, 3)
+        y = y.reshape(b, h * k, w * k, c)
+        y = nn.Conv(self.c2, (k, k), strides=(k, k), dtype=self.dtype,
+                    name="out_conv")(y)
+        return jax.nn.relu(_bn5(self, "out_bn", y, train))
+
+
+class CPATransformerBlock(ConvBase):
+    """Restormer-style transformer block used inside CPA's prompt blocks
+    (reference CPA.py:101; NOTE the reference stores these in a plain python
+    list so their weights are never registered/saved — ours are proper
+    params, which strictly dominates that behavior)."""
+
+    num_heads: int = 1
+    ffn_factor: float = 2.66
+
+    def _ln(self, x, name):
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name,
+                            parent=self)(x)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        ch = c // nh
+        temp = self.param("temperature", nn.initializers.ones, (nh,))
+        y = self._ln(x, "norm1")
+        qkv = nn.Conv(3 * c, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="qkv")(y)
+        qkv = nn.Conv(3 * c, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                      feature_group_count=3 * c, dtype=self.dtype,
+                      name="qkv_dw")(qkv)
+        q, kk, v = jnp.split(qkv, 3, -1)
+
+        def heads(z):  # (B,H,W,C) -> (B, nh, ch, HW), channel-major per head
+            return z.reshape(b, h * w, nh, ch).transpose(0, 2, 3, 1)
+
+        qh, kh, vh = heads(q), heads(kk), heads(v)
+        qn = qh / jnp.maximum(jnp.sqrt((qh.astype(jnp.float32) ** 2)
+                                       .sum(-1, keepdims=True)), 1e-12).astype(qh.dtype)
+        kn = kh / jnp.maximum(jnp.sqrt((kh.astype(jnp.float32) ** 2)
+                                       .sum(-1, keepdims=True)), 1e-12).astype(kh.dtype)
+        att = jax.nn.softmax(
+            (qn @ kn.transpose(0, 1, 3, 2)) * temp[None, :, None, None].astype(qn.dtype), -1)
+        o = (att @ vh).transpose(0, 3, 1, 2).reshape(b, h, w, c)
+        x = x + nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="proj_out")(o)
+        y = self._ln(x, "norm2")
+        hid = int(c * self.ffn_factor)
+        y = nn.Conv(2 * hid, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="ffn_in")(y)
+        y = nn.Conv(2 * hid, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    feature_group_count=2 * hid, dtype=self.dtype,
+                    name="ffn_dw")(y)
+        y1, y2 = jnp.split(y, 2, -1)
+        y = jax.nn.gelu(y1, approximate=False) * y2
+        return x + nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                           name="ffn_out")(y)
+
+
+class CPAPromptBlock(ConvBase):
+    """CPA content-driven prompt block (reference CPA.py:273): channel +
+    spatial attention fused, channel-shuffled, 7x7 grouped conv -> sigmoid
+    prompt weighting of a bilinear-resized learned prompt; concat + 1x1 and
+    4 split-wise transformer blocks."""
+
+    prompt_dim: int = 32
+    num_splits: int = 4
+
+    @nn.compact
+    def __call__(self, x, prompt, train: bool = False):
+        b, h, w, c = x.shape
+        # channel attention (no sigmoid) — reference CPA.py:72
+        g = x.mean(axis=(1, 2), keepdims=True)
+        g = jax.nn.relu(nn.Conv(c // 8 if c >= 8 else 1, (1, 1),
+                                dtype=self.dtype, name="ca_0")(g))
+        cattn = nn.Conv(c, (1, 1), dtype=self.dtype, name="ca_2")(g) * x
+        # spatial attention — reference CPA.py:60
+        s2 = jnp.concatenate([x.mean(-1, keepdims=True),
+                              x.max(-1, keepdims=True)], -1)
+        s2 = jnp.pad(s2, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        sattn = nn.Conv(1, (7, 7), padding="VALID", dtype=self.dtype, name="sa")(s2) * x
+        p1 = sattn + cattn
+        x2 = jnp.stack([x, p1], -1).reshape(b, h, w, 2 * c)  # (c, t) layout
+        # Channel_Shuffle(2): out[i*2+g] = in[g*c+i]
+        x2 = x2.reshape(b, h, w, 2, c).transpose(0, 1, 2, 4, 3).reshape(b, h, w, 2 * c)
+        x2 = jnp.pad(x2, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        p2 = nn.Conv(c, (7, 7), padding="VALID", feature_group_count=c,
+                     dtype=self.dtype, name="pa2")(x2)
+        pw = jax.nn.sigmoid(nn.Conv(self.prompt_dim, (1, 1), use_bias=False,
+                                    dtype=self.dtype, name="conv1x1")(p2))
+        prompt = jax.image.resize(prompt, (prompt.shape[0], h, w,
+                                           prompt.shape[-1]), method="linear")
+        prompt = jnp.broadcast_to(prompt, (b, h, w, self.prompt_dim))
+        prompt = pw * prompt
+        prompt = nn.Conv(self.prompt_dim, (3, 3), padding=((1, 1), (1, 1)),
+                         use_bias=False, dtype=self.dtype, name="conv3x3")(prompt)
+        y = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="out_conv1")(jnp.concatenate([x, prompt], -1))
+        cs = c // self.num_splits
+        outs = [CPATransformerBlock(dtype=self.dtype, name=f"tb{i}")(
+            y[..., i * cs:(i + 1) * cs], train) for i in range(self.num_splits)]
+        return jnp.concatenate(outs, -1)
+
+
+def _conv_transpose3s2p1(x, w, bias):
+    """torch ConvTranspose2d(k3, s2, p1): out = 2*in - 1. w: torch layout
+    (in, out, 3, 3)."""
+    k = jnp.flip(jnp.asarray(w), (2, 3)).transpose(2, 3, 0, 1)
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.asarray(bias, x.dtype)
+
+
+class CPAArch(ConvBase):
+    """Faithful CPA-Enhancer (reference CPA.py:319 CPA_arch): an RFAConv
+    U-Net (PixelUnshuffle/Shuffle up/down) with content-driven prompt blocks
+    at the three decoder scales, fed by a chain of ConvTranspose prompt
+    generators off a learned (128, 32, 32) prompt."""
+
+    dim: int = 4
+    prompt_inch: int = 128
+    prompt_size: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dim
+        pc = self.prompt_inch
+        p0 = self.param("prompt_param_ini",
+                        nn.initializers.uniform(1.0),
+                        (self.prompt_size, self.prompt_size, pc))
+        prompts = [p0[None]]
+        cur = p0[None]
+        for i in range(3):
+            wt = self.param(f"chain{i}_w", nn.initializers.lecun_normal(),
+                            (pc // (2 ** i), pc // (2 ** (i + 1)), 3, 3))
+            bt = self.param(f"chain{i}_b", nn.initializers.zeros,
+                            (pc // (2 ** (i + 1)),))
+            cur = _conv_transpose3s2p1(cur, wt, bt)
+            prompts.append(cur)
+
+        def down(z, name):
+            c = z.shape[-1]
+            z = nn.Conv(c // 2, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype, name=name)(z)
+            b, h, w, cc = z.shape
+            z = z.reshape(b, h // 2, 2, w // 2, 2, cc)
+            return z.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, cc * 4)
+
+        def up(z, name):
+            c = z.shape[-1]
+            z = nn.Conv(c * 2, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype, name=name)(z)
+            b, h, w, cc = z.shape
+            z = z.reshape(b, h, w, cc // 4, 2, 2)
+            return z.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * 2, w * 2, cc // 4)
+
+        x0 = RFAConvE(c2=d, dtype=self.dtype, name="conv0")(x, train)
+        x1 = RFAConvE(c2=d, dtype=self.dtype, name="conv1")(x0, train)
+        x2 = RFAConvE(c2=d * 2, dtype=self.dtype, name="conv2")(down(x1, "down1"), train)
+        x3 = RFAConvE(c2=d * 4, dtype=self.dtype, name="conv3")(down(x2, "down2"), train)
+        x4 = RFAConvE(c2=d * 8, dtype=self.dtype, name="conv4")(down(x3, "down3"), train)
+        x4p = CPAPromptBlock(prompt_dim=pc, dtype=self.dtype,
+                             name="prompt3")(x4, prompts[0], train)
+        x5 = RFAConvE(c2=d * 4, dtype=self.dtype, name="conv5")(
+            jnp.concatenate([up(x4p, "up3"), x3], -1), train)
+        x5p = CPAPromptBlock(prompt_dim=pc // 2, dtype=self.dtype,
+                             name="prompt2")(x5, prompts[1], train)
+        x6 = RFAConvE(c2=d * 2, dtype=self.dtype, name="conv6")(
+            jnp.concatenate([up(x5p, "up2"), x2], -1), train)
+        x6p = CPAPromptBlock(prompt_dim=pc // 4, dtype=self.dtype,
+                             name="prompt1")(x6, prompts[2], train)
+        return RFAConvE(c2=3, dtype=self.dtype, name="conv7")(
+            jnp.concatenate([up(x6p, "up1"), x1], -1), train)
 
 
 class ADNet(ConvBase):

@@ -909,8 +909,9 @@ BUILDERS.update({
     "IAT": lambda a, n, w, d, mx, ctx: (_enh().IAT, _kw()),
     "RIDNET": lambda a, n, w, d, mx, ctx: (_enh().RIDNET, _kw()),
     "FFA": lambda a, n, w, d, mx, ctx: (_enh().FFA, _kw()),
+    "CPA_arch": lambda a, n, w, d, mx, ctx: (_enh().CPAArch, _kw()),
     **{name: (lambda a, n, w, d, mx, ctx: (_z3().ImageEnhancer, _kw()))
-       for name in ("AirNet", "HAT", "MB_TaylorFormer", "CPA_arch")},
+       for name in ("AirNet", "HAT", "MB_TaylorFormer")},
 })
 
 

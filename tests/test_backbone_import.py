@@ -1153,3 +1153,87 @@ def test_cpa_arch_import_parity():
     ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
     err = np.max(np.abs(np.asarray(ours, np.float32) - theirs)) / (np.max(np.abs(theirs)) + 1e-8)
     assert err < 3e-3, f"rel err {err}"
+
+
+def test_groupmixformer_import_parity():
+    """Faithful GroupMixFormer (group-mix efficient attention + CRPE) vs the
+    reference GroupMixFormer.py with transplanted weights."""
+    from ultralytics.nn.modules.GroupMixFormer import MODEL_SPECS, GroupMixFormer as RefGMF
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import GroupMixFormerBackbone
+
+    torch.manual_seed(71)
+    MODEL_SPECS["GMFTest"] = {"embedding_dims": [16, 16, 32, 32],
+                              "serial_depths": [1, 1, 2, 1],
+                              "num_heads": [4, 4, 4, 4],
+                              "mlp_ratios": [4, 4, 4, 4]}
+    ref = RefGMF("GMFTest", drop_path_rate=0.0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = GroupMixFormerBackbone(dims=(16, 16, 32, 32), depths=(1, 1, 2, 1))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    import numpy as _np
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else _np.asarray(t))
+
+    tree = deep(v)
+    P, BS = tree["params"], tree["batch_stats"]
+
+    def cw(w):
+        return w.transpose(2, 3, 1, 0)
+
+    def setbn(dst_p, dst_bs, t):
+        dst_p.update({"scale": sd[f"{t}.weight"], "bias": sd[f"{t}.bias"]})
+        dst_bs.update({"mean": sd[f"{t}.running_mean"], "var": sd[f"{t}.running_var"]})
+
+    P["stem_conv1"] = {"kernel": cw(sd["conv_stem.proj1.weight"]), "bias": sd["conv_stem.proj1.bias"]}
+    P["stem_conv2"] = {"kernel": cw(sd["conv_stem.proj2.weight"]), "bias": sd["conv_stem.proj2.bias"]}
+    setbn(P["stem_bn1"], BS["stem_bn1"], "conv_stem.norm1")
+    setbn(P["stem_bn2"], BS["stem_bn2"], "conv_stem.norm2")
+    for i in range(4):
+        t = f"patch_embed_layers.{i}.proj"
+        P[f"pe{i}_dw"] = {"kernel": cw(sd[f"{t}.depthwise_conv.weight"])}
+        P[f"pe{i}_pw"] = {"kernel": cw(sd[f"{t}.pointwise_conv.weight"])}
+        setbn(P[f"pe{i}_bn"], BS[f"pe{i}_bn"], f"patch_embed_layers.{i}.norm")
+    depths = (1, 1, 2, 1)
+    for si in range(4):
+        for bi in range(depths[si]):
+            t = f"groupmixformer_backbone.{si}.gma_stage.{bi}"
+            d = P[f"s{si}_b{bi}"]
+            dbs = BS[f"s{si}_b{bi}"]
+            d["cpe"] = {"kernel": cw(sd[f"{t}.cpe.proj.weight"]), "bias": sd[f"{t}.cpe.proj.bias"]}
+            for nrm in ("norm1", "norm2"):
+                d[nrm] = {"scale": sd[f"{t}.{nrm}.weight"], "bias": sd[f"{t}.{nrm}.bias"]}
+            d["fc1"] = {"kernel": sd[f"{t}.mlp.fc1.weight"].T, "bias": sd[f"{t}.mlp.fc1.bias"]}
+            d["fc2"] = {"kernel": sd[f"{t}.mlp.fc2.weight"].T, "bias": sd[f"{t}.mlp.fc2.bias"]}
+            a, abs_ = d["att"], dbs["att"]
+            ta = f"{t}.att"
+            a["qkv"] = {"kernel": sd[f"{ta}.qkv.weight"].T, "bias": sd[f"{ta}.qkv.bias"]}
+            a["proj"] = {"kernel": sd[f"{ta}.proj.weight"].T, "bias": sd[f"{ta}.proj.bias"]}
+            setbn(a["agg_norm0"], abs_["agg_norm0"], f"{ta}.aggregator.norm0")
+            setbn(a["agg_norm1"], abs_["agg_norm1"], f"{ta}.aggregator.norm1")
+            setbn(a["agg_norm2"], abs_["agg_norm2"], f"{ta}.aggregator.norm2")
+            a["agg1_dw"] = {"kernel": cw(sd[f"{ta}.aggregator.agg1.depthwise_conv.weight"])}
+            a["agg1_pw"] = {"kernel": cw(sd[f"{ta}.aggregator.agg1.pointwise_conv.weight"])}
+            a["agg2_dw"] = {"kernel": cw(sd[f"{ta}.aggregator.agg2.depthwise_conv.weight"])}
+            a["agg2_pw"] = {"kernel": cw(sd[f"{ta}.aggregator.agg2.pointwise_conv.weight"])}
+            a["local_dw"] = {"kernel": cw(sd[f"{ta}.aggregator.agg_local_processor.conv.depthwise_conv.weight"])}
+            a["local_pw"] = {"kernel": cw(sd[f"{ta}.aggregator.agg_local_processor.conv.pointwise_conv.weight"])}
+            setbn(a["local_bn"], abs_["local_bn"], f"{ta}.aggregator.agg_local_processor.norm")
+            for ci in range(3):
+                a[f"crpe{ci}"] = {"kernel": cw(sd[f"{ta}.crpe.conv_list.{ci}.weight"]),
+                                  "bias": sd[f"{ta}.crpe.conv_list.{ci}.bias"]}
+
+    x = np.random.default_rng(36).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

@@ -216,7 +216,7 @@ BACKBONE_VARIANTS4 = {
     # stvit_small is re-bound to the faithful STViTBackbone below
     "transnext_micro": _e((48, 96, 192, 384), (2, 2, 15, 2), "linattn"),
     "sgformer_s": _e((64, 128, 256, 512), (2, 2, 6, 2), "linattn"),
-    "GroupMixFormerTiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "cga"),
+    # GroupMixFormerTiny is re-bound to the faithful backbone below
     # spanet_s is re-bound to the faithful SPANetBackbone below
     "LWGANet_L2_1442_e96_k11_ReLU": _e((96, 192, 384, 768), (1, 4, 4, 2), "cga"),
 }
@@ -1990,6 +1990,171 @@ class EMO2Backbone(ConvBase):
         return outs
 
 
+class GMFEfficientAtt(ConvBase):
+    """GroupMixFormer group-mix efficient attention (reference
+    GroupMixFormer.py:330): qkv split into 4 channel segments — identity /
+    sepconv3 / sepconv5 aggregations form the attention part (linear
+    attention: softmax over tokens on k, ctx = k^T v, out = q ctx, plus a
+    multi-window depthwise conv relative position term on v), the 4th
+    segment processes concat(q,k,v) through a local sepconv branch."""
+
+    num_heads: int = 4
+    seg: int = 4
+
+    def _hsw(self, x):
+        return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+    def _sep(self, x, c2, k, name):
+        p = k // 2
+        c = x.shape[-1]
+        y = nn.Conv(c, (k, k), padding=((p, p), (p, p)), use_bias=False,
+                    feature_group_count=c, dtype=self.dtype,
+                    name=f"{name}_dw", parent=self)(x)
+        return nn.Conv(c2, (1, 1), use_bias=False, dtype=self.dtype,
+                       name=f"{name}_pw", parent=self)(y)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        n = h * w
+        sd = c // self.seg
+        ad = sd * (self.seg - 1)
+        nh = self.num_heads
+        hd = ad // nh
+        t = x.reshape(b, n, c)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(t)
+        q, k, v = [z.reshape(b, h, w, c) for z in jnp.split(qkv, 3, -1)]
+
+        # shared aggregation modules (the reference runs one Aggregator over
+        # the 3B-stacked qkv batch — identical weights for q, k and v)
+        from ultralytics_pro_tpu.nn.modules.backbones2 import BN_MOMENTUM
+
+        def mk_bn(name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=BN_MOMENTUM, use_fast_variance=False,
+                                epsilon=1e-5, dtype=self.dtype, name=name)
+
+        bn0, bn1, bn2 = mk_bn("agg_norm0"), mk_bn("agg_norm1"), mk_bn("agg_norm2")
+        a1_dw = nn.Conv(sd, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                        feature_group_count=sd, dtype=self.dtype, name="agg1_dw")
+        a1_pw = nn.Conv(sd, (1, 1), use_bias=False, dtype=self.dtype, name="agg1_pw")
+        a2_dw = nn.Conv(sd, (5, 5), padding=((2, 2), (2, 2)), use_bias=False,
+                        feature_group_count=sd, dtype=self.dtype, name="agg2_dw")
+        a2_pw = nn.Conv(sd, (1, 1), use_bias=False, dtype=self.dtype, name="agg2_pw")
+
+        def agg(z):
+            s0 = self._hsw(bn0(z[..., :sd]))
+            s1 = self._hsw(bn1(a1_pw(a1_dw(z[..., sd:2 * sd]))))
+            s2 = self._hsw(bn2(a2_pw(a2_dw(z[..., 2 * sd:3 * sd]))))
+            y = jnp.concatenate([s0, s1, s2], -1)  # (B, H, W, ad)
+            return y.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)  # (B, nh, N, hd)
+
+        qa, ka, va = agg(q), agg(k), agg(v)
+        # local branch on the 4th segment of concat(q, k, v)
+        loc = jnp.concatenate([q[..., 3 * sd:], k[..., 3 * sd:], v[..., 3 * sd:]], -1)
+        loc = self._hsw(_bn(self, "local_bn", self._sep(loc, sd, 3, "local"), train))
+        loc = loc.reshape(b, n, sd)
+
+        ks = jax.nn.softmax(ka.astype(jnp.float32), axis=2).astype(ka.dtype)
+        ctx = jnp.einsum("bhnk,bhnv->bhkv", ks, va)
+        eff = jnp.einsum("bhnk,bhkv->bhnv", qa, ctx)
+        # CRPE: windows {3: nh-ceil..} — reference distributes heads over
+        # (3, 5, 7) as evenly as possible, remainder to the smaller windows
+        base, rem = nh // 3, nh % 3
+        splits = [base + (1 if i < rem else 0) for i in range(3)]
+        vimg = va.transpose(0, 2, 1, 3).reshape(b, h, w, nh * hd)
+        parts, off = [], 0
+        for i, (win, cnt) in enumerate(zip((3, 5, 7), splits)):
+            if cnt == 0:
+                continue
+            cc = cnt * hd
+            p = win // 2
+            parts.append(nn.Conv(cc, (win, win), padding=((p, p), (p, p)),
+                                 feature_group_count=cc, dtype=self.dtype,
+                                 name=f"crpe{i}")(vimg[..., off:off + cc]))
+            off += cc
+        cv = jnp.concatenate(parts, -1).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+        out = (hd ** -0.5) * eff + qa * cv
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, ad)
+        out = jnp.concatenate([out, loc], -1)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out).reshape(b, h, w, c)
+
+
+class GMFBlock(ConvBase):
+    """GroupMixFormer GMA block (reference GroupMixFormer.py:497): residual
+    dw3 conv position encoding, pre-LN (eps 1e-6) group-mix attention and
+    MLP residuals."""
+
+    num_heads: int = 4
+    mlp_ratio: float = 4.0
+    seg: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        x = x + nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                        feature_group_count=c, dtype=self.dtype, name="cpe")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + GMFEfficientAtt(num_heads=self.num_heads, seg=self.seg,
+                                dtype=self.dtype, name="att")(y, train)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = jax.nn.gelu(nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
+                                 name="fc1")(y), approximate=False)
+        return x + nn.Dense(c, dtype=self.dtype, name="fc2")(y)
+
+
+class GroupMixFormerBackbone(ConvBase):
+    """Faithful GroupMixFormer (reference GroupMixFormer.py:575;
+    GroupMixFormerTiny :101 = dims (80,160,200,240), depths (4,4,12,4),
+    heads 4, seg 4). Hardswish conv stem (stride 4) then per stage a
+    stride-2 separable patch embed + GMA blocks — stage outputs land at
+    strides 8/16/32/64, exactly like the reference. NOTE: the reference's
+    Tiny spec is self-inconsistent (stage-2 attention dim 150 is not
+    divisible by 4 heads — GroupMixFormer.__init__ raises ValueError, so
+    yolov11-GroupMixFormer*.yaml is unbuildable upstream); we lower such a
+    stage's head count to the largest valid divisor (4 -> 3) so the yaml
+    builds here."""
+
+    dims: Sequence[int] = (80, 160, 200, 240)
+    depths: Sequence[int] = (4, 4, 12, 4)
+    num_heads: Sequence[int] = (4, 4, 4, 4)
+    mlp_ratios: Sequence[float] = (4, 4, 4, 4)
+    seg: int = 4
+
+    def _hsw(self, x):
+        return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c0 = self.dims[0]
+        x = nn.Conv(c0 // 2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="stem_conv1")(x)
+        x = self._hsw(_bn(self, "stem_bn1", x, train))
+        x = nn.Conv(c0, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="stem_conv2")(x)
+        x = self._hsw(_bn(self, "stem_bn2", x, train))
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            cin = x.shape[-1]
+            y = nn.Conv(cin, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        use_bias=False, feature_group_count=cin,
+                        dtype=self.dtype, name=f"pe{si}_dw")(x)
+            y = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"pe{si}_pw")(y)
+            x = self._hsw(_bn(self, f"pe{si}_bn", y, train))
+            ad = (c // self.seg) * (self.seg - 1)
+            nh = self.num_heads[si]
+            while ad % nh:  # see class docstring — upstream spec can be invalid
+                nh -= 1
+            for bi in range(self.depths[si]):
+                x = GMFBlock(num_heads=nh,
+                             mlp_ratio=self.mlp_ratios[si], seg=self.seg,
+                             dtype=self.dtype, name=f"s{si}_b{bi}")(x, train)
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -2082,6 +2247,8 @@ def _register_alias_variants():
         "transxnet_tiny": (TransXNetBackbone, ()),
         # GLNet (reference GLNet.py:745 glnet_4g)
         "glnet_4g": (GLNetBackbone, ()),
+        # GroupMixFormer (reference GroupMixFormer.py:101 Tiny)
+        "GroupMixFormerTiny": (GroupMixFormerBackbone, ()),
         # EMOv2 (reference EMOv2.py:771/:833)
         "EMO2_1M_k5_hybrid": (EMO2Backbone, ()),
         "EMO2_5M_k5_hybrid": (EMO2Backbone, tuple(dict(

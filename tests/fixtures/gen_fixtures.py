@@ -208,6 +208,10 @@ class _StubModule(types.ModuleType):
             # star-imports (e.g. EMOv2.py:9 `from timm...activations import *`)
             # must materialize the functional stubs
             return list(_REAL_STUBS)
+        if name == "__version__":
+            # version probes (sympy importtools regex-matches this) must see
+            # a string; "0.0.0" reads as "too old", so callers fall back
+            return "0.0.0"
         if name.startswith("__") and name.endswith("__"):
             raise AttributeError(name)
         if name in _REAL_STUBS:
@@ -236,7 +240,11 @@ class _StubFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
                     "resource", "ctypes", "curses", "readline"}:
             return None  # platform-conditional imports guarded by try/except upstream
         if root in {"ray", "wandb", "comet_ml", "clearml", "mlflow", "neptune",
-                    "dvclive", "hub_sdk", "flint"}:
+                    "dvclive", "hub_sdk", "flint", "gmpy2", "gmpy",
+                    "python_flint"}:
+            # (gmpy2/gmpy: sympy's importtools CALLS module.version() and
+            # regex-parses the result — a stub breaks torch._check's sympy
+            # import; an ImportError makes sympy fall back to python ints.)
             # logger/tuner integrations + optional numeric backends: these are
             # feature-gated by try/except ImportError upstream — a stub that
             # imports "successfully" switches the feature ON and then breaks.

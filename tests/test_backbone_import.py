@@ -1237,3 +1237,96 @@ def test_groupmixformer_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_lwganet_import_parity():
+    """Faithful LWGANet (PA/LA/MRA/GA split block) vs the reference
+    LWGANet.py with transplanted weights — covers GA12, pooled D_GA, and
+    MHSA global branches plus the BlurPool-s3 MRA path."""
+    from ultralytics.nn.modules.LWGANet import LWGANet as RefLWGA
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import LWGANetBackbone
+
+    torch.manual_seed(73)
+    ref = RefLWGA(in_chans=3, num_classes=0, stem_dim=16, depths=(1, 1, 1, 1),
+                  att_kernel=(5, 5, 5, 5), act_layer=torch.nn.ReLU,
+                  drop_path_rate=0.0, fork_feat=True, mlp_ratio=2.0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = LWGANetBackbone(stem_dim=16, depths=(1, 1, 1, 1), att_kernel=5)
+    # 128px: the BlurPool-s3 reflect pad inside MRA needs stage-3 maps >= 4px
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    import numpy as _np
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else _np.asarray(t))
+
+    tree = deep(v)
+    P, BS = tree["params"], tree["batch_stats"]
+
+    def cw(w):
+        return w.transpose(2, 3, 1, 0)
+
+    def setbn(pp, bb, t):
+        pp.update({"scale": sd[f"{t}.weight"], "bias": sd[f"{t}.bias"]})
+        bb.update({"mean": sd[f"{t}.running_mean"], "var": sd[f"{t}.running_var"]})
+
+    P["stem"] = {"kernel": cw(sd["stem.proj.weight"])}
+    setbn(P["stem_bn"], BS["stem_bn"], "stem.norm")
+    for si in range(4):
+        setbn(P[f"norm_out{si}"], BS[f"norm_out{si}"], f"norm{si * 2}")
+        if si < 3:
+            t = f"stages.{si * 2 + 1}"
+            P[f"drfd{si}_conv"] = {"kernel": cw(sd[f"{t}.conv.weight"]),
+                                   "bias": sd[f"{t}.conv.bias"]}
+            P[f"drfd{si}_conv_c"] = {"kernel": cw(sd[f"{t}.conv_c.weight"]),
+                                     "bias": sd[f"{t}.conv_c.bias"]}
+            setbn(P[f"drfd{si}_norm_c"], BS[f"drfd{si}_norm_c"], f"{t}.norm_c")
+            setbn(P[f"drfd{si}_norm_m"], BS[f"drfd{si}_norm_m"], f"{t}.norm_m")
+            P[f"drfd{si}_fusion"] = {"kernel": cw(sd[f"{t}.fusion.weight"]),
+                                     "bias": sd[f"{t}.fusion.bias"]}
+
+    def ga12(dst, dstbs, t):
+        for n in ("proj_1", "conv0", "conv_spatial", "conv1", "conv2",
+                  "conv_squeeze", "conv", "proj_2"):
+            dst[n] = {"kernel": cw(sd[f"{t}.{n}.weight"]), "bias": sd[f"{t}.{n}.bias"]}
+
+    for si in range(4):
+        t = f"stages.{si * 2}.blocks.0"
+        d, dbs = P[f"s{si}_b0"], BS[f"s{si}_b0"]
+        d["pa_0"] = {"kernel": cw(sd[f"{t}.PA.p_conv.0.weight"])}
+        setbn(d["pa_bn"], dbs["pa_bn"], f"{t}.PA.p_conv.1")
+        d["pa_3"] = {"kernel": cw(sd[f"{t}.PA.p_conv.3.weight"])}
+        d["la_conv"] = {"kernel": cw(sd[f"{t}.LA.conv.0.weight"])}
+        setbn(d["la_bn"], dbs["la_bn"], f"{t}.LA.conv.1")
+        for ours, theirs_ in (("mra_h1", "H_att1"), ("mra_v1", "V_att1"),
+                              ("mra_h2", "H_att2"), ("mra_v2", "V_att2")):
+            d[ours] = {"kernel": cw(sd[f"{t}.MRA.{theirs_}.weight"])}
+        setbn(d["mra_bn"], dbs["mra_bn"], f"{t}.MRA.norm")
+        if si == 3:
+            d["ga_qkv"] = {"kernel": sd[f"{t}.GA_module.qkv.weight"].T}
+            d["ga_proj"] = {"kernel": sd[f"{t}.GA_module.proj.weight"].T}
+            setbn(d["ga_norm"], dbs["ga_norm"], f"{t}.norm_ga")
+        elif si == 2:
+            ga12(d["ga12"], dbs.get("ga12", {}), f"{t}.GA_module.attn")
+            setbn(d["dga_norm"], dbs["dga_norm"], f"{t}.GA_module.norm")
+        else:
+            ga12(d["ga12"], dbs.get("ga12", {}), f"{t}.GA_module")
+            setbn(d["ga_norm"], dbs["ga_norm"], f"{t}.norm_ga")
+        d["mlp0"] = {"kernel": cw(sd[f"{t}.mlp.0.weight"])}
+        setbn(d["mlp_bn"], dbs["mlp_bn"], f"{t}.mlp.1")
+        d["mlp3"] = {"kernel": cw(sd[f"{t}.mlp.3.weight"])}
+        setbn(d["norm1"], dbs["norm1"], f"{t}.norm1")
+
+    x = np.random.default_rng(38).normal(0, 1, (2, 3, 128, 128)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

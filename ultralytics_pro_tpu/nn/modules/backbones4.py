@@ -218,7 +218,7 @@ BACKBONE_VARIANTS4 = {
     "sgformer_s": _e((64, 128, 256, 512), (2, 2, 6, 2), "linattn"),
     # GroupMixFormerTiny is re-bound to the faithful backbone below
     # spanet_s is re-bound to the faithful SPANetBackbone below
-    "LWGANet_L2_1442_e96_k11_ReLU": _e((96, 192, 384, 768), (1, 4, 4, 2), "cga"),
+    # LWGANet_L2 is re-bound to the faithful LWGANetBackbone below
 }
 
 
@@ -2155,6 +2155,228 @@ class GroupMixFormerBackbone(ConvBase):
         return outs
 
 
+def _maxpool2_ctx(x):
+    """MaxPool2d(2,2, return_indices) + MaxUnpool2d pair for even (B,H,W,C):
+    returns (pooled, unpool_fn) where unpool scatters values back to the
+    argmax positions (first-max ties, like torch)."""
+    b, h, w, c = x.shape
+    win = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    win = win.reshape(b, h // 2, w // 2, 4, c)
+    idx = jnp.argmax(win, 3)
+    pooled = win.max(3)
+
+    def unpool(y):
+        oh = jax.nn.one_hot(idx, 4, dtype=y.dtype, axis=3)
+        z = oh * y[:, :, :, None, :]
+        z = z.reshape(b, h // 2, w // 2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        return z.reshape(b, h, w, c)
+
+    return pooled, unpool
+
+
+def _pad_even2(x):
+    b, h, w, c = x.shape
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        return jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0))), h, w
+    return x, h, w
+
+
+def _nearest_to(x, h, w):
+    """torch F.interpolate(mode='nearest') semantics: src = floor(dst*in/out)."""
+    hi = (jnp.arange(h) * x.shape[1]) // h
+    wi = (jnp.arange(w) * x.shape[2]) // w
+    return x[:, hi][:, :, wi]
+
+
+def _h_shear(x):
+    b, h, w, c = x.shape
+    z = jnp.transpose(x, (0, 3, 1, 2))
+    z = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (0, w))).reshape(b, c, -1)[..., :-w]
+    return jnp.transpose(z.reshape(b, c, h, 2 * w - 1), (0, 2, 3, 1))
+
+
+def _inv_h_shear(x):
+    b, h, _, c = x.shape
+    z = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c, -1)
+    z = jnp.pad(z, ((0, 0), (0, 0), (0, h))).reshape(b, c, h, 2 * h)[..., :h]
+    return jnp.transpose(z, (0, 2, 3, 1))
+
+
+def _blurpool3(x):
+    """antialiased_cnns.BlurPool(stride=3, filt_size=4) (LWGANet.py MRA)."""
+    import numpy as np
+
+    a = np.array([1.0, 3.0, 3.0, 1.0], np.float32)
+    f = np.outer(a, a)
+    f /= f.sum()
+    c = x.shape[-1]
+    k = jnp.broadcast_to(jnp.asarray(f, x.dtype)[:, :, None, None], (4, 4, 1, c))
+    x = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        x, k, (3, 3), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+class LWGA12(ConvBase):
+    """LWGANet GA12 global attention (reference LWGANet.py:180): max-pool
+    with indices, LSK-style dual-branch (dw5 / dw7-d3) spatial gating,
+    max-unpool back to the argmax positions."""
+
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = jax.nn.relu if self.act == "relu" else (
+            lambda z: jax.nn.gelu(z, approximate=False))
+        c = x.shape[-1]
+        xp, h0, w0 = _pad_even2(x)
+        y, unpool = _maxpool2_ctx(xp)
+        y = act(nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_1")(y))
+        a1 = nn.Conv(c, (5, 5), padding=((2, 2), (2, 2)), feature_group_count=c,
+                     dtype=self.dtype, name="conv0")(y)
+        a2 = nn.Conv(c, (7, 7), padding=((9, 9), (9, 9)), kernel_dilation=(3, 3),
+                     feature_group_count=c, dtype=self.dtype,
+                     name="conv_spatial")(a1)
+        a1 = nn.Conv(c // 2, (1, 1), dtype=self.dtype, name="conv1")(a1)
+        a2 = nn.Conv(c // 2, (1, 1), dtype=self.dtype, name="conv2")(a2)
+        att = jnp.concatenate([a1, a2], -1)
+        agg = jnp.concatenate([att.mean(-1, keepdims=True),
+                               att.max(-1, keepdims=True)], -1)
+        sig = jax.nn.sigmoid(nn.Conv(2, (7, 7), padding=((3, 3), (3, 3)),
+                                     dtype=self.dtype, name="conv_squeeze")(agg))
+        att = a1 * sig[..., :1] + a2 * sig[..., 1:2]
+        att = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv")(att)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_2")(y * att)
+        return unpool(y)[:, :h0, :w0]
+
+
+class LWGABlock(ConvBase):
+    """LWGANet LWGA block (reference LWGANet.py:306): channel quarters go
+    through point attention (PA, residual), local conv (LA), medium-range
+    strip attention (MRA: maxpool+BlurPool-s3, axis-aligned + sheared strip
+    convs, nearest-upsampled sigmoid gate), and a stage-dependent global
+    branch (GA12 / pooled D_GA / MHSA), then a 1x1 conv MLP residual."""
+
+    stage: int = 0
+    att_kernel: int = 11
+    mlp_ratio: float = 2.0
+    act: str = "relu"
+
+    def _act(self, z):
+        return jax.nn.relu(z) if self.act == "relu" else jax.nn.gelu(z, approximate=False)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        sd = c // 4
+        x1, x2, x3, x4 = (x[..., :sd], x[..., sd:2 * sd],
+                          x[..., 2 * sd:3 * sd], x[..., 3 * sd:])
+        # PA
+        a = nn.Conv(sd * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="pa_0")(x1)
+        a = self._act(_bn(self, "pa_bn", a, train))
+        a = nn.Conv(sd, (1, 1), use_bias=False, dtype=self.dtype, name="pa_3")(a)
+        x1 = x1 + x1 * jax.nn.sigmoid(a)
+        # LA
+        x2 = self._act(_bn(self, "la_bn", nn.Conv(
+            sd, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            dtype=self.dtype, name="la_conv")(x2), train))
+        # MRA
+        k = self.att_kernel
+        p = k // 2
+        t = nn.max_pool(jnp.pad(x3, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                                constant_values=-jnp.inf), (3, 3), strides=(1, 1))
+        t = _blurpool3(t)
+        h1 = nn.Conv(sd, (k, 3), padding=((p, p), (1, 1)), use_bias=False,
+                     feature_group_count=sd, dtype=self.dtype, name="mra_h1")(t)
+        w1 = nn.Conv(sd, (3, k), padding=((1, 1), (p, p)), use_bias=False,
+                     feature_group_count=sd, dtype=self.dtype, name="mra_v1")(t)
+        h2 = _inv_h_shear(nn.Conv(sd, (k, 3), padding=((p, p), (1, 1)),
+                                  use_bias=False, feature_group_count=sd,
+                                  dtype=self.dtype, name="mra_h2")(_h_shear(t)))
+        w2t = jnp.transpose(_h_shear(jnp.transpose(t, (0, 2, 1, 3))), (0, 2, 1, 3))
+        w2 = nn.Conv(sd, (3, k), padding=((1, 1), (p, p)), use_bias=False,
+                     feature_group_count=sd, dtype=self.dtype, name="mra_v2")(w2t)
+        w2 = jnp.transpose(_inv_h_shear(jnp.transpose(w2, (0, 2, 1, 3))), (0, 2, 1, 3))
+        att = _bn(self, "mra_bn", h1 + w1 + h2 + w2, train)
+        x3 = x3 * _nearest_to(jax.nn.sigmoid(att), x3.shape[1], x3.shape[2])
+        # GA branch
+        if self.stage == 3:
+            b, hh, ww, _ = x4.shape
+            hd = min(64, sd)
+            nh = max(sd // 64, 1)
+            t4 = x4.reshape(b, hh * ww, sd)
+            qkv = nn.Dense(nh * hd * 3, use_bias=False, dtype=self.dtype,
+                           name="ga_qkv")(t4)
+            q, kk, v = jnp.split(qkv.reshape(b, -1, 3, nh, hd)
+                                 .transpose(2, 0, 3, 1, 4), 3, 0)
+            at = jax.nn.softmax((q[0] @ kk[0].transpose(0, 1, 3, 2)) * (hd ** -0.5), -1)
+            o = (at @ v[0]).transpose(0, 2, 1, 3).reshape(b, hh * ww, nh * hd)
+            o = nn.Dense(sd, use_bias=False, dtype=self.dtype, name="ga_proj")(o)
+            x4 = _bn(self, "ga_norm", x4 + o.reshape(b, hh, ww, sd), train)
+        elif self.stage == 2:
+            xp, h0, w0 = _pad_even2(x4)
+            y, unpool = _maxpool2_ctx(xp)
+            y = LWGA12(act=self.act, dtype=self.dtype, name="ga12")(y, train)
+            y = _bn(self, "dga_norm", y, train)
+            x4 = x4 + unpool(y)[:, :h0, :w0]
+        else:
+            x4 = _bn(self, "ga_norm",
+                     x4 + LWGA12(act=self.act, dtype=self.dtype,
+                                 name="ga12")(x4, train), train)
+        y = jnp.concatenate([x1, x2, x3, x4], -1)
+        y = nn.Conv(int(c * self.mlp_ratio), (1, 1), use_bias=False,
+                    dtype=self.dtype, name="mlp0")(y)
+        y = self._act(_bn(self, "mlp_bn", y, train))
+        y = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="mlp3")(y)
+        return x + _bn(self, "norm1", y, train)
+
+
+class LWGANetBackbone(ConvBase):
+    """Faithful LWGANet (reference LWGANet.py:418; L2_1442_e96_k11_ReLU :643
+    = stem 96, depths (1,4,4,2), att kernel 11, ReLU, BN, mlp 2). conv4-s4
+    stem + BN; DRFD downsamplers (grouped conv-expand, parallel strided
+    dwconv and maxpool branches fused 1x1); per-stage BN'd outputs."""
+
+    stem_dim: int = 96
+    depths: Sequence[int] = (1, 4, 4, 2)
+    att_kernel: int = 11
+    mlp_ratio: float = 2.0
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = jax.nn.relu if self.act == "relu" else (
+            lambda z: jax.nn.gelu(z, approximate=False))
+        x = nn.Conv(self.stem_dim, (4, 4), strides=(4, 4), use_bias=False,
+                    dtype=self.dtype, name="stem")(x)
+        x = _bn(self, "stem_bn", x, train)
+        outs = []
+        for si in range(4):
+            c = x.shape[-1]
+            for bi in range(self.depths[si]):
+                x = LWGABlock(stage=si, att_kernel=self.att_kernel,
+                              mlp_ratio=self.mlp_ratio, act=self.act,
+                              dtype=self.dtype, name=f"s{si}_b{bi}")(x, train)
+            outs.append(_bn(self, f"norm_out{si}", x, train))
+            if si < 3:
+                y = nn.Conv(c * 2, (3, 3), padding=((1, 1), (1, 1)),
+                            feature_group_count=c, dtype=self.dtype,
+                            name=f"drfd{si}_conv")(x)
+                cv = nn.Conv(c * 2, (3, 3), strides=(2, 2),
+                             padding=((1, 1), (1, 1)), feature_group_count=c * 2,
+                             dtype=self.dtype, name=f"drfd{si}_conv_c")(y)
+                cv = _bn(self, f"drfd{si}_norm_c", act(cv), train)
+                mx = nn.max_pool(jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                                         constant_values=-jnp.inf),
+                                 (3, 3), strides=(2, 2))
+                mx = _bn(self, f"drfd{si}_norm_m", mx, train)
+                x = nn.Conv(c * 2, (1, 1), dtype=self.dtype,
+                            name=f"drfd{si}_fusion")(jnp.concatenate([cv, mx], -1))
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -2249,6 +2471,8 @@ def _register_alias_variants():
         "glnet_4g": (GLNetBackbone, ()),
         # GroupMixFormer (reference GroupMixFormer.py:101 Tiny)
         "GroupMixFormerTiny": (GroupMixFormerBackbone, ()),
+        # LWGANet (reference LWGANet.py:643 L2_1442_e96_k11_ReLU)
+        "LWGANet_L2_1442_e96_k11_ReLU": (LWGANetBackbone, ()),
         # EMOv2 (reference EMOv2.py:771/:833)
         "EMO2_1M_k5_hybrid": (EMO2Backbone, ()),
         "EMO2_5M_k5_hybrid": (EMO2Backbone, tuple(dict(

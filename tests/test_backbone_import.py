@@ -1330,3 +1330,98 @@ def test_lwganet_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_pkinet_import_parity():
+    """Faithful PKINet (poly-kernel inception + CAA gating, summed CSP
+    blocks) vs the reference PKINet.py with transplanted weights."""
+    from ultralytics.nn.modules.PKINet import PKINet as RefPKI
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import PKINetBackbone
+
+    torch.manual_seed(79)
+    ks, dil = (3, 5, 7, 9, 11), (1, 1, 1, 1, 1)
+    stages = [
+        [8, 16, 1, ks, dil, 0.5, 4.0, 3, 0.0, 1e-6, True, 4.0, 5, True, True, 5],
+        [16, 32, 1, ks, dil, 0.5, 4.0, 3, 0.0, 1e-6, True, 4.0, 7, True, True, 5],
+        [32, 64, 2, ks, dil, 0.5, 4.0, 3, 0.0, 1e-6, True, 4.0, 9, True, True, 5],
+        [64, 128, 1, ks, dil, 0.5, 4.0, 3, 0.0, 1e-6, True, 4.0, 11, True, True, 5],
+    ]
+    ref = RefPKI(c1=3, arch={"stages_params": stages}, out_indices=(1, 2, 3, 4),
+                 drop_path_rate=0.0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = PKINetBackbone(outs_ch=(16, 32, 64, 128), depths=(1, 1, 2, 1),
+                       sc_ffn_scale=(4.0, 4.0, 4.0, 4.0),
+                       sc_ffn_k=(5, 7, 9, 11), caa_kernel=5)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    import numpy as _np
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else _np.asarray(t))
+
+    tree = deep(v)
+    P, BS = tree["params"], tree["batch_stats"]
+
+    def cw(w):
+        return w.transpose(2, 3, 1, 0)
+
+    def cna(pname, bnname, t, dst_p=None, dst_bs=None):
+        dst_p = P if dst_p is None else dst_p
+        dst_bs = BS if dst_bs is None else dst_bs
+        dst_p[pname] = {"kernel": cw(sd[f"{t}.conv.weight"])}
+        dst_p[bnname] = {"scale": sd[f"{t}.norm.weight"], "bias": sd[f"{t}.norm.bias"]}
+        dst_bs[bnname] = {"mean": sd[f"{t}.norm.running_mean"],
+                          "var": sd[f"{t}.norm.running_var"]}
+
+    def plain_ffn(dst, t):  # PKIConvFFN with_bn=False
+        dst["ln"] = {"scale": sd[f"{t}.ln.weight"], "bias": sd[f"{t}.ln.bias"]}
+        for ours, theirs_ in (("conv1", "conv1.conv"), ("dw", "dw_conv.conv"),
+                              ("conv2", "conv2.conv")):
+            dst[ours] = {"kernel": cw(sd[f"{t}.{theirs_}.weight"]),
+                         "bias": sd[f"{t}.{theirs_}.bias"]}
+
+    cna("stem_conv0", "stem_bn0", "stages_modulelist.0.down_conv")
+    cna("stem_conv1", "stem_bn1", "stages_modulelist.0.conv1")
+    cna("stem_conv2", "stem_bn2", "stages_modulelist.0.conv2")
+    depths = (1, 1, 2, 1)
+    for si in range(4):
+        t = f"stages_modulelist.{si + 1}"
+        cna(f"s{si}_down", f"s{si}_down_bn", f"{t}.downsample.down_conv")
+        cna(f"s{si}_split", f"s{si}_split_bn", f"{t}.conv1_pre_split")
+        cna(f"s{si}_merge", f"s{si}_merge_bn", f"{t}.conv2_post_merge")
+        cna(f"s{si}_final", f"s{si}_final_bn", f"{t}.conv3_final")
+        plain_ffn(P[f"s{si}_scffn"], f"{t}.ffn_shortcut")
+        for bi in range(depths[si]):
+            tb = f"{t}.blocks.{bi}"
+            d, dbs = P[f"s{si}_b{bi}"], BS[f"s{si}_b{bi}"]
+            for nrm in ("norm1", "norm2"):
+                d[nrm] = {"scale": sd[f"{tb}.{nrm}.weight"], "bias": sd[f"{tb}.{nrm}.bias"]}
+                dbs[nrm] = {"mean": sd[f"{tb}.{nrm}.running_mean"],
+                            "var": sd[f"{tb}.{nrm}.running_var"]}
+            cna("pre_conv", "pre_bn", f"{tb}.block.pre_conv", d, dbs)
+            cna("pw_conv", "pw_bn", f"{tb}.block.pw_conv", d, dbs)
+            cna("post_conv", "post_bn", f"{tb}.block.post_conv", d, dbs)
+            for i in range(5):
+                d[f"dw{i}"] = {"kernel": cw(sd[f"{tb}.block.dw_convs.{i}.conv.weight"]),
+                               "bias": sd[f"{tb}.block.dw_convs.{i}.conv.bias"]}
+            for ours, theirs_ in (("caa_conv1", "conv1"), ("caa_h", "h_conv"),
+                                  ("caa_v", "v_conv"), ("caa_conv2", "conv2")):
+                d[ours] = {"kernel": cw(sd[f"{tb}.block.caa_factor_module.{theirs_}.conv.weight"]),
+                           "bias": sd[f"{tb}.block.caa_factor_module.{theirs_}.conv.bias"]}
+            d["gamma1"] = sd[f"{tb}.gamma1"]
+            d["gamma2"] = sd[f"{tb}.gamma2"]
+            plain_ffn(d["ffn"], f"{tb}.ffn")
+
+    x = np.random.default_rng(40).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

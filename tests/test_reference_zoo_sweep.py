@@ -73,17 +73,17 @@ def test_all_reference_yamls_build():
 def test_stratified_forward_sample():
     """Forward every ~13th buildable yaml at 64px (>=100 models, stratified
     across the alphabetical family ordering)."""
-    import yaml
-
     from ultralytics_pro_tpu.nn.tasks import TASK2MODEL, guess_model_task
+    from ultralytics_pro_tpu.utils import yaml_load
 
     ok, _, _ = _classify_all()
     sample = ok[::13]
     assert len(sample) >= 100, f"sample too small: {len(sample)}"
     bad = []
     for rel in sample:
-        d = yaml.safe_load((REF_MODELS / rel).read_text(encoding="utf-8",
-                                                        errors="ignore"))
+        # the lenient loader — _classify_all's "ok" includes the repaired
+        # upstream syntax-broken files, which plain yaml.safe_load rejects
+        d = yaml_load(REF_MODELS / rel)
         try:
             task = guess_model_task(d)
             m = TASK2MODEL[task](d)

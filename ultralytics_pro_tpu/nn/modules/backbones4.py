@@ -205,7 +205,7 @@ BACKBONE_VARIANTS4 = {
     "florane_tiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "dwconv"),
     # decouplenet_d2 is re-bound to the faithful DecoupleNetBackbone below
     "overlock_xt": _e((56, 112, 256, 336), (2, 2, 8, 2), "lka"),
-    "pkinet_t": _e((32, 64, 128, 256), (2, 2, 4, 2), "inception"),
+    # pkinet_t is re-bound to the faithful PKINetBackbone below
     # iformer_small is re-bound to the faithful IFormerBackbone below
     # transxnet_tiny is re-bound to the faithful TransXNetBackbone below
     # glnet_4g is re-bound to the faithful GLNetBackbone below
@@ -2377,6 +2377,162 @@ class LWGANetBackbone(ConvBase):
         return outs
 
 
+def _bn3(mod, name, x, train):
+    """PKINet 'BN' (eps 1e-3, torch momentum 0.03 — reference PKINet.py:70)."""
+    return nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                        use_fast_variance=False, epsilon=1e-3, dtype=mod.dtype,
+                        name=name, parent=mod)(x)
+
+
+class PKIConvFFN(ConvBase):
+    """PKINet ConvFFN (reference PKINet.py:186): token LN, 1x1 expand,
+    depthwise-k, global-sigmoid gate (GSiLU), 1x1 back. with_bn selects the
+    BN+SiLU ConvNormActs (stage-level FFNs pass norm_cfg=None -> plain
+    biased convs)."""
+
+    hidden_scale: float = 4.0
+    k: int = 3
+    with_bn: bool = False
+    add_identity: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        hid = int(c * self.hidden_scale)
+        hid = max(8, (hid + 4) // 8 * 8) if hid % 8 else hid  # _make_divisible
+        idn = x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
+        p = self.k // 2
+        if self.with_bn:
+            y = jax.nn.silu(_bn3(self, "bn1", nn.Conv(
+                hid, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(y), train))
+            y = _bn3(self, "bn_dw", nn.Conv(
+                hid, (self.k, self.k), padding=((p, p), (p, p)), use_bias=False,
+                feature_group_count=hid, dtype=self.dtype, name="dw")(y), train)
+        else:
+            y = nn.Conv(hid, (1, 1), dtype=self.dtype, name="conv1")(y)
+            y = nn.Conv(hid, (self.k, self.k), padding=((p, p), (p, p)),
+                        feature_group_count=hid, dtype=self.dtype, name="dw")(y)
+        y = y * jax.nn.sigmoid(y.mean(axis=(1, 2), keepdims=True))  # GSiLU
+        if self.with_bn:
+            y = jax.nn.silu(_bn3(self, "bn2", nn.Conv(
+                c, (1, 1), use_bias=False, dtype=self.dtype, name="conv2")(y), train))
+        else:
+            y = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv2")(y)
+        return idn + y if self.add_identity else y
+
+
+class PKIBlock(ConvBase):
+    """PKINet PKIBlock (reference PKINet.py:556): BN pre-norm, Inception
+    bottleneck (chained dw3/5/7/9/11 sums, CAA strip-attention gate on the
+    pre-conv features, x*(1+caa) fusion), layer-scaled residual, then a BN
+    pre-norm ConvFFN residual (also layer-scaled)."""
+
+    kernel_sizes: Any = (3, 5, 7, 9, 11)
+    caa_kernel: int = 11
+    ffn_scale: float = 4.0
+    ffn_k: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        idn = x
+        y = _bn3(self, "norm1", x, train)
+        # InceptionBottleneck (in == out -> add_identity True)
+        pre = jax.nn.silu(_bn3(self, "pre_bn", nn.Conv(
+            c, (1, 1), use_bias=False, dtype=self.dtype, name="pre_conv")(y), train))
+        cur = None
+        for i, k in enumerate(self.kernel_sizes):
+            p = k // 2
+            src = pre if i == 0 else cur
+            out = nn.Conv(c, (k, k), padding=((p, p), (p, p)),
+                          feature_group_count=c, dtype=self.dtype,
+                          name=f"dw{i}")(src)
+            cur = out if i == 0 else cur + out
+        cur = jax.nn.silu(_bn3(self, "pw_bn", nn.Conv(
+            c, (1, 1), use_bias=False, dtype=self.dtype, name="pw_conv")(cur), train))
+        # CAA on pre (reference CAA: avgpool7 + 1x1 -> (1,k) -> (k,1) -> 1x1 -> sigmoid)
+        kc = self.caa_kernel
+        pc = kc // 2
+        # the reference builds this CAA with norm_cfg=None/act_cfg=None
+        # (PKINet.py:330 with_caa) — plain biased convs, no BN/SiLU
+        a = jnp.pad(pre, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        a = nn.avg_pool(a, (7, 7), strides=(1, 1))
+        a = nn.Conv(c, (1, 1), dtype=self.dtype, name="caa_conv1")(a)
+        a = nn.Conv(c, (1, kc), padding=((0, 0), (pc, pc)), feature_group_count=c,
+                    dtype=self.dtype, name="caa_h")(a)
+        a = nn.Conv(c, (kc, 1), padding=((pc, pc), (0, 0)), feature_group_count=c,
+                    dtype=self.dtype, name="caa_v")(a)
+        a = nn.Conv(c, (1, 1), dtype=self.dtype, name="caa_conv2")(a)
+        caa = jax.nn.sigmoid(a)
+        y = cur * (1.0 + caa)
+        y = jax.nn.silu(_bn3(self, "post_bn", nn.Conv(
+            c, (1, 1), use_bias=False, dtype=self.dtype, name="post_conv")(y), train))
+        g1 = self.param("gamma1", nn.initializers.constant(1e-6), (c,))
+        x = idn + y * g1
+        y = _bn3(self, "norm2", x, train)
+        y = PKIConvFFN(hidden_scale=self.ffn_scale, k=self.ffn_k, with_bn=False,
+                       add_identity=False, dtype=self.dtype, name="ffn")(y, train)
+        g2 = self.param("gamma2", nn.initializers.constant(1e-6), (c,))
+        return x + y * g2
+
+
+class PKINetBackbone(ConvBase):
+    """Faithful PKINet (reference PKINet.py:760; pkinet_t :951 arch 'T' =
+    stage outs (32,64,128,256), blocks (4,14,22,4), CSP-style stages where
+    every PKIBlock reads the SAME split branch and the results are SUMMED,
+    the other branch passes a plain-conv GSiLU ConvFFN; conv3-s2 BN+SiLU
+    stem (stride 2) and per-stage downsample; outputs at strides 4/8/16/32."""
+
+    outs_ch: Sequence[int] = (32, 64, 128, 256)
+    depths: Sequence[int] = (4, 14, 22, 4)
+    sc_ffn_scale: Sequence[float] = (8.0, 8.0, 4.0, 4.0)
+    sc_ffn_k: Sequence[int] = (5, 7, 9, 11)
+    caa_kernel: int = 11
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c0 = self.outs_ch[0] // 2  # stem width = first stage's in_channels
+        x = jax.nn.silu(_bn3(self, "stem_bn0", nn.Conv(
+            c0, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False,
+            dtype=self.dtype, name="stem_conv0")(x), train))
+        x = jax.nn.silu(_bn3(self, "stem_bn1", nn.Conv(
+            c0, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            dtype=self.dtype, name="stem_conv1")(x), train))
+        x = jax.nn.silu(_bn3(self, "stem_bn2", nn.Conv(
+            c0, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            dtype=self.dtype, name="stem_conv2")(x), train))
+        outs = []
+        for si in range(4):
+            oc = self.outs_ch[si]
+            hid = max(8, int(oc * 0.5))
+            x = jax.nn.silu(_bn3(self, f"s{si}_down_bn", nn.Conv(
+                oc, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                use_bias=False, dtype=self.dtype, name=f"s{si}_down")(x), train))
+            y = jax.nn.silu(_bn3(self, f"s{si}_split_bn", nn.Conv(
+                2 * hid, (1, 1), use_bias=False, dtype=self.dtype,
+                name=f"s{si}_split")(x), train))
+            bx, by = y[..., :hid], y[..., hid:]
+            bx = PKIConvFFN(hidden_scale=self.sc_ffn_scale[si],
+                            k=self.sc_ffn_k[si], with_bn=False,
+                            add_identity=True, dtype=self.dtype,
+                            name=f"s{si}_scffn")(bx, train)
+            agg = None
+            for bi in range(self.depths[si]):
+                o = PKIBlock(caa_kernel=self.caa_kernel + 2 * bi,
+                             dtype=self.dtype, name=f"s{si}_b{bi}")(by, train)
+                agg = o if agg is None else agg + o
+            y = jnp.concatenate([bx, agg], -1)
+            y = jax.nn.silu(_bn3(self, f"s{si}_merge_bn", nn.Conv(
+                oc, (1, 1), use_bias=False, dtype=self.dtype,
+                name=f"s{si}_merge")(y), train))
+            x = jax.nn.silu(_bn3(self, f"s{si}_final_bn", nn.Conv(
+                oc, (1, 1), use_bias=False, dtype=self.dtype,
+                name=f"s{si}_final")(y), train))
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -2473,6 +2629,8 @@ def _register_alias_variants():
         "GroupMixFormerTiny": (GroupMixFormerBackbone, ()),
         # LWGANet (reference LWGANet.py:643 L2_1442_e96_k11_ReLU)
         "LWGANet_L2_1442_e96_k11_ReLU": (LWGANetBackbone, ()),
+        # PKINet (reference PKINet.py:951 pkinet_t, arch 'T')
+        "pkinet_t": (PKINetBackbone, ()),
         # EMOv2 (reference EMOv2.py:771/:833)
         "EMO2_1M_k5_hybrid": (EMO2Backbone, ()),
         "EMO2_5M_k5_hybrid": (EMO2Backbone, tuple(dict(

@@ -1425,3 +1425,193 @@ def test_pkinet_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_transnext_import_parity():
+    """Faithful TransNeXt (aggregated pixel-focused attention + CGLU) vs the
+    reference TransNeXt.py with transplanted weights."""
+    from functools import partial
+
+    from ultralytics.nn.modules.TransNeXt import TransNeXt as RefTNX
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import TransNeXtBackbone
+
+    torch.manual_seed(83)
+    dims, heads, depths = (16, 32, 64, 128), (2, 4, 8, 16), (1, 1, 2, 1)
+    ref = RefTNX(img_size=64, window_size=[3, 3, 3, None], patch_size=4,
+                 embed_dims=list(dims), num_heads=list(heads),
+                 mlp_ratios=[8, 8, 4, 4], qkv_bias=True,
+                 norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+                 depths=list(depths), sr_ratios=[8, 4, 2, 1])
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = TransNeXtBackbone(dims=dims, depths=depths, num_heads=heads,
+                          mlp_ratios=(8, 8, 4, 4))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else np.asarray(t))
+
+    tree = deep(v)
+    P = tree["params"]
+
+    def dense(dst, name, t):
+        dst[name] = {"kernel": sd[f"{t}.weight"].T, "bias": sd[f"{t}.bias"]}
+
+    def ln(dst, name, t):
+        dst[name] = {"scale": sd[f"{t}.weight"], "bias": sd[f"{t}.bias"]}
+
+    for si in range(4):
+        t = f"patch_embed{si + 1}"
+        P[f"pe{si}"] = {"kernel": sd[f"{t}.proj.weight"].transpose(2, 3, 1, 0),
+                        "bias": sd[f"{t}.proj.bias"]}
+        ln(P, f"pe{si}_norm", f"{t}.norm")
+        ln(P, f"norm_out{si}", f"norm{si + 1}")
+        for bi in range(depths[si]):
+            tb = f"block{si + 1}.{bi}"
+            pre = f"s{si}_b{bi}"
+            ln(P, f"{pre}_norm1", f"{tb}.norm1")
+            ln(P, f"{pre}_norm2", f"{tb}.norm2")
+            a = P[f"{pre}_attn"]
+            if si == 3:
+                dense(a, "qkv", f"{tb}.attn.qkv")
+            else:
+                dense(a, "q", f"{tb}.attn.q")
+                dense(a, "kv", f"{tb}.attn.kv")
+                a["sr"] = {"kernel": sd[f"{tb}.attn.sr.weight"].transpose(2, 3, 1, 0),
+                           "bias": sd[f"{tb}.attn.sr.bias"]}
+                ln(a, "norm", f"{tb}.attn.norm")
+                a["relative_pos_bias_local"] = sd[f"{tb}.attn.relative_pos_bias_local"]
+                a["learnable_tokens"] = sd[f"{tb}.attn.learnable_tokens"]
+                a["learnable_bias"] = sd[f"{tb}.attn.learnable_bias"]
+            dense(a, "proj", f"{tb}.attn.proj")
+            dense(a, "cpb_fc1", f"{tb}.attn.cpb_fc1")
+            dense(a, "cpb_fc2", f"{tb}.attn.cpb_fc2")
+            a["query_embedding"] = sd[f"{tb}.attn.query_embedding"]
+            a["temperature"] = sd[f"{tb}.attn.temperature"]
+            ml = P[f"{pre}_mlp"]
+            dense(ml, "fc1", f"{tb}.mlp.fc1")
+            dense(ml, "fc2", f"{tb}.mlp.fc2")
+            ml["dw"] = {"kernel": sd[f"{tb}.mlp.dwconv.dwconv.weight"].transpose(2, 3, 1, 0),
+                        "bias": sd[f"{tb}.mlp.dwconv.dwconv.bias"]}
+
+    x = np.random.default_rng(41).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_sgformer_import_parity():
+    """Faithful SGFormer (global-local + mask-sorted sparsification attention)
+    vs the reference SGFormer.py with transplanted weights.
+
+    The saliency masks are nearest-upsampled plateaus whose constituents
+    carry ~1e-9 summation noise, so WHICH equal-saliency token wins the
+    sparsification cut is float-level chaos (the reference's own CPU and CUDA
+    sorts disagree). Both sides are pinned to the same deterministic rule:
+    quantize the sort key (1e-4 — far below plateau spacing, ~1e-3) and
+    stable-sort, so plateaus become exact ties resolved by index order. Ours
+    via sort_quant, the reference via a torch.sort wrapper."""
+    from ultralytics.nn.modules.SGFormer import SGFormer as RefSG
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import SGFormerBackbone
+
+    torch.manual_seed(29)
+    dims, heads, depths = (16, 32, 64, 128), (2, 4, 8, 16), (2, 2, 2, 1)
+    ref = RefSG(c1=3, arch={"embed_dims": list(dims), "num_heads": list(heads),
+                            "depths": list(depths)},
+                img_size=64, fork_feat=True)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            if n != "pos_embed":
+                p.add_(torch.randn_like(p) * 0.04)
+
+    m = SGFormerBackbone(dims=dims, depths=depths, num_heads=heads,
+                         sort_quant=1e-4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else np.asarray(t))
+
+    tree = deep(v)
+    P = tree["params"]
+    P["pos_embed"] = sd["pos_embed"]
+
+    def dense(dst, name, t):
+        dst[name] = {"kernel": sd[f"{t}.weight"].T, "bias": sd[f"{t}.bias"]}
+
+    def ln(dst, name, t):
+        dst[name] = {"scale": sd[f"{t}.weight"], "bias": sd[f"{t}.bias"]}
+
+    def cgn(dst, name, t):
+        dst[name] = {"c": {"kernel": sd[f"{t}.c.weight"].transpose(2, 3, 1, 0)},
+                     "gn": {"scale": sd[f"{t}.bn.weight"],
+                            "bias": sd[f"{t}.bn.bias"]}}
+
+    for i, t in enumerate(["conv.0", "conv.2", "conv.4"]):
+        cgn(P, f"pe0_c{i}", f"patch_embed1.{t}")
+    ln(P, "pe0_norm", "patch_embed1.norm")
+    for si in range(1, 4):
+        for j in (1, 2, 3):
+            cgn(P, f"pe{si}_c{j}", f"patch_embed{si + 1}.conv{j}")
+        ln(P, f"pe{si}_norm", f"patch_embed{si + 1}.norm")
+    for si in range(4):
+        ln(P, f"norm_out{si}", f"norm{si + 1}")
+        for bi in range(depths[si]):
+            tb = f"block{si + 1}.{bi}"
+            pre = f"s{si}_b{bi}"
+            ln(P, f"{pre}_norm1", f"{tb}.norm1")
+            ln(P, f"{pre}_norm2", f"{tb}.norm2")
+            a = P[f"{pre}_attn"]
+            if si == 3:
+                dense(a, "q", f"{tb}.attn.q_sr1")
+                dense(a, "kv", f"{tb}.attn.kv_sr1")
+            elif bi % 2 == 1:
+                dense(a, "q", f"{tb}.attn.q_cfg_true")
+                dense(a, "kv1", f"{tb}.attn.kv1_cfg_true")
+                dense(a, "kv2", f"{tb}.attn.kv2_cfg_true")
+            else:
+                dense(a, "q1", f"{tb}.attn.q1")
+                dense(a, "kv1", f"{tb}.attn.kv1_cfg_false")
+                dense(a, "q2", f"{tb}.attn.q2")
+                dense(a, "kv2", f"{tb}.attn.kv2_cfg_false")
+                a["sr"] = {"kernel": sd[f"{tb}.attn.sr.weight"].transpose(2, 3, 1, 0),
+                           "bias": sd[f"{tb}.attn.sr.bias"]}
+                ln(a, "norm", f"{tb}.attn.norm")
+            dense(a, "lepe_linear", f"{tb}.attn.lepe_linear")
+            a["lepe_conv"] = {"kernel": sd[f"{tb}.attn.lepe_conv.weight"].transpose(2, 3, 1, 0),
+                              "bias": sd[f"{tb}.attn.lepe_conv.bias"]}
+            dense(a, "proj", f"{tb}.attn.proj")
+            ml = P[f"{pre}_mlp"]
+            dense(ml, "fc1", f"{tb}.mlp.fc1")
+            dense(ml, "fc2", f"{tb}.mlp.fc2")
+            ml["dw"] = {"kernel": sd[f"{tb}.mlp.dwconv.dwconv.weight"].transpose(2, 3, 1, 0),
+                        "bias": sd[f"{tb}.mlp.dwconv.dwconv.bias"]}
+
+    x = np.random.default_rng(57).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    orig_sort = torch.sort
+    try:
+        def quant_stable_sort(t, *a, **k):
+            k.setdefault("stable", True)
+            return orig_sort(torch.round(t / 1e-4) * 1e-4, *a, **k)
+
+        torch.sort = quant_stable_sort
+        theirs = _stage_outs_torch(ref, x)
+    finally:
+        torch.sort = orig_sort
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

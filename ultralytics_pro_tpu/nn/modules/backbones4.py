@@ -214,8 +214,8 @@ BACKBONE_VARIANTS4 = {
     # attention tail substitutions
     # EViT_Tiny is re-bound to the faithful EViTBackbone below
     # stvit_small is re-bound to the faithful STViTBackbone below
-    "transnext_micro": _e((48, 96, 192, 384), (2, 2, 15, 2), "linattn"),
-    "sgformer_s": _e((64, 128, 256, 512), (2, 2, 6, 2), "linattn"),
+    # transnext_micro is re-bound to the faithful TransNeXtBackbone below
+    # sgformer_s is re-bound to the faithful SGFormerBackbone below
     # GroupMixFormerTiny is re-bound to the faithful backbone below
     # spanet_s is re-bound to the faithful SPANetBackbone below
     # LWGANet_L2 is re-bound to the faithful LWGANetBackbone below
@@ -2533,6 +2533,543 @@ class PKINetBackbone(ConvBase):
         return outs
 
 
+def _adaptive_pool1d_matrix(n_in, n_out):
+    """Row-stochastic (n_out, n_in) matrix reproducing torch
+    adaptive_avg_pool1d bucket boundaries (start=floor(t*n/m),
+    end=ceil((t+1)*n/m))."""
+    import numpy as np
+
+    P = np.zeros((n_out, n_in), np.float32)
+    for t in range(n_out):
+        s = (t * n_in) // n_out
+        e = -((-(t + 1) * n_in) // n_out)
+        P[t, s:e] = 1.0 / (e - s)
+    return P
+
+
+def _transnext_seqlen_mask(h, w, win):
+    """Per-position valid-neighbor count + padding mask of the zero-padded
+    win x win unfold (reference TransNeXt.py:22 get_seqlen_and_mask):
+    returns (count (N,), mask (N, win*win) True where out-of-bounds)."""
+    import numpy as np
+
+    p = win // 2
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    mask = np.zeros((h * w, win * win), bool)
+    for k in range(win * win):
+        a, b = k // win, k % win
+        ok = ((ii + a - p >= 0) & (ii + a - p < h)
+              & (jj + b - p >= 0) & (jj + b - p < w))
+        mask[:, k] = ~ok.reshape(-1)
+    return (~mask).sum(-1).astype(np.float32), mask
+
+
+def _transnext_cpb_table(qh, qw, kh, kw, ph, pw):
+    """Continuous-relative-position table + inverse index (reference
+    TransNeXt.py:180 get_relative_position_cpb): key axes are the
+    adaptive-pooled query axes; coordinates scaled by 8/(pretrain-1), deduped
+    with a lexicographic unique, then sign*log2(|.|+1)/log2(8) transformed."""
+    import numpy as np
+
+    aqh = np.arange(qh, dtype=np.float32)
+    aqw = np.arange(qw, dtype=np.float32)
+    akh = (_adaptive_pool1d_matrix(qh, kh) @ aqh).astype(np.float32)
+    akw = (_adaptive_pool1d_matrix(qw, kw) @ aqw).astype(np.float32)
+    kh_g, kw_g = np.meshgrid(akh, akw, indexing="ij")
+    qh_g, qw_g = np.meshgrid(aqh, aqw, indexing="ij")
+    rel_h = (qh_g.reshape(-1)[:, None] - kh_g.reshape(-1)[None, :]) / (ph - 1) * 8
+    rel_w = (qw_g.reshape(-1)[:, None] - kw_g.reshape(-1)[None, :]) / (pw - 1) * 8
+    rel = np.stack([rel_h, rel_w], -1).reshape(-1, 2).astype(np.float32)
+    table, idx = np.unique(rel, axis=0, return_inverse=True)
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    return idx.reshape(-1).astype(np.int32), table.astype(np.float32)
+
+
+def _l2n(x):
+    """F.normalize(dim=-1): x / max(||x||, 1e-12)."""
+    return x / jnp.maximum(jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                                           keepdims=True), 1e-12).astype(x.dtype)
+
+
+def _cpb_bias(mod, table, index, heads, n, m):
+    """CPB MLP 2 -> 512 -> heads over the unique coords table, gathered back
+    to (heads, n, m) (reference TransNeXt.py:121/:246)."""
+    t = nn.Dense(512, dtype=mod.dtype, name="cpb_fc1")(jnp.asarray(table))
+    t = nn.Dense(heads, dtype=mod.dtype, name="cpb_fc2")(jax.nn.relu(t))
+    return t.T[:, jnp.asarray(index)].reshape(heads, n, m)
+
+
+class TransNeXtAggAttn(ConvBase):
+    """TransNeXt AggregatedAttention (reference TransNeXt.py:30): pixel-focused
+    attention where each query attends to its zero-padded 3x3 unfolded local
+    keys AND an sr-pooled global key set under ONE softmax; L2-normalized
+    q/k with a learnable query embedding, softplus temperature, and a
+    per-position log(local_len+pool_len) sequence-length scale; the local
+    branch adds a static relative bias pre-softmax and a dynamic
+    (q @ learnable_tokens + bias) term post-softmax."""
+
+    num_heads: int = 2
+    sr: int = 8
+    window: int = 3
+
+    @nn.compact
+    def __call__(self, x, h, w, train: bool = False):
+        import numpy as np
+
+        b, n, c = x.shape
+        heads, hd = self.num_heads, c // self.num_heads
+        win2 = self.window * self.window
+        ph, pw = h // self.sr, w // self.sr
+        pool_len = ph * pw
+        cnt, pad_mask = _transnext_seqlen_mask(h, w, self.window)
+        seq_scale = jnp.asarray(np.log(cnt + pool_len)[:, None])
+
+        q = nn.Dense(c, dtype=self.dtype, name="q")(x)
+        q = q.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
+        q_norm = _l2n(q)
+        qe = self.param("query_embedding",
+                        nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                        (heads, 1, hd))
+        temp = self.param("temperature",
+                          nn.initializers.constant(float(np.log(np.expm1(1 / 0.24)))),
+                          (heads, 1, 1))
+        q_scaled = (q_norm + qe) * jax.nn.softplus(temp) * seq_scale
+
+        kv = nn.Dense(2 * c, dtype=self.dtype, name="kv")
+        kv_loc = kv(x)
+        k_loc = _l2n(kv_loc[..., :c].reshape(b, n, heads, hd)).reshape(b, n, c)
+        patches = _unfold3(jnp.concatenate([k_loc, kv_loc[..., c:]], -1)
+                           .reshape(b, h, w, 2 * c))
+        patches = patches.reshape(b, n, win2, 2, heads, hd)
+        k_local = patches[:, :, :, 0].transpose(0, 3, 1, 4, 2)  # (b,heads,n,hd,9)
+        v_local = patches[:, :, :, 1].transpose(0, 3, 1, 4, 2)
+
+        rpb = self.param("relative_pos_bias_local",
+                         nn.initializers.truncated_normal(4e-4), (heads, win2))
+        attn_local = jnp.einsum("bhnd,bhndl->bhnl", q_scaled, k_local)
+        attn_local = attn_local + rpb[None, :, None, :]
+        attn_local = jnp.where(jnp.asarray(pad_mask)[None, None],
+                               -jnp.inf, attn_local)
+
+        # pooled branch: 1x1 sr conv -> GELU -> adaptive avg pool -> LN
+        xs = x.reshape(b, h, w, c)
+        xs = jax.nn.gelu(nn.Conv(c, (1, 1), dtype=self.dtype, name="sr")(xs),
+                         approximate=False)
+        Ph = jnp.asarray(_adaptive_pool1d_matrix(h, ph))
+        Pw = jnp.asarray(_adaptive_pool1d_matrix(w, pw))
+        xs = jnp.einsum("ph,bhwc->bpwc", Ph, xs)
+        xs = jnp.einsum("qw,bpwc->bpqc", Pw, xs).reshape(b, pool_len, c)
+        xs = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xs)
+        kv_pool = kv(xs).reshape(b, pool_len, 2 * heads, hd)
+        k_pool = _l2n(kv_pool[:, :, :heads].transpose(0, 2, 1, 3))
+        v_pool = kv_pool[:, :, heads:].transpose(0, 2, 1, 3)
+
+        idx, table = _transnext_cpb_table(h, w, ph, pw, h, w)
+        pool_bias = _cpb_bias(self, table, idx, heads, n, pool_len)
+        attn_pool = q_scaled @ k_pool.transpose(0, 1, 3, 2) + pool_bias[None]
+
+        attn = jax.nn.softmax(
+            jnp.concatenate([attn_local, attn_pool], -1).astype(jnp.float32),
+            axis=-1).astype(x.dtype)
+        a_local, a_pool = attn[..., :win2], attn[..., win2:]
+        lt = self.param("learnable_tokens",
+                        nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                        (heads, hd, win2))
+        lb = self.param("learnable_bias", nn.initializers.zeros, (heads, 1, win2))
+        dyn = jnp.einsum("bhnd,hdl->bhnl", q_norm, lt) + lb[None] + a_local
+        x_local = jnp.einsum("bhnl,bhndl->bhnd", dyn, v_local)
+        y = (x_local + a_pool @ v_pool).transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(y)
+
+
+class TransNeXtFullAttn(ConvBase):
+    """TransNeXt stage-4 Attention (reference TransNeXt.py:212): full MHSA
+    with L2-normalized q/k, query embedding, softplus temperature, scalar
+    log(N) scale, and a CPB-MLP relative bias over the full N x N grid."""
+
+    num_heads: int = 16
+
+    @nn.compact
+    def __call__(self, x, h, w, train: bool = False):
+        import numpy as np
+
+        b, n, c = x.shape
+        heads, hd = self.num_heads, c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3 * heads, hd).transpose(0, 2, 1, 3)
+        q, k, v = qkv[:, :heads], qkv[:, heads:2 * heads], qkv[:, 2 * heads:]
+        idx, table = _transnext_cpb_table(h, w, h, w, h, w)
+        bias = _cpb_bias(self, table, idx, heads, n, n)
+        qe = self.param("query_embedding",
+                        nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                        (heads, 1, hd))
+        temp = self.param("temperature",
+                          nn.initializers.constant(float(np.log(np.expm1(1 / 0.24)))),
+                          (heads, 1, 1))
+        attn = ((_l2n(q) + qe) * jax.nn.softplus(temp) * float(np.log(n))) \
+            @ _l2n(k).transpose(0, 1, 3, 2) + bias[None]
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(x.dtype)
+        y = (attn @ v).transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(y)
+
+
+class TransNeXtCGLU(ConvBase):
+    """TransNeXt ConvolutionalGLU (reference TransNeXt.py:158): fc1 to
+    2*(2/3*hidden), dw3x3+GELU gate times value, fc2."""
+
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, h, w, train: bool = False):
+        b, n, c = x.shape
+        hid = int(2 * int(c * self.mlp_ratio) / 3)
+        y = nn.Dense(2 * hid, dtype=self.dtype, name="fc1")(x)
+        g, v = y[..., :hid], y[..., hid:]
+        g = nn.Conv(hid, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=hid,
+                    dtype=self.dtype, name="dw")(g.reshape(b, h, w, hid))
+        g = jax.nn.gelu(g.reshape(b, n, hid), approximate=False)
+        return nn.Dense(c, dtype=self.dtype, name="fc2")(g * v)
+
+
+class TransNeXtBackbone(ConvBase):
+    """Faithful TransNeXt (reference TransNeXt.py:323; transnext_micro :462 =
+    dims (48,96,192,384), heads (2,4,8,16), mlp (8,8,4,4), depths (2,2,15,2),
+    sr (8,4,2,1), window 3): overlapped patch embeds (7s4 then 3s2) + LN,
+    aggregated pixel-focused attention stages 1-3, full normalized attention
+    stage 4, ConvolutionalGLU MLPs, per-stage output LN. Relative-position
+    tables/masks are computed host-side from the static trace shapes
+    (pretrain size = input size, the reference's default)."""
+
+    dims: Sequence[int] = (48, 96, 192, 384)
+    depths: Sequence[int] = (2, 2, 15, 2)
+    num_heads: Sequence[int] = (2, 4, 8, 16)
+    mlp_ratios: Sequence[float] = (8, 8, 4, 4)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            k, s = (7, 4) if si == 0 else (3, 2)
+            p = k // 2
+            x = nn.Conv(c, (k, k), strides=(s, s), padding=((p, p), (p, p)),
+                        dtype=self.dtype, name=f"pe{si}")(x)
+            b, h, w, _ = x.shape
+            t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"pe{si}_norm")(x.reshape(b, h * w, c))
+            for bi in range(self.depths[si]):
+                pre = f"s{si}_b{bi}"
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm1")(t)
+                if self.sr_ratios[si] == 1:
+                    y = TransNeXtFullAttn(num_heads=self.num_heads[si],
+                                          dtype=self.dtype,
+                                          name=f"{pre}_attn")(y, h, w, train)
+                else:
+                    y = TransNeXtAggAttn(num_heads=self.num_heads[si],
+                                         sr=self.sr_ratios[si], dtype=self.dtype,
+                                         name=f"{pre}_attn")(y, h, w, train)
+                t = t + y
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm2")(t)
+                t = t + TransNeXtCGLU(mlp_ratio=self.mlp_ratios[si],
+                                      dtype=self.dtype,
+                                      name=f"{pre}_mlp")(y, h, w, train)
+            t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"norm_out{si}")(t)
+            x = t.reshape(b, h, w, c)
+            outs.append(x)
+        return outs
+
+
+def _nn_idx(src, dst):
+    """torch F.interpolate mode='nearest' source index per output position:
+    floor(i * src / dst)."""
+    import numpy as np
+
+    return (np.arange(dst) * src) // dst
+
+
+def _sg_sincos_pos_embed(h, w, dim):
+    """2-D sincos table (reference SGFormer.py:13 get_2d_sincos_pos_embed):
+    row-major tokens, layout [sin(w·ω), cos(w·ω), sin(h·ω), cos(h·ω)].
+    The reference only generates it for square grids; we extend to h != w."""
+    import numpy as np
+
+    omega = 1.0 / 10000 ** (np.arange(dim // 4, dtype=np.float32) / (dim / 4))
+    wv, hv = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    out = []
+    for pos in (wv.reshape(-1), hv.reshape(-1)):
+        ang = np.einsum("m,d->md", pos, omega)
+        out += [np.sin(ang), np.cos(ang)]
+    return np.concatenate(out, axis=1)[None].astype(np.float32)
+
+
+class _SGConvGN(ConvBase):
+    """Conv2d_BN (reference SGFormer.py:373): bias-free conv + GroupNorm with
+    num_groups = max(1, out // min(out, 32))."""
+
+    out: int = 1
+    k: int = 1
+    s: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.k // 2
+        x = nn.Conv(self.out, (self.k, self.k), strides=(self.s, self.s),
+                    padding=((p, p), (p, p)), feature_group_count=self.groups,
+                    use_bias=False, dtype=self.dtype, name="c")(x)
+        g = max(1, self.out // min(self.out, 32))
+        return nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=self.dtype,
+                            name="gn")(x)
+
+
+def _sg_lepe(mod, x, h, w):
+    """LePE positional term (reference SGFormer.py:214): linear then 3x3
+    depthwise conv, added to the attention output before proj."""
+    b, n, c = x.shape
+    y = nn.Dense(c, dtype=mod.dtype, name="lepe_linear")(x)
+    y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                dtype=mod.dtype, name="lepe_conv")(y.reshape(b, h, w, c))
+    return y.reshape(b, n, c)
+
+
+class SGFormerAttnGL(ConvBase):
+    """SGFormer global-local attention (reference SGFormer.py:220, the
+    mask_init_config=False first-pass path): half the heads attend sr-pooled
+    global keys, half do 7x7 zero-padded window attention (padded keys
+    participate in the softmax, exactly as upstream); emits the runtime
+    saliency mask (window-mean local + key-mean global scores,
+    nearest-upsampled) that the NEXT block's sparsification consumes."""
+
+    num_heads: int = 2
+    sr: int = 8
+
+    @nn.compact
+    def __call__(self, x, h, w, train: bool = False):
+        b, n, c = x.shape
+        nh2 = self.num_heads // 2
+        hd = c // self.num_heads
+        scale = hd ** -0.5
+        lepe = _sg_lepe(self, x, h, w)
+
+        # global half over sr-strided conv keys
+        q1 = nn.Dense(c // 2, dtype=self.dtype, name="q1")(x)
+        q1 = q1.reshape(b, n, nh2, hd).transpose(0, 2, 1, 3)
+        xs = nn.Conv(c, (self.sr, self.sr), strides=(self.sr, self.sr),
+                     dtype=self.dtype, name="sr")(x.reshape(b, h, w, c))
+        hs, ws = h // self.sr, w // self.sr
+        xs = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                          name="norm")(xs.reshape(b, hs * ws, c))
+        xs = jax.nn.gelu(xs, approximate=False)
+        kv1 = nn.Dense(c, dtype=self.dtype, name="kv1")(xs)
+        kv1 = kv1.reshape(b, hs * ws, 2, nh2, hd).transpose(2, 0, 3, 1, 4)
+        a1 = jax.nn.softmax(q1 @ kv1[0].transpose(0, 1, 3, 2) * scale, -1)
+        x1 = (a1 @ kv1[1]).transpose(0, 2, 1, 3).reshape(b, n, c // 2)
+        gm = jax.lax.stop_gradient(a1).mean(1).mean(1).reshape(b, hs, ws)
+        gm = gm[:, jnp.asarray(_nn_idx(hs, h))][:, :, jnp.asarray(_nn_idx(ws, w))]
+
+        # local half: 7x7 zero-padded windows
+        WS = 7
+        ph, pw = (-h) % WS, (-w) % WS
+        hp, wp = h + ph, w + pw
+        nwh, nww = hp // WS, wp // WS
+
+        def part(t):
+            t = jnp.pad(t.reshape(b * nh2, h, w, hd),
+                        ((0, 0), (0, ph), (0, pw), (0, 0)))
+            t = t.reshape(b * nh2, nwh, WS, nww, WS, hd)
+            return t.transpose(0, 1, 3, 2, 4, 5).reshape(-1, WS * WS, hd)
+
+        q2 = nn.Dense(c // 2, dtype=self.dtype, name="q2")(x)
+        q2 = q2.reshape(b, n, nh2, hd).transpose(0, 2, 1, 3)
+        kv2 = nn.Dense(c, dtype=self.dtype, name="kv2")(x)
+        kv2 = kv2.reshape(b, n, 2, nh2, hd).transpose(2, 0, 3, 1, 4)
+        q2w, k2w, v2w = part(q2), part(kv2[0]), part(kv2[1])
+        a2 = jax.nn.softmax(q2w @ k2w.transpose(0, 2, 1) * scale, -1)
+        x2 = (a2 @ v2w).reshape(b * nh2, nwh, nww, WS, WS, hd)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b * nh2, hp, wp, hd)
+        x2 = x2[:, :h, :w].reshape(b, nh2, h, w, hd)
+        x2 = x2.transpose(0, 2, 3, 1, 4).reshape(b, n, c // 2)
+        lm = jax.lax.stop_gradient(a2).reshape(b, nh2, nwh * nww, WS * WS, WS * WS)
+        lm = lm.mean(axis=(1, 3, 4)).reshape(b, nwh, nww)
+        lm = lm[:, jnp.asarray(_nn_idx(nwh, h))][:, :, jnp.asarray(_nn_idx(nww, w))]
+
+        y = nn.Dense(c, dtype=self.dtype,
+                     name="proj")(jnp.concatenate([x1, x2], -1) + lepe)
+        mask = lm + gm
+        return y, (mask.reshape(b, n),
+                   mask.transpose(0, 2, 1).reshape(b, n))
+
+
+class SGFormerAttnSparse(ConvBase):
+    """SGFormer token-sparsification attention (reference SGFormer.py:294, the
+    mask_init_config=True path): sort the previous block's saliency mask in
+    row-major and column-major orders, keep the top N/sr^2 tokens of each, and
+    give half the heads the row-selected K/V, half the column-selected.
+
+    sort_quant > 0 quantizes the sort key first: the saliency mask's
+    equal-saliency plateaus (nearest-upsampled copies) carry ~1e-9 summation
+    noise, so WHICH of the equally-salient tokens wins the cut is float-level
+    chaos in any implementation (reference included: its CPU and CUDA sorts
+    already disagree). Quantizing snaps plateaus to exact ties resolved by
+    stable index order — deterministic selection for eval/parity."""
+
+    num_heads: int = 2
+    sr: int = 8
+    sort_quant: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, h, w, mask, train: bool = False):
+        b, n, c = x.shape
+        nh, nh2 = self.num_heads, self.num_heads // 2
+        hd = c // nh
+        scale = hd ** -0.5
+        lepe = _sg_lepe(self, x, h, w)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(x)
+        q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+        nkv = max(1, n // (self.sr * self.sr))
+        m1, m2 = mask
+        if self.sort_quant > 0:
+            m1 = jnp.round(m1 / self.sort_quant) * self.sort_quant
+            m2 = jnp.round(m2 / self.sort_quant) * self.sort_quant
+        i1 = jnp.argsort(-m1, axis=1)[:, :nkv]
+        s1 = jnp.take_along_axis(x, i1[:, :, None], axis=1)
+        xp = x.reshape(b, h, w, c).transpose(0, 2, 1, 3).reshape(b, n, c)
+        i2 = jnp.argsort(-m2, axis=1)[:, :nkv]
+        s2 = jnp.take_along_axis(xp, i2[:, :, None], axis=1)
+        kv1 = nn.Dense(c, dtype=self.dtype, name="kv1")(s1)
+        kv1 = kv1.reshape(b, nkv, 2, nh2, hd).transpose(2, 0, 3, 1, 4)
+        kv2 = nn.Dense(c, dtype=self.dtype, name="kv2")(s2)
+        kv2 = kv2.reshape(b, nkv, 2, nh2, hd).transpose(2, 0, 3, 1, 4)
+        k = jnp.concatenate([kv1[0], kv2[0]], 1)
+        v = jnp.concatenate([kv1[1], kv2[1]], 1)
+        a = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) * scale, -1)
+        y = (a @ v).transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(y + lepe)
+
+
+class SGFormerAttnFull(ConvBase):
+    """SGFormer stage-4 full attention (reference SGFormer.py:335, sr=1)."""
+
+    num_heads: int = 16
+
+    @nn.compact
+    def __call__(self, x, h, w, train: bool = False):
+        b, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        lepe = _sg_lepe(self, x, h, w)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(x)
+        q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+        kv = nn.Dense(2 * c, dtype=self.dtype, name="kv")(x)
+        kv = kv.reshape(b, n, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+        a = jax.nn.softmax(q @ kv[0].transpose(0, 1, 3, 2) * hd ** -0.5, -1)
+        y = (a @ kv[1]).transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(y + lepe)
+
+
+class SGFormerMlp(ConvBase):
+    """SGFormer Mlp (reference SGFormer.py:66): act(fc1(x) + dw3(fc1(x)))
+    then fc2."""
+
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, x, h, w, train: bool = False):
+        b, n, c = x.shape
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        d = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=self.hidden, dtype=self.dtype,
+                    name="dw")(y.reshape(b, h, w, self.hidden))
+        y = jax.nn.gelu(y + d.reshape(b, n, self.hidden), approximate=False)
+        return nn.Dense(c, dtype=self.dtype, name="fc2")(y)
+
+
+class SGFormerBackbone(ConvBase):
+    """Faithful SGFormer (reference SGFormer.py:437; sgformer_s arch 's' :439
+    = dims (64,128,256,512), heads (2,4,8,16), depths (2,4,16,1), mlp 4,
+    sr (8,4,2,1)): 3-conv GroupNorm stem (stride 4) + sincos pos-embed,
+    1x1/dw3s2/1x1 Conv2d_BN PatchMerging downsamples, blocks alternating
+    global-local attention (even index: emits the runtime saliency mask) and
+    mask-sorted token-sparsification attention (odd index, stages 1-3), full
+    attention in stage 4, LePE in every attention, dwconv-augmented MLP, and
+    LN'd stage outputs. The pos-embed parameter is created at the trace
+    resolution (the reference bicubically resizes a fixed-img_size table;
+    ours is exact at any size — checkpoint import resizes instead).
+    sort_quant: see SGFormerAttnSparse (deterministic token selection)."""
+
+    dims: Sequence[int] = (64, 128, 256, 512)
+    depths: Sequence[int] = (2, 4, 16, 1)
+    num_heads: Sequence[int] = (2, 4, 8, 16)
+    mlp_ratios: Sequence[float] = (4, 4, 4, 4)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    sort_quant: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        mask = None
+        for si in range(4):
+            c = self.dims[si]
+            if si == 0:
+                x = _SGConvGN(out=c, k=3, s=2, dtype=self.dtype, name="pe0_c0")(x)
+                x = jax.nn.gelu(x, approximate=False)
+                x = _SGConvGN(out=c, k=3, s=1, dtype=self.dtype, name="pe0_c1")(x)
+                x = jax.nn.gelu(x, approximate=False)
+                x = _SGConvGN(out=c, k=3, s=2, dtype=self.dtype, name="pe0_c2")(x)
+            else:
+                x = _SGConvGN(out=c, k=1, dtype=self.dtype, name=f"pe{si}_c1")(x)
+                x = jax.nn.gelu(x, approximate=False)
+                x = _SGConvGN(out=c, k=3, s=2, groups=c, dtype=self.dtype,
+                              name=f"pe{si}_c2")(x)
+                x = jax.nn.gelu(x, approximate=False)
+                x = _SGConvGN(out=c, k=1, dtype=self.dtype, name=f"pe{si}_c3")(x)
+            b, h, w, _ = x.shape
+            t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"pe{si}_norm")(x.reshape(b, h * w, c))
+            if si == 0:
+                pe = self.param("pos_embed",
+                                lambda k, s: jnp.asarray(
+                                    _sg_sincos_pos_embed(h, w, c)), (1, h * w, c))
+                t = t + pe
+            for bi in range(self.depths[si]):
+                pre = f"s{si}_b{bi}"
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm1")(t)
+                if self.sr_ratios[si] == 1:
+                    y = SGFormerAttnFull(num_heads=self.num_heads[si],
+                                         dtype=self.dtype,
+                                         name=f"{pre}_attn")(y, h, w, train)
+                elif bi % 2 == 1 and si < 3:
+                    y = SGFormerAttnSparse(num_heads=self.num_heads[si],
+                                           sr=self.sr_ratios[si],
+                                           sort_quant=self.sort_quant,
+                                           dtype=self.dtype,
+                                           name=f"{pre}_attn")(y, h, w, mask,
+                                                               train)
+                    mask = None
+                else:
+                    y, mask = SGFormerAttnGL(num_heads=self.num_heads[si],
+                                             sr=self.sr_ratios[si],
+                                             dtype=self.dtype,
+                                             name=f"{pre}_attn")(y, h, w, train)
+                t = t + y
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"{pre}_norm2")(t)
+                t = t + SGFormerMlp(hidden=int(c * self.mlp_ratios[si]),
+                                    dtype=self.dtype,
+                                    name=f"{pre}_mlp")(y, h, w, train)
+            t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"norm_out{si}")(t)
+            x = t.reshape(b, h, w, c)
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -2631,6 +3168,10 @@ def _register_alias_variants():
         "LWGANet_L2_1442_e96_k11_ReLU": (LWGANetBackbone, ()),
         # PKINet (reference PKINet.py:951 pkinet_t, arch 'T')
         "pkinet_t": (PKINetBackbone, ()),
+        # TransNeXt (reference TransNeXt.py:462 transnext_micro)
+        "transnext_micro": (TransNeXtBackbone, ()),
+        # SGFormer (reference SGFormer.py:659 sgformer_s, arch 's')
+        "sgformer_s": (SGFormerBackbone, ()),
         # EMOv2 (reference EMOv2.py:771/:833)
         "EMO2_1M_k5_hybrid": (EMO2Backbone, ()),
         "EMO2_5M_k5_hybrid": (EMO2Backbone, tuple(dict(

@@ -1615,3 +1615,94 @@ def test_sgformer_import_parity():
         torch.sort = orig_sort
     ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_overlock_import_parity():
+    """Faithful OverLoCK (RepConvBlock stages — the reference's shipped
+    backbone forward, OverLoCK.py:785, runs only these; its ContMix
+    sub-blocks exist solely for checkpoint loading) with transplanted
+    weights."""
+    from ultralytics.nn.modules.OverLoCK import OverLoCK as RefOL
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import OverLoCKBackbone
+
+    torch.manual_seed(41)
+    dims, depths, kernels = (16, 24, 32, 48), (1, 1, 1, 1), (17, 15, 13, 7)
+    ref = RefOL(depth=list(depths), sub_depth=[1, 1], embed_dim=list(dims),
+                kernel_size=list(kernels), mlp_ratio=[4, 4, 4, 4],
+                sub_num_heads=[4, 6], sub_mlp_ratio=[3, 3],
+                use_gemm=False)  # the env auto-stub fakes the iGEMM package
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+        for mmod in ref.modules():
+            if isinstance(mmod, torch.nn.BatchNorm2d):
+                mmod.running_mean.add_(torch.randn_like(mmod.running_mean) * 0.02)
+                mmod.running_var.add_(torch.rand_like(mmod.running_var) * 0.1)
+
+    m = OverLoCKBackbone(dims=dims, depths=depths, kernels=kernels)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else np.asarray(t))
+
+    tree = deep(v)
+    P, BS = tree["params"], tree["batch_stats"]
+
+    def cw(w):
+        return w.transpose(2, 3, 1, 0)
+
+    def bn(dst_bs, name, t):
+        dst_bs[name] = {"mean": sd[f"{t}.running_mean"],
+                        "var": sd[f"{t}.running_var"]}
+        return {"scale": sd[f"{t}.weight"], "bias": sd[f"{t}.bias"]}
+
+    def convb(t):
+        return {"kernel": cw(sd[f"{t}.weight"]), "bias": sd[f"{t}.bias"]}
+
+    for i, (ci, bi_) in enumerate(zip((0, 3, 6, 9), (1, 4, 7, 10))):
+        P[f"stem{i}"] = {"kernel": cw(sd[f"patch_embed1.{ci}.weight"])}
+        P[f"stem{i}_bn"] = bn(BS, f"stem{i}_bn", f"patch_embed1.{bi_}")
+    for si in (1, 2, 3):
+        P[f"down{si}"] = {"kernel": cw(sd[f"patch_embed{si + 1}.0.weight"])}
+        P[f"down{si}_bn"] = bn(BS, f"down{si}_bn", f"patch_embed{si + 1}.1")
+    from ultralytics_pro_tpu.nn.modules.backbones4 import _OL_DRB_TABLE
+    for si in range(4):
+        for bi in range(depths[si]):
+            t = f"blocks{si + 1}.{bi}"
+            name = f"b{si}_{bi}"
+            p, bs = P[name], BS.setdefault(name, {})
+            p["dw"] = convb(f"{t}.dwconv")
+            p["norm"] = {"scale": sd[f"{t}.proj.0.weight"],
+                         "bias": sd[f"{t}.proj.0.bias"]}
+            p["lk_origin"] = {"kernel": cw(sd[f"{t}.proj.1.lk_origin.weight"])}
+            p["origin_bn"] = bn(bs, "origin_bn", f"{t}.proj.1.origin_bn")
+            for kk, r in zip(*_OL_DRB_TABLE[kernels[si]]):
+                p[f"dil_conv_k{kk}_{r}"] = {
+                    "kernel": cw(sd[f"{t}.proj.1.dil_conv_k{kk}_{r}.weight"])}
+                p[f"dil_bn_k{kk}_{r}"] = bn(bs, f"dil_bn_k{kk}_{r}",
+                                            f"{t}.proj.1.dil_bn_k{kk}_{r}")
+            p["drb_bn"] = bn(bs, "drb_bn", f"{t}.proj.2")
+            p["se_fc0"] = {"kernel": sd[f"{t}.proj.3.proj.1.weight"][:, :, 0, 0].T,
+                           "bias": sd[f"{t}.proj.3.proj.1.bias"]}
+            p["se_fc1"] = {"kernel": sd[f"{t}.proj.3.proj.3.weight"][:, :, 0, 0].T,
+                           "bias": sd[f"{t}.proj.3.proj.3.bias"]}
+            p["fc1"] = convb(f"{t}.proj.4")
+            p["mlp_dw"] = convb(f"{t}.proj.6")
+            p["grn"] = {"gamma": sd[f"{t}.proj.7.gamma"].reshape(-1),
+                        "beta": sd[f"{t}.proj.7.beta"].reshape(-1)}
+            p["fc2"] = convb(f"{t}.proj.8")
+            if si >= 2:
+                p["ls_w"] = sd[f"{t}.ls.weight"].reshape(-1)
+                p["ls_b"] = sd[f"{t}.ls.bias"]
+
+    x = np.random.default_rng(63).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

@@ -204,7 +204,7 @@ BACKBONE_VARIANTS4 = {
     # cosnet_tiny is re-bound to the faithful COSNetBackbone below
     "florane_tiny": _e((64, 128, 256, 512), (2, 2, 6, 2), "dwconv"),
     # decouplenet_d2 is re-bound to the faithful DecoupleNetBackbone below
-    "overlock_xt": _e((56, 112, 256, 336), (2, 2, 8, 2), "lka"),
+    # overlock_xt is re-bound to the faithful OverLoCKBackbone below
     # pkinet_t is re-bound to the faithful PKINetBackbone below
     # iformer_small is re-bound to the faithful IFormerBackbone below
     # transxnet_tiny is re-bound to the faithful TransXNetBackbone below
@@ -3070,6 +3070,116 @@ class SGFormerBackbone(ConvBase):
         return outs
 
 
+# OverLoCK's DilatedReparamBlock branch table (reference OverLoCK.py:195) —
+# one more dilation-1 branch per kernel than the UniRepLKNet table in
+# reparam.py, so it gets its own map.
+_OL_DRB_TABLE = {
+    19: ((5, 7, 9, 9, 3, 3, 3), (1, 1, 1, 2, 4, 5, 7)),
+    17: ((5, 7, 9, 3, 3, 3), (1, 1, 2, 4, 5, 7)),
+    15: ((5, 7, 7, 3, 3, 3), (1, 1, 2, 3, 5, 7)),
+    13: ((5, 7, 7, 3, 3, 3), (1, 1, 2, 3, 4, 5)),
+    11: ((5, 7, 5, 3, 3, 3), (1, 1, 2, 3, 4, 5)),
+    9: ((5, 7, 5, 3, 3), (1, 1, 2, 3, 4)),
+    7: ((5, 3, 3, 3), (1, 1, 2, 3)),
+    5: ((3, 3), (1, 2)),
+}
+
+
+class OverLoCKRepBlock(ConvBase):
+    """OverLoCK RepConvBlock (reference OverLoCK.py:293): residual dw3 ->
+    [LN2d -> DilatedReparamBlock(k) -> BN -> SE -> 1x1 up -> GELU ->
+    residual dw3 -> GRN -> 1x1 down] with a res-scale residual
+    (LayerScale(identity) + branch; ls=None means plain identity)."""
+
+    k: int = 17
+    mlp_ratio: float = 4.0
+    ls: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.reparam import GRN
+
+        c = x.shape[-1]
+        md = int(c * self.mlp_ratio)
+        x = x + nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                        feature_group_count=c, dtype=self.dtype, name="dw")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        p = self.k // 2
+        ks, rs = _OL_DRB_TABLE[self.k]
+        z = nn.Conv(c, (self.k, self.k), padding=((p, p), (p, p)),
+                    feature_group_count=c, use_bias=False, dtype=self.dtype,
+                    name="lk_origin")(y)
+        z = _bn(self, "origin_bn", z, train)
+        for kk, r in zip(ks, rs):
+            pp = (r * (kk - 1) + 1) // 2
+            w = nn.Conv(c, (kk, kk), padding=((pp, pp), (pp, pp)),
+                        kernel_dilation=(r, r), feature_group_count=c,
+                        use_bias=False, dtype=self.dtype,
+                        name=f"dil_conv_k{kk}_{r}")(y)
+            z = z + _bn(self, f"dil_bn_k{kk}_{r}", w, train)
+        z = _bn(self, "drb_bn", z, train)
+        inner = max(16, c // 8)
+        s = z.mean(axis=(1, 2))
+        s = jax.nn.gelu(nn.Dense(inner, dtype=self.dtype, name="se_fc0")(s),
+                        approximate=False)
+        s = jax.nn.sigmoid(nn.Dense(c, dtype=self.dtype, name="se_fc1")(s))
+        z = z * s[:, None, None, :]
+        z = nn.Conv(md, (1, 1), dtype=self.dtype, name="fc1")(z)
+        z = jax.nn.gelu(z, approximate=False)
+        z = z + nn.Conv(md, (3, 3), padding=((1, 1), (1, 1)),
+                        feature_group_count=md, dtype=self.dtype,
+                        name="mlp_dw")(z)
+        z = GRN(dtype=self.dtype, name="grn")(z)
+        z = nn.Conv(c, (1, 1), dtype=self.dtype, name="fc2")(z)
+        if self.ls:
+            g = self.param("ls_w", nn.initializers.ones, (c,))
+            b = self.param("ls_b", nn.initializers.zeros, (c,))
+            return x * g + b + z
+        return x + z
+
+
+class OverLoCKBackbone(ConvBase):
+    """Faithful OverLoCK backbone (reference OverLoCK.py:599; overlock_xt
+    :838 = dims (56,112,256,336), depths (2,2,3,2), kernels (17,15,13,7),
+    layer-scale on stages 3-4): 4-conv BN stem (stride 4), conv3s2-BN
+    downsamples, RepConvBlock stages. The reference's shipped backbone
+    forward (OverLoCK.py:785) runs ONLY these stages — its ContMix
+    DynamicConvBlocks / CTXDownsample / high_level_proj are constructed
+    solely so classification checkpoints load (strict=False) and are never
+    executed, so they are intentionally not reproduced."""
+
+    dims: Sequence[int] = (56, 112, 256, 336)
+    depths: Sequence[int] = (2, 2, 3, 2)
+    kernels: Sequence[int] = (17, 15, 13, 7)
+    mlp_ratios: Sequence[float] = (4, 4, 4, 4)
+    ls_stages: Sequence[bool] = (False, False, True, True)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c0 = self.dims[0]
+        specs = [(c0 // 2, 2), (c0 // 2, 1), (c0, 2), (c0, 1)]
+        for i, (cc, s) in enumerate(specs):
+            x = nn.Conv(cc, (3, 3), strides=(s, s), padding=((1, 1), (1, 1)),
+                        use_bias=False, dtype=self.dtype, name=f"stem{i}")(x)
+            x = _bn(self, f"stem{i}_bn", x, train)
+            if i < 3:
+                x = jax.nn.gelu(x, approximate=False)
+        outs = []
+        for si in range(4):
+            if si > 0:
+                x = nn.Conv(self.dims[si], (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), use_bias=False,
+                            dtype=self.dtype, name=f"down{si}")(x)
+                x = _bn(self, f"down{si}_bn", x, train)
+            for bi in range(self.depths[si]):
+                x = OverLoCKRepBlock(k=self.kernels[si],
+                                     mlp_ratio=self.mlp_ratios[si],
+                                     ls=self.ls_stages[si], dtype=self.dtype,
+                                     name=f"b{si}_{bi}")(x, train)
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -3172,6 +3282,8 @@ def _register_alias_variants():
         "transnext_micro": (TransNeXtBackbone, ()),
         # SGFormer (reference SGFormer.py:659 sgformer_s, arch 's')
         "sgformer_s": (SGFormerBackbone, ()),
+        # OverLoCK (reference OverLoCK.py:838 overlock_xt)
+        "overlock_xt": (OverLoCKBackbone, ()),
         # EMOv2 (reference EMOv2.py:771/:833)
         "EMO2_1M_k5_hybrid": (EMO2Backbone, ()),
         "EMO2_5M_k5_hybrid": (EMO2Backbone, tuple(dict(

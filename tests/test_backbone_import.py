@@ -1706,3 +1706,140 @@ def test_overlock_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_kw_resnet_import_parity():
+    """Faithful Kernel-Warehouse ResNet-18 (stage-shared cell warehouses +
+    per-sample mixture attention assembling dynamic kernels) vs the reference
+    KW_ResNet.py with transplanted weights."""
+    from ultralytics.nn.modules.KW_ResNet import kw_resnet18
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import KWResNetBackbone
+
+    torch.manual_seed(47)
+    ref = kw_resnet18(input_channels=3, dummy_input_size=64)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+        for mmod in ref.modules():
+            if isinstance(mmod, torch.nn.BatchNorm2d):
+                mmod.running_mean.add_(torch.randn_like(mmod.running_mean) * 0.02)
+                mmod.running_var.add_(torch.rand_like(mmod.running_var) * 0.1)
+
+    m = KWResNetBackbone()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else np.asarray(t))
+
+    tree = deep(v)
+    P, BS = tree["params"], tree["batch_stats"]
+
+    def bn(name, t):
+        BS[name] = {"mean": sd[f"{t}.running_mean"],
+                    "var": sd[f"{t}.running_var"]}
+        P[name] = {"scale": sd[f"{t}.weight"], "bias": sd[f"{t}.bias"]}
+
+    def att(prefix, t):
+        P[f"{prefix}_fc1"] = {"kernel": sd[f"{t}.fc1.weight"].T,
+                              "bias": sd[f"{t}.fc1.bias"]}
+        P[f"{prefix}_ln"] = {"scale": sd[f"{t}.norm1.weight"],
+                             "bias": sd[f"{t}.norm1.bias"]}
+        P[f"{prefix}_fc2"] = {"kernel": sd[f"{t}.fc2.weight"].T,
+                              "bias": sd[f"{t}.fc2.bias"]}
+
+    for i in range(7):
+        P[f"wh{i}"] = sd[f"warehouse_manager.weights.{i}"].reshape(
+            *sd[f"warehouse_manager.weights.{i}"].shape[:3])
+    P["stem"] = {"kernel": sd["conv1.weight"].transpose(2, 3, 1, 0)}
+    bn("stem_bn", "bn1")
+    for s in range(4):
+        for b in range(2):
+            t = f"layer{s + 1}.{b}"
+            att(f"l{s}_{b}_c1", f"{t}.conv1.attention")
+            att(f"l{s}_{b}_c2", f"{t}.conv2.attention")
+            bn(f"l{s}_{b}_bn1", f"{t}.bn1")
+            bn(f"l{s}_{b}_bn2", f"{t}.bn2")
+        if s > 0:
+            att(f"l{s}_ds", f"layer{s + 1}.0.downsample.0.attention")
+            bn(f"l{s}_ds_bn", f"layer{s + 1}.0.downsample.1")
+
+    x = np.random.default_rng(71).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_laudnet_import_parity():
+    """Faithful LAUDNet uni_resnet50 (latency-aware dynamic channel + spatial
+    hard masking on ResNet-50 bottlenecks) vs the reference LAUDNet.py in
+    eval mode with transplanted weights."""
+    from ultralytics.nn.modules.LAUDNet import uni_resnet50
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import LAUDResNetBackbone
+
+    torch.manual_seed(53)
+    ref = uni_resnet50(pretrained=False, input_size=64)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+        for mmod in ref.modules():
+            if isinstance(mmod, torch.nn.BatchNorm2d):
+                mmod.running_mean.add_(torch.randn_like(mmod.running_mean) * 0.02)
+                mmod.running_var.add_(torch.rand_like(mmod.running_var) * 0.1)
+
+    m = LAUDResNetBackbone()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else np.asarray(t))
+
+    tree = deep(v)
+    P, BS = tree["params"], tree["batch_stats"]
+
+    def cw(w):
+        return w.transpose(2, 3, 1, 0)
+
+    def bn(bsd, pd, name, t):
+        bsd[name] = {"mean": sd[f"{t}.running_mean"],
+                     "var": sd[f"{t}.running_var"]}
+        pd[name] = {"scale": sd[f"{t}.weight"], "bias": sd[f"{t}.bias"]}
+
+    P["stem"] = {"kernel": cw(sd["conv1.weight"])}
+    bn(BS, P, "stem_bn", "bn1")
+    layers = (3, 4, 6, 3)
+    for s in range(4):
+        for b in range(layers[s]):
+            t = f"layer{s + 1}.{b}"
+            name = f"l{s}_{b}"
+            p, bs = P[name], BS[name]
+            for ci in (1, 2, 3):
+                p[f"conv{ci}"] = {"kernel": cw(sd[f"{t}.conv{ci}.weight"])}
+                bn(bs, p, f"bn{ci}", f"{t}.bn{ci}")
+            p["cmask"] = {"kernel": sd[f"{t}.masker_channel.conv.weight"].T,
+                          "bias": sd[f"{t}.masker_channel.conv.bias"]}
+            p["smask"] = {"kernel": cw(sd[f"{t}.masker_spatial.conv.weight"]),
+                          "bias": sd[f"{t}.masker_spatial.conv.bias"]}
+            if b == 0:
+                p["ds"] = {"kernel": cw(sd[f"{t}.downsample.0.weight"])}
+                bn(bs, p, "ds_bn", f"{t}.downsample.1")
+
+    x = np.random.default_rng(83).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        theirs = [o.numpy().transpose(0, 2, 3, 1)
+                  for o in ref(torch.from_numpy(x), temperature=1.0)]
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

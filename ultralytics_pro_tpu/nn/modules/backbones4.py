@@ -3180,6 +3180,200 @@ class OverLoCKBackbone(ConvBase):
         return outs
 
 
+def _kw_resnet_plan(layers):
+    """Reproduce the reference Warehouse_Manager bookkeeping for KW_ResNet
+    (reference KW_ResNet.py:231/:484 — BasicBlock, sharing_range
+    ('layer','conv'), all cell ratios 1, spatial_partition=True): warehouse
+    names fuse to per-stage 'stage{s}_layer_conv' + per-downsample
+    'stage{s-1}_ds_layer', the first block of each stage hands its conv1 over
+    to the previous stage's warehouse, cells are (gcd_out, gcd_in, 1, 1) and
+    the cell count is the total mixture count across member convs."""
+    import math
+
+    planes = (64, 128, 256, 512)
+    wh, order = {}, []
+
+    def reserve(name, out, cin, k):
+        if name not in wh:
+            wh[name] = []
+            order.append(name)
+        wh[name].append((out, cin, k))
+
+    stages, inp = [], 64
+    for s in range(4):
+        pl, stride = planes[s], (1 if s == 0 else 2)
+        ds = None
+        if stride != 1 or inp != pl:
+            dname = f"stage{s - 1}_ds_layer" if s > 0 else f"stage{s}_ds_layer"
+            reserve(dname, pl, inp, 1)
+            ds = (dname, pl, 1, stride)
+        blocks = []
+        for b in range(layers[s]):
+            st = stride if b == 0 else 1
+            c1s = s - 1 if (b == 0 and s > 0) else s
+            reserve(f"stage{c1s}_layer_conv", pl, inp if b == 0 else pl, 3)
+            reserve(f"stage{s}_layer_conv", pl, pl, 3)
+            blocks.append(((f"stage{c1s}_layer_conv", pl, 3, st),
+                           (f"stage{s}_layer_conv", pl, 3, 1)))
+        stages.append((ds, blocks))
+        inp = pl
+    cells = {}
+    for name, shapes in wh.items():
+        go, gi = shapes[0][0], shapes[0][1]
+        for o, i, _ in shapes:
+            go, gi = math.gcd(go, o), math.gcd(gi, i)
+        n = sum((o // go) * (i // gi) * k * k for o, i, k in shapes)
+        cells[name] = (n, go, gi)
+    return order, cells, stages
+
+
+class KWResNetBackbone(ConvBase):
+    """Faithful Kernel-Warehouse ResNet-18 (reference KW_ResNet.py:656
+    kw_resnet18): stage-shared warehouses of (co, ci, 1, 1) kernel cells; each
+    conv computes per-sample L1-normalized mixture attention (GAP -> fc ->
+    LN -> ReLU -> fc, reference Attention :103) over the warehouse and
+    assembles its own kernel as attention @ cells, decomposed over
+    (spatial, out, in) mixture groups (KWconvNd.forward :152). The per-sample
+    dynamic convolution is evaluated as patches x batched matmul — an
+    MXU-shaped formulation rather than torch's groups=batch conv trick.
+    Eval-time temperature is 0, so the temp_bias schedule (a training-warmup
+    artifact) does not contribute."""
+
+    layers: Sequence[int] = (2, 2, 2, 2)
+
+    def _att(self, x, name, n_mix, cells):
+        b = x.shape[0]
+        hidden = max(int(x.shape[-1] * 0.0625), 16)
+        s = x.mean(axis=(1, 2))
+        s = nn.Dense(hidden, dtype=self.dtype, name=f"{name}_fc1")(s)
+        s = jax.nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                     name=f"{name}_ln")(s))
+        a = nn.Dense(n_mix * (cells + 1), dtype=self.dtype,
+                     name=f"{name}_fc2")(s)
+        a = a.reshape(b * n_mix, cells + 1)
+        a = a / (jnp.abs(a).sum(-1, keepdims=True) + 1e-3)
+        return a.reshape(b, n_mix, cells + 1)[..., :-1]
+
+    def _kwconv(self, x, wh, name, out, k, stride):
+        b, h, w_, cin = x.shape
+        cells, co, ci = wh.shape
+        go, gi, gs = out // co, cin // ci, k * k
+        att = self._att(x, name, go * gi * gs, cells)
+        wk = jnp.einsum("bmc,cd->bmd", att, wh.reshape(cells, co * ci))
+        wk = wk.reshape(b, gs, go, gi, co, ci).transpose(0, 2, 4, 3, 5, 1)
+        wk = wk.reshape(b, go * co, gi * ci, gs)
+        if k == 1:
+            return jnp.einsum("bhwc,boc->bhwo", x[:, ::stride, ::stride],
+                              wk[..., 0])
+        p = k // 2
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        ho = (h + 2 * p - k) // stride + 1
+        wo = (w_ + 2 * p - k) // stride + 1
+        pats = jnp.stack(
+            [xp[:, i:i + (ho - 1) * stride + 1:stride,
+                 j:j + (wo - 1) * stride + 1:stride, :]
+             for i in range(k) for j in range(k)], axis=-1)
+        return jnp.einsum("bhwck,bock->bhwo", pats, wk)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        order, cells, stages = _kw_resnet_plan(tuple(self.layers))
+        whp = {name: self.param(f"wh{i}", nn.initializers.normal(1.0),
+                                cells[name])
+               for i, name in enumerate(order)}
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = jax.nn.relu(_bn(self, "stem_bn", x, train))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        outs = []
+        for s, (ds, blocks) in enumerate(stages):
+            for bi, (c1, c2) in enumerate(blocks):
+                idn = x
+                n1, out1, k1, st1 = c1
+                y = self._kwconv(x, whp[n1], f"l{s}_{bi}_c1", out1, k1, st1)
+                y = jax.nn.relu(_bn(self, f"l{s}_{bi}_bn1", y, train))
+                n2, out2, k2, st2 = c2
+                y = self._kwconv(y, whp[n2], f"l{s}_{bi}_c2", out2, k2, st2)
+                y = _bn(self, f"l{s}_{bi}_bn2", y, train)
+                if bi == 0 and ds is not None:
+                    dn, dout, dk, dst = ds
+                    idn = self._kwconv(x, whp[dn], f"l{s}_ds", dout, dk, dst)
+                    idn = _bn(self, f"l{s}_ds_bn", idn, train)
+                x = jax.nn.relu(idn + y)
+            outs.append(x)
+        return outs
+
+
+class LAUDBottleneck(ConvBase):
+    """LAUDNet latency-aware dynamic bottleneck (reference LAUDNet.py:218,
+    dyn_mode='both', granularities 1, MLP channel masker with 1 layer — the
+    uni_resnet50 defaults): a per-sample hard channel mask (GAP -> Linear ->
+    keep-vs-drop logit compare) gates conv1/conv2 outputs pre-BN, and a
+    per-position hard spatial mask (stride-pooled 1x1 conv, logit compare)
+    gates the post-bn3 map. Eval-mode semantics (hard thresholds; the
+    training-time gumbel-softmax relaxation is train=True only upstream and
+    the sparsity/FLOPs accounting is stats-only). The mask grids follow the
+    trace resolution, which equals the reference's behavior whenever its
+    static `input_size` matches the actual input."""
+
+    planes: int = 64
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pl = self.planes
+        s = x.mean(axis=(1, 2))
+        cl = nn.Dense(2 * pl, dtype=self.dtype, name="cmask")(s)
+        cmask = (cl[:, :pl] >= cl[:, pl:]).astype(x.dtype)[:, None, None, :]
+        xm = x if self.stride == 1 else nn.avg_pool(
+            x, (self.stride, self.stride), (self.stride, self.stride))
+        sl = nn.Conv(2, (1, 1), dtype=self.dtype, name="smask")(xm)
+        smask = (sl[..., :1] >= sl[..., 1:]).astype(x.dtype)
+
+        y = nn.Conv(pl, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = jax.nn.relu(_bn(self, "bn1", y * cmask, train))
+        y = nn.Conv(pl, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = jax.nn.relu(_bn(self, "bn2", y * cmask, train))
+        y = nn.Conv(4 * pl, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = _bn(self, "bn3", y, train) * smask
+        idn = x
+        if self.downsample:
+            idn = nn.Conv(4 * pl, (1, 1), strides=(self.stride, self.stride),
+                          use_bias=False, dtype=self.dtype, name="ds")(x)
+            idn = _bn(self, "ds_bn", idn, train)
+        return jax.nn.relu(idn + y)
+
+
+class LAUDResNetBackbone(ConvBase):
+    """Faithful LAUDNet uni_resnet50 (reference LAUDNet.py:807): ResNet-50
+    bottleneck topology where every block carries the latency-aware dynamic
+    channel + spatial hard masking of LAUDBottleneck."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = jax.nn.relu(_bn(self, "stem_bn", x, train))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        outs = []
+        for s, n in enumerate(self.layers):
+            pl = 64 * (2 ** s)
+            for b in range(n):
+                stride = 2 if (s > 0 and b == 0) else 1
+                ds = b == 0  # stage 1: channel projection; 2-4: strided
+                x = LAUDBottleneck(planes=pl, stride=stride, downsample=ds,
+                                   dtype=self.dtype, name=f"l{s}_{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -3295,10 +3489,11 @@ def _register_alias_variants():
         "MobileNetV4ConvMedium": (MobileNetV4, tuple(dict(
             dims=(48, 80, 160, 256), depths=(2, 2, 8, 4)).items())),
         "QARepVGG_A0": (RepVGGBackbone, ()),
-        "kw_resnet18": (ResNetBackbone, ()),
+        # Kernel-Warehouse ResNet (reference KW_ResNet.py:656 kw_resnet18)
+        "kw_resnet18": (KWResNetBackbone, ()),
         "resnet18_moe": (MoEResNetBackbone, ()),
-        "uni_resnet50": (ResNetBackbone, tuple(dict(
-            depths=(3, 4, 6, 3), e=4).items())),
+        # LAUDNet dynamic-masked ResNet-50 (reference LAUDNet.py:807)
+        "uni_resnet50": (LAUDResNetBackbone, ()),
         # Slab variants: linear-attention re-params of Swin/PVT — served by
         # the base architectures (approximation, COVERAGE.md)
         "SlabSwinTransformer_T": B1["SwinTransformer_Tiny"],

@@ -1843,3 +1843,168 @@ def test_laudnet_import_parity():
                   for o in ref(torch.from_numpy(x), temperature=1.0)]
     ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_slabswin_import_parity():
+    """Faithful SLAB Swin (RepBN eval norms, simplified linear attention 'L'
+    stages + windowed MHSA 'S' stages) vs the reference
+    SlabSwinTransformer.py with transplanted weights."""
+    from ultralytics.nn.modules.SlabSwinTransformer import SlabSwinTransformer
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import SlabSwinBackbone
+
+    torch.manual_seed(59)
+    dims, heads, depths = 24, (3, 6, 12, 24), (1, 1, 2, 1)
+    ref = SlabSwinTransformer(img_size=64, embed_dim=dims, depths=list(depths),
+                              num_heads=list(heads), window_size=56,
+                              attn_type="LLSS", drop_path_rate=0.0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.03)
+        for mmod in ref.modules():
+            if isinstance(mmod, torch.nn.BatchNorm1d):
+                mmod.running_mean.add_(torch.randn_like(mmod.running_mean) * 0.02)
+                mmod.running_var.add_(torch.rand_like(mmod.running_var) * 0.1)
+
+    m = SlabSwinBackbone(embed_dim=dims, depths=depths, num_heads=heads,
+                         img_size=64)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else np.asarray(t))
+
+    tree = deep(v)
+    P, BS = tree["params"], tree["batch_stats"]
+
+    def dense(dst, name, t, bias=True):
+        dst[name] = {"kernel": sd[f"{t}.weight"].T}
+        if bias:
+            dst[name]["bias"] = sd[f"{t}.bias"]
+
+    def repbn(pd, bsd, name, t):
+        bsd[name] = {"mean": sd[f"{t}.norm2.bn.running_mean"],
+                     "var": sd[f"{t}.norm2.bn.running_var"]}
+        pd[name] = {"scale": sd[f"{t}.norm2.bn.weight"],
+                    "bias": sd[f"{t}.norm2.bn.bias"]}
+        pd[f"{name}_alpha"] = sd[f"{t}.norm2.alpha"]
+
+    P["pe"] = {"kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+               "bias": sd["patch_embed.proj.bias"]}
+    repbn(P, BS, "pe_norm", "patch_embed.norm")
+    for si in range(4):
+        repbn(P, BS, f"norm_out{si}", f"norm{si}")
+        if si < 3:
+            repbn(P, BS, f"pm{si}_norm", f"layers.{si}.downsample.norm")
+            dense(P, f"pm{si}_red", f"layers.{si}.downsample.reduction",
+                  bias=False)
+        for bi in range(depths[si]):
+            t = f"layers.{si}.blocks.{bi}"
+            pre = f"s{si}_b{bi}"
+            repbn(P, BS, f"{pre}_norm1", f"{t}.norm1")
+            repbn(P, BS, f"{pre}_norm2", f"{t}.norm2")
+            a = P[f"{pre}_attn"]
+            dense(a, "qkv", f"{t}.attn.qkv")
+            dense(a, "proj", f"{t}.attn.proj")
+            if si < 2:
+                a["pos"] = sd[f"{t}.attn.positional_encoding"]
+                a["dwc"] = {"kernel": sd[f"{t}.attn.dwc.weight"].transpose(2, 3, 1, 0),
+                            "bias": sd[f"{t}.attn.dwc.bias"]}
+            else:
+                a["rpb"] = sd[f"{t}.attn.relative_position_bias_table"]
+            dense(P, f"{pre}_fc1", f"{t}.mlp.fc1")
+            dense(P, f"{pre}_fc2", f"{t}.mlp.fc2")
+
+    x = np.random.default_rng(91).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_slabpvt_import_parity():
+    """Faithful SLAB PVTv2 (RepBN eval norms + relu-kernel linear attention
+    with the reference's raw head-merge reshape and dead sr-norm) vs the
+    reference SlabPVTv2.py with transplanted weights."""
+    from ultralytics.nn.modules.SlabPVTv2 import SlabPyramidVisionTransformerV2
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbones4 import SlabPVTBackbone
+
+    torch.manual_seed(61)
+    dims, heads, depths = (16, 32, 80, 128), (1, 2, 5, 8), (1, 1, 2, 1)
+    arch = {"embed_dims": list(dims), "num_heads": list(heads),
+            "mlp_ratios": [8, 8, 4, 4], "depths": list(depths),
+            "sr_ratios": [8, 4, 2, 1], "la_sr_ratios": "8421",
+            "attn_type": "LLLL", "linear": False, "focusing_factor": 3,
+            "kernel_size": 5}
+    ref = SlabPyramidVisionTransformerV2(c1=3, arch=arch, img_size=64,
+                                         fork_feat=True, drop_path_rate=0.0)
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.03)
+        for mmod in ref.modules():
+            if isinstance(mmod, torch.nn.BatchNorm1d):
+                mmod.running_mean.add_(torch.randn_like(mmod.running_mean) * 0.02)
+                mmod.running_var.add_(torch.rand_like(mmod.running_var) * 0.1)
+
+    m = SlabPVTBackbone(dims=dims, depths=depths, num_heads=heads)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else np.asarray(t))
+
+    tree = deep(v)
+    P, BS = tree["params"], tree["batch_stats"]
+
+    def dense(dst, name, t):
+        dst[name] = {"kernel": sd[f"{t}.weight"].T, "bias": sd[f"{t}.bias"]}
+
+    def repbn(pd, bsd, name, t):
+        bsd[name] = {"mean": sd[f"{t}.norm2.bn.running_mean"],
+                     "var": sd[f"{t}.norm2.bn.running_var"]}
+        pd[name] = {"scale": sd[f"{t}.norm2.bn.weight"],
+                    "bias": sd[f"{t}.norm2.bn.bias"]}
+        pd[f"{name}_alpha"] = sd[f"{t}.norm2.alpha"]
+
+    def cw(w):
+        return w.transpose(2, 3, 1, 0)
+
+    for si in range(4):
+        P[f"pe{si}"] = {"kernel": cw(sd[f"patch_embed{si + 1}.proj.weight"]),
+                        "bias": sd[f"patch_embed{si + 1}.proj.bias"]}
+        repbn(P, BS, f"pe{si}_norm", f"patch_embed{si + 1}.norm")
+        repbn(P, BS, f"norm_out{si}", f"norm{si + 1}")
+        for bi in range(depths[si]):
+            t = f"block{si + 1}.{bi}"
+            pre = f"s{si}_b{bi}"
+            repbn(P, BS, f"{pre}_norm1", f"{t}.norm1")
+            repbn(P, BS, f"{pre}_norm2", f"{t}.norm2")
+            a = P[f"{pre}_attn"]
+            dense(a, "q", f"{t}.attn.q")
+            dense(a, "kv", f"{t}.attn.kv")
+            dense(a, "proj", f"{t}.attn.proj")
+            a["pos"] = sd[f"{t}.attn.positional_encoding"]
+            a["dwc"] = {"kernel": cw(sd[f"{t}.attn.dwc.weight"]),
+                        "bias": sd[f"{t}.attn.dwc.bias"]}
+            if f"{t}.attn.sr.weight" in sd:
+                a["sr"] = {"kernel": cw(sd[f"{t}.attn.sr.weight"]),
+                           "bias": sd[f"{t}.attn.sr.bias"]}
+            dense(P, f"{pre}_fc1", f"{t}.mlp.fc1")
+            dense(P, f"{pre}_fc2", f"{t}.mlp.fc2")
+            P[f"{pre}_dw"] = {"kernel": cw(sd[f"{t}.mlp.dwconv.dwconv.weight"]),
+                              "bias": sd[f"{t}.mlp.dwconv.dwconv.bias"]}
+
+    x = np.random.default_rng(97).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs, tol=2e-3)

@@ -3374,6 +3374,275 @@ class LAUDResNetBackbone(ConvBase):
         return outs
 
 
+def _repbn(mod, name, x, train):
+    """SLAB RepBN (reference SlabSwinTransformer.py:21): BatchNorm1d over
+    tokens per channel + alpha * x. At eval the reference's LinearNorm
+    (progressive LN->RepBN re-parameterization schedule, :45) always takes
+    the RepBN branch; the train-time LN mixing is a warmup curriculum whose
+    step buffer we do not reproduce — training here uses RepBN batch stats
+    from step 0 (documented deviation, eval-exact)."""
+    y = _bn(mod, name, x, train)
+    a = mod.param(f"{name}_alpha", nn.initializers.ones, (1,))
+    return y + a * x
+
+
+class SlabSLA(ConvBase):
+    """SLAB SimplifiedLinearAttention (reference SlabSwinTransformer.py:211):
+    K gets a learned per-window positional table; Q/K pass relu then elu+1
+    (= relu+1 on the non-negative range); linear attention
+    Q'(K'^T V) / (Q'.sum K') with a head-shared 5x5 depthwise conv on V
+    added before the output projection."""
+
+    num_heads: int = 3
+    ws: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        bw, n, c = x.shape
+        h, d = self.num_heads, c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        pe = self.param("pos", nn.initializers.truncated_normal(
+            0.02, lower=-2.0, upper=2.0), (1, n, c))
+        q = jax.nn.relu(q) + 1.0
+        k = jax.nn.relu(k + pe) + 1.0
+
+        def heads(t):
+            return t.reshape(bw, n, h, d).transpose(0, 2, 1, 3).reshape(
+                bw * h, n, d)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        kv = jnp.einsum("bnd,bnm->bdm", k, v)
+        y = jnp.einsum("bnd,bdm->bnm", q, kv)
+        den = jnp.einsum("bnd,bd->bn", q, k.sum(1))[..., None]
+        y = y / (den + 1e-6)
+        vd = nn.Conv(d, (5, 5), padding=((2, 2), (2, 2)), feature_group_count=d,
+                     dtype=self.dtype,
+                     name="dwc")(v.reshape(bw * h, self.ws, self.ws, d))
+        y = y + vd.reshape(bw * h, n, d)
+        y = y.reshape(bw, h, n, d).transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(y)
+
+
+class SlabWindowAttention(ConvBase):
+    """Standard Swin window MHSA with relative position bias (reference
+    SlabSwinTransformer.py:133) — the 'S' stages of SLAB-Swin."""
+
+    num_heads: int = 12
+    ws: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as np
+
+        bw, n, c = x.shape
+        h, d = self.num_heads, c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(bw, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * d ** -0.5, qkv[1], qkv[2]
+        table = self.param("rpb", nn.initializers.truncated_normal(
+            0.02, lower=-2.0, upper=2.0), ((2 * self.ws - 1) ** 2, h))
+        co = np.stack(np.meshgrid(np.arange(self.ws), np.arange(self.ws),
+                                  indexing="ij")).reshape(2, -1)
+        rel = co[:, :, None] - co[:, None, :]
+        idx = (rel[0] + self.ws - 1) * (2 * self.ws - 1) + rel[1] + self.ws - 1
+        bias = table[jnp.asarray(idx.reshape(-1))].reshape(n, n, h)
+        a = q @ k.transpose(0, 1, 3, 2) + bias.transpose(2, 0, 1)[None]
+        a = jax.nn.softmax(a, -1)
+        y = (a @ v).transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(y)
+
+
+class SlabSwinBackbone(ConvBase):
+    """Faithful SLAB Swin-T (reference SlabSwinTransformer.py:716;
+    SlabSwinTransformer_T :1001 = embed 96, depths (2,2,6,2), heads
+    (3,6,12,24), window_size 56, attn 'LLSS', norm = LinearNorm(LN, RepBN)):
+    conv4s4 patch embed + RepBN, stages of pre-RepBN blocks — simplified
+    linear attention in stages 1-2, windowed MHSA w/ relative bias in stages
+    3-4 — plain 2-layer GELU MLPs, quadrant PatchMerging with RepBN, RepBN'd
+    stage outputs. With the reference's construction (img_size-derived stage
+    grids <= 56) every block clamps its window to the stage grid and zeroes
+    its shift, so windows are whole-stage and shifts/masks never engage;
+    mismatched runtime sizes zero-pad up to the fixed window grid exactly as
+    upstream. Eval norms are pure RepBN (LinearNorm's eval branch)."""
+
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    base_ws: int = 56
+    attn_types: str = "LLSS"
+    img_size: int = 224
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="pe")(x)
+        _, hh, ww, _ = x.shape
+        t = _repbn(self, "pe_norm", x.reshape(b, hh * ww, self.embed_dim),
+                   train)
+        outs = []
+        for si in range(4):
+            c = self.embed_dim * (2 ** si)
+            init_res = self.img_size // 4 // (2 ** si)
+            ws = min(init_res, self.base_ws)
+            for bi in range(self.depths[si]):
+                pre = f"s{si}_b{bi}"
+                y = _repbn(self, f"{pre}_norm1", t, train)
+                ph, pw = (-hh) % ws, (-ww) % ws
+                hp, wp = hh + ph, ww + pw
+                yg = jnp.pad(y.reshape(b, hh, ww, c),
+                             ((0, 0), (0, ph), (0, pw), (0, 0)))
+                yg = yg.reshape(b, hp // ws, ws, wp // ws, ws, c)
+                yw = yg.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+                if self.attn_types[si] == "L":
+                    yw = SlabSLA(num_heads=self.num_heads[si], ws=ws,
+                                 dtype=self.dtype, name=f"{pre}_attn")(yw)
+                else:
+                    yw = SlabWindowAttention(num_heads=self.num_heads[si],
+                                             ws=ws, dtype=self.dtype,
+                                             name=f"{pre}_attn")(yw)
+                yw = yw.reshape(b, hp // ws, wp // ws, ws, ws, c)
+                yg = yw.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+                y = yg[:, :hh, :ww].reshape(b, hh * ww, c)
+                t = t + y
+                y = _repbn(self, f"{pre}_norm2", t, train)
+                y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
+                             name=f"{pre}_fc1")(y)
+                y = nn.Dense(c, dtype=self.dtype, name=f"{pre}_fc2")(
+                    jax.nn.gelu(y, approximate=False))
+                t = t + y
+            o = _repbn(self, f"norm_out{si}", t, train)
+            outs.append(o.reshape(b, hh, ww, c))
+            if si < 3:
+                g = t.reshape(b, hh, ww, c)
+                if hh % 2 or ww % 2:
+                    g = jnp.pad(g, ((0, 0), (0, hh % 2), (0, ww % 2), (0, 0)))
+                g = jnp.concatenate([g[:, 0::2, 0::2], g[:, 1::2, 0::2],
+                                     g[:, 0::2, 1::2], g[:, 1::2, 1::2]], -1)
+                hh, ww = g.shape[1], g.shape[2]
+                g = g.reshape(b, hh * ww, 4 * c)
+                g = _repbn(self, f"pm{si}_norm", g, train)
+                t = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
+                             name=f"pm{si}_red")(g)
+        return outs
+
+
+def _lin_interp_matrix(n_src, n_dst):
+    """torch F.interpolate(mode='linear', align_corners=False) as an
+    (n_dst, n_src) matrix: src coord = (i+0.5)*n_src/n_dst - 0.5, clamped."""
+    import numpy as np
+
+    M = np.zeros((n_dst, n_src), np.float32)
+    scale = n_src / n_dst
+    for i in range(n_dst):
+        cc = (i + 0.5) * scale - 0.5
+        c0 = int(np.floor(cc))
+        w1 = cc - c0
+        M[i, min(max(c0, 0), n_src - 1)] += 1.0 - w1
+        M[i, min(max(c0 + 1, 0), n_src - 1)] += w1
+    return M
+
+
+class SlabPVTSLA(ConvBase):
+    """SLAB-PVTv2 SimplifiedLinearAttention (reference SlabPVTv2.py:251,
+    linear=False path): q from full tokens, k/v from an sr-strided conv
+    (NOTE: the reference's post-sr norm is dead code — its isinstance
+    check tests nn.LayerNorm but the module is a LinearNorm, so no norm is
+    applied; reproduced by omission), K + learned positional table, relu
+    kernel, linear attention Q(K^T V)/(Q.sum K), head-shared 5x5 depthwise
+    conv on V (1-D linearly interpolated back to the query length when
+    sr > 1), and the reference's RAW (B*h,N,d)->(B,N,C) head merge (a
+    block-reshape, not an interleave — faithfully replicated)."""
+
+    num_heads: int = 1
+    sr: int = 8
+
+    @nn.compact
+    def __call__(self, x, h, w, train: bool = False):
+        b, n, c = x.shape
+        nh, hd = self.num_heads, c // self.num_heads
+        q = nn.Dense(c, dtype=self.dtype, name="q")(x)
+        if self.sr > 1:
+            xk = nn.Conv(c, (self.sr, self.sr), strides=(self.sr, self.sr),
+                         dtype=self.dtype, name="sr")(x.reshape(b, h, w, c))
+            hk, wk = xk.shape[1], xk.shape[2]
+            xk = xk.reshape(b, hk * wk, c)
+        else:
+            xk = x
+        nk = xk.shape[1]
+        kv = nn.Dense(2 * c, dtype=self.dtype, name="kv")(xk)
+        k, v = kv[..., :c], kv[..., c:]
+        pe = self.param("pos", nn.initializers.truncated_normal(
+            0.02, lower=-2.0, upper=2.0), (1, nk, c))
+        q = jax.nn.relu(q)
+        k = jax.nn.relu(k + pe)
+
+        def heads(t, m):
+            return t.reshape(b, m, nh, hd).transpose(0, 2, 1, 3).reshape(
+                b * nh, m, hd)
+
+        q, k, v = heads(q, n), heads(k, nk), heads(v, nk)
+        ctx = jnp.einsum("bmd,bme->bde", k, v)
+        y = jnp.einsum("bnd,bde->bne", q, ctx)
+        den = jnp.einsum("bnd,bd->bn", q, k.sum(1))[..., None]
+        y = y / (den + 1e-6)
+        vq = v if nk == n else jnp.einsum(
+            "nm,bmd->bnd", jnp.asarray(_lin_interp_matrix(nk, n)), v)
+        vd = nn.Conv(hd, (5, 5), padding=((2, 2), (2, 2)),
+                     feature_group_count=hd, dtype=self.dtype,
+                     name="dwc")(vq.reshape(b * nh, h, w, hd))
+        y = (y + vd.reshape(b * nh, n, hd)).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(y)
+
+
+class SlabPVTBackbone(ConvBase):
+    """Faithful SLAB PVTv2-b0 (reference SlabPVTv2.py:546 arch 'b0' = dims
+    (32,64,160,256), heads (1,2,5,8), mlp (8,8,4,4), depths (2,2,2,2),
+    la_sr (8,4,2,1), attn 'LLLL'): overlapped patch embeds (7s4 / 3s2) +
+    RepBN, pre-RepBN blocks of SlabPVTSLA attention and PVT dwconv MLPs
+    (fc1 -> dw3 -> GELU -> fc2), RepBN'd stage outputs. Eval norms are the
+    RepBN branch of LinearNorm (see _repbn)."""
+
+    dims: Sequence[int] = (32, 64, 160, 256)
+    depths: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (1, 2, 5, 8)
+    mlp_ratios: Sequence[float] = (8, 8, 4, 4)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        outs = []
+        for si in range(4):
+            c = self.dims[si]
+            k, s = (7, 4) if si == 0 else (3, 2)
+            p = k // 2
+            x = nn.Conv(c, (k, k), strides=(s, s), padding=((p, p), (p, p)),
+                        dtype=self.dtype, name=f"pe{si}")(x)
+            _, hh, ww, _ = x.shape
+            t = _repbn(self, f"pe{si}_norm", x.reshape(b, hh * ww, c), train)
+            for bi in range(self.depths[si]):
+                pre = f"s{si}_b{bi}"
+                y = _repbn(self, f"{pre}_norm1", t, train)
+                t = t + SlabPVTSLA(num_heads=self.num_heads[si],
+                                   sr=self.sr_ratios[si], dtype=self.dtype,
+                                   name=f"{pre}_attn")(y, hh, ww, train)
+                y = _repbn(self, f"{pre}_norm2", t, train)
+                hid = int(c * self.mlp_ratios[si])
+                y = nn.Dense(hid, dtype=self.dtype, name=f"{pre}_fc1")(y)
+                y = nn.Conv(hid, (3, 3), padding=((1, 1), (1, 1)),
+                            feature_group_count=hid, dtype=self.dtype,
+                            name=f"{pre}_dw")(y.reshape(b, hh, ww, hid))
+                y = jax.nn.gelu(y.reshape(b, hh * ww, hid), approximate=False)
+                t = t + nn.Dense(c, dtype=self.dtype, name=f"{pre}_fc2")(y)
+            t = _repbn(self, f"norm_out{si}", t, train)
+            x = t.reshape(b, hh, ww, c)
+            outs.append(x)
+        return outs
+
+
 class MoEResNetBackbone(ConvBase):
     """ResNet with per-sample hard expert routing — faithful to the reference
     (ResNet_MoE.py:165 ResNet + :48 MoEConv): the plain conv7 stem feeds a
@@ -3496,8 +3765,10 @@ def _register_alias_variants():
         "uni_resnet50": (LAUDResNetBackbone, ()),
         # Slab variants: linear-attention re-params of Swin/PVT — served by
         # the base architectures (approximation, COVERAGE.md)
-        "SlabSwinTransformer_T": B1["SwinTransformer_Tiny"],
-        "slab_pvt_v2_b0": B1["pvt_v2_b0"],
+        # SLAB Swin-T (reference SlabSwinTransformer.py:1001)
+        "SlabSwinTransformer_T": (SlabSwinBackbone, ()),
+        # SLAB PVTv2-b0 (reference SlabPVTv2.py:807)
+        "slab_pvt_v2_b0": (SlabPVTBackbone, ()),
     })
 
 

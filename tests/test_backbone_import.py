@@ -2008,3 +2008,140 @@ def test_slabpvt_import_parity():
     theirs = _stage_outs_torch(ref, x)
     ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(ours, theirs, tol=2e-3)
+
+
+def test_mb_taylorformer_import_parity():
+    """Faithful MB-TaylorFormer (Taylor linear attention U-Net with
+    deformable-dwconv patch embeds) vs the reference TaylorFormer.py with
+    transplanted weights. The env stubs torchvision's DeformConv2d, so the
+    test installs a pure-torch implementation of the official torchvision
+    deform_conv2d semantics before building the reference."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    import ultralytics.nn.modules.TaylorFormer as reftf
+    from ultralytics_pro_tpu.nn.modules.enhancers import MBTaylorFormer
+
+    class RealDeformConv2d(torch.nn.Module):
+        def __init__(self, in_channels, out_channels, kernel_size=3, stride=1,
+                     padding=1, bias=False, groups=1, dilation=1):
+            super().__init__()
+            assert kernel_size == 3 and stride == 1 and groups == in_channels
+            self.padding = padding
+            self.weight = torch.nn.Parameter(
+                torch.randn(out_channels, 1, 3, 3) * 0.1)
+
+        def forward(self, x, offset):
+            B, C, H, W = x.shape
+            off = offset.view(B, 9, 2, H, W)
+            ys = torch.arange(H).view(1, 1, H, 1).float()
+            xs = torch.arange(W).view(1, 1, 1, W).float()
+            out = torch.zeros_like(x)
+            flat = x.reshape(B, C, -1)
+            for t in range(9):
+                i, j = t // 3, t % 3
+                sy = ys + (i - self.padding) + off[:, t, 0].unsqueeze(1)
+                sx = xs + (j - self.padding) + off[:, t, 1].unsqueeze(1)
+                y0, x0 = torch.floor(sy), torch.floor(sx)
+                wy1, wx1 = sy - y0, sx - x0
+                val = 0.0
+                for yy, wy in ((y0, 1 - wy1), (y0 + 1, wy1)):
+                    for xx, wx in ((x0, 1 - wx1), (x0 + 1, wx1)):
+                        ok = ((yy >= 0) & (yy <= H - 1) & (xx >= 0)
+                              & (xx <= W - 1)).float()
+                        idx = (yy.clamp(0, H - 1).long() * W
+                               + xx.clamp(0, W - 1).long())
+                        idx = idx.expand(B, C, H, W).reshape(B, C, -1)
+                        g = torch.gather(flat, 2, idx).reshape(B, C, H, W)
+                        val = val + g * (ok * wy * wx).expand(B, C, H, W)
+                out = out + val * self.weight[:, 0, i, j].view(1, C, 1, 1)
+            return out
+
+    orig_dcn = reftf.DeformConv2d
+    try:
+        reftf.DeformConv2d = RealDeformConv2d
+        torch.manual_seed(67)
+        ref = reftf.MB_TaylorFormer()
+        with torch.no_grad():
+            for n, p in ref.named_parameters():
+                p.add_(torch.randn_like(p) * 0.03)
+        ref.eval()
+    finally:
+        reftf.DeformConv2d = orig_dcn
+
+    m = MBTaylorFormer()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+
+    def deep(t):
+        return ({k: deep(vv) for k, vv in t.items()} if hasattr(t, "items")
+                else np.asarray(t))
+
+    tree = deep(v)
+    P = tree["params"]
+
+    def cw(w):
+        return w.transpose(2, 3, 1, 0)
+
+    def conv(dst, name, t, bias=False):
+        dst[name] = {"kernel": cw(sd[f"{t}.weight"])}
+        if bias:
+            dst[name]["bias"] = sd[f"{t}.bias"]
+
+    def pe(name, t):
+        conv(P[name], "off_dw", f"{t}.patch_conv.offset_generator.0")
+        conv(P[name], "off_pw", f"{t}.patch_conv.offset_generator.1")
+        P[name]["dcn"] = cw(sd[f"{t}.patch_conv.dcn.weight"])
+        conv(P[name], "pw", f"{t}.patch_conv.pwconv")
+
+    def stage(name, pe_t, enc_t, blocks, heads):
+        pe(f"{name}_pe", f"{pe_t}.patch_embeds.0")
+        for i in range(blocks):
+            t = f"{enc_t}.mhca_blks.0.MHCA_layers.{i}"
+            P[f"{name}_b{i}_ln1"] = sd[f"{t}.norm1.body.weight"]
+            P[f"{name}_b{i}_ln2"] = sd[f"{t}.norm2.body.weight"]
+            a = P[f"{name}_b{i}_attn"]
+            conv(a, "qkv", f"{t}.attn.qkv")
+            conv(a, "qkv_dw", f"{t}.attn.qkv_dwconv")
+            conv(a, "proj", f"{t}.attn.project_out")
+            a["temperature"] = sd[f"{t}.attn.temperature"]
+            n_crpe = len([k for k in sd
+                          if k.startswith(f"{t}.attn.refine_att.conv_list.")
+                          and k.endswith(".weight")])
+            for wi in range(n_crpe):
+                conv(a, f"crpe{wi}", f"{t}.attn.refine_att.conv_list.{wi}",
+                     bias=True)
+            f = P[f"{name}_b{i}_ffn"]
+            conv(f, "fc1", f"{t}.ffn.project_in")
+            conv(f, "dw", f"{t}.ffn.dwconv")
+            conv(f, "fc2", f"{t}.ffn.project_out")
+
+    conv(P, "embed", "patch_embed.proj")
+    stage("enc1", "patch_embed_encoder_level1", "encoder_level1", 1, 1)
+    stage("enc2", "patch_embed_encoder_level2", "encoder_level2", 1, 1)
+    stage("enc3", "patch_embed_encoder_level3", "encoder_level3", 1, 1)
+    stage("latent", "patch_embed_latent", "latent", 1, 1)
+    stage("dec3", "patch_embed_decoder_level3", "decoder_level3", 1, 1)
+    stage("dec2", "patch_embed_decoder_level2", "decoder_level2", 1, 1)
+    stage("dec1", "patch_embed_decoder_level1", "decoder_level1", 1, 1)
+    stage("refine", "patch_embed_refinement", "refinement", 1, 1)
+    for a, b in (("down12", "down1_2"), ("down23", "down2_3"),
+                 ("down34", "down3_4")):
+        conv(P, f"{a}_dw", f"{b}.body.0")
+        conv(P, f"{a}_pw", f"{b}.body.1")
+    for a, b in (("up43", "up4_3"), ("up32", "up3_2"), ("up21", "up2_1")):
+        conv(P, f"{a}_dw", f"{b}.body.0")
+        conv(P, f"{a}_pw", f"{b}.body.1")
+    conv(P, "reduce3", "reduce_chan_level3.0")
+    conv(P, "reduce2", "reduce_chan_level2.0")
+    conv(P, "skip", "skip_conv")
+    conv(P, "out", "output.0")
+
+    x = np.random.default_rng(101).normal(0.4, 0.2, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
+    ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close([ours], [theirs], tol=2e-3)

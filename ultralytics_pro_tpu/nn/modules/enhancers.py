@@ -470,3 +470,207 @@ class ADNet(ConvBase):
         g = jnp.tanh(jnp.concatenate([x, n], -1))
         g = nn.Conv(3, (1, 1), dtype=self.dtype, name="conv_gate")(g)
         return x - g * n
+
+
+def _bf_ln(mod, name, x):
+    """BiasFree_LayerNorm (reference TaylorFormer.py:26): x scaled by
+    1/sqrt(var+1e-5) * weight — variance about the mean, but the mean is NOT
+    subtracted from x."""
+    c = x.shape[-1]
+    w = mod.param(name, nn.initializers.ones, (c,))
+    var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return (x / jnp.sqrt(var + 1e-5)).astype(x.dtype) * w
+
+
+_TAYLOR_CRPE = {1: ((3, 1),), 2: ((3, 2),), 4: ((3, 2), (5, 2)),
+                8: ((3, 2), (5, 3), (7, 3))}
+
+
+class TaylorAttention(ConvBase):
+    """MB-TaylorFormer Taylor-expanded linear attention (reference
+    TaylorFormer.py:159): 1x1+dw3 qkv, per-token L2-normalized q/k, the
+    first-order Taylor softmax N + qK^T v numerator / denominator form,
+    per-head temperature, and a sigmoid CRPE refinement conv over [q;k]."""
+
+    dim: int = 6
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, hh, ww, c = x.shape
+        nh = self.num_heads
+        ch = c // nh
+        n = hh * ww
+        qkv = nn.Conv(3 * c, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="qkv")(x)
+        qkv = nn.Conv(3 * c, (3, 3), padding=((1, 1), (1, 1)),
+                      feature_group_count=3 * c, use_bias=False,
+                      dtype=self.dtype, name="qkv_dw")(qkv)
+        q, k, v = jnp.split(qkv.reshape(b, n, 3 * c), 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, n, nh, ch).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = q / (jnp.linalg.norm(q.astype(jnp.float32), axis=-1,
+                                 keepdims=True).astype(q.dtype) + 1e-6)
+        k = k / (jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
+                                 keepdims=True).astype(k.dtype) + 1e-6)
+
+        # CRPE refinement over channel-concatenated per-head [q;k] maps
+        qk = jnp.concatenate([q, k], -1)  # (b, nh, n, 2ch)
+        qk = qk.transpose(0, 2, 1, 3).reshape(b, hh, ww, nh * 2 * ch)
+        outs, start = [], 0
+        for wi, (win, hs) in enumerate(_TAYLOR_CRPE[nh]):
+            seg = qk[..., start:start + hs * 2 * ch]
+            start += hs * 2 * ch
+            p = win // 2
+            outs.append(nn.Conv(hs, (win, win), padding=((p, p), (p, p)),
+                                feature_group_count=hs, dtype=self.dtype,
+                                name=f"crpe{wi}")(seg))
+        refine = jax.nn.sigmoid(jnp.concatenate(outs, -1))  # (b, hh, ww, nh)
+        refine = refine.reshape(b, n, nh, 1).transpose(0, 2, 1, 3)
+
+        kv = k.transpose(0, 1, 3, 2) @ v  # (b, nh, ch, ch)
+        num = v.sum(axis=2, keepdims=True) + q @ kv
+        den = float(n) + q @ k.sum(axis=2)[..., None] + 1e-6
+        temp = self.param("temperature", nn.initializers.ones, (nh, 1, 1))
+        y = num / den * temp * refine
+        y = y.transpose(0, 2, 1, 3).reshape(b, hh, ww, c)
+        return nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                       name="proj")(y)
+
+
+class TaylorFFN(ConvBase):
+    """GDFN gated-dwconv FFN (reference TaylorFormer.py:77)."""
+
+    dim: int = 6
+    factor: float = 2.66
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hid = int(self.dim * self.factor)
+        y = nn.Conv(2 * hid, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="fc1")(x)
+        y = nn.Conv(2 * hid, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=2 * hid, use_bias=False,
+                    dtype=self.dtype, name="dw")(y)
+        g, v = y[..., :hid], y[..., hid:]
+        return nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
+                       name="fc2")(jax.nn.gelu(g, approximate=False) * v)
+
+
+class TaylorPatchEmbed(ConvBase):
+    """DWCPatchEmbed (reference TaylorFormer.py:471 DWConv2d_BN): depthwise
+    offset head -> clamped deformable depthwise 3x3 -> pointwise -> Hardswish
+    (the commented-out BN is dead upstream — none here either)."""
+
+    out: int = 6
+    clamp: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.ops.deform import deform_conv2d
+
+        c = x.shape[-1]
+        off = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                      feature_group_count=c, use_bias=False, dtype=self.dtype,
+                      name="off_dw")(x)
+        off = nn.Conv(18, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="off_pw")(off)
+        off = jnp.clip(off, -self.clamp, self.clamp)
+        w = self.param("dcn", nn.initializers.normal(0.1), (3, 3, 1, c))
+        y = deform_conv2d(x, off, w, padding=1, groups=c)
+        y = nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="pw")(y)
+        return jax.nn.hard_swish(y)
+
+
+class MBTaylorFormer(ConvBase):
+    """Faithful MB-TaylorFormer (reference TaylorFormer.py:674, the yaml
+    defaults: dims (6,12,24,36), blocks (1,1,1,1), heads (1,1,1,1),
+    num_path 1, dual_pixel_task=True): 4-level U-Net of Taylor linear
+    attention blocks with deformable-dwconv patch embeds, pixel-unshuffle
+    down / pixel-shuffle up (dw3+pw conv before each), skip concats with 1x1
+    reductions on levels 3/2, a level-1 decoder at 2*dim0, refinement stage,
+    dual-pixel skip conv and a 3-channel output conv. With num_path=1 the
+    SKFF aggregator is a forward identity (softmax over one branch); its
+    dead parameters are not reproduced."""
+
+    dims: Any = (6, 12, 24, 36)
+    num_blocks: Any = (1, 1, 1, 1)
+    heads: Any = (1, 1, 1, 1)
+
+    def _stage(self, x, dim, blocks, heads, name, train):
+        y = TaylorPatchEmbed(out=dim, dtype=self.dtype, name=f"{name}_pe")(
+            x, train)
+        for i in range(blocks):
+            t = _bf_ln(self, f"{name}_b{i}_ln1", y)
+            y = y + TaylorAttention(dim=dim, num_heads=heads, dtype=self.dtype,
+                                    name=f"{name}_b{i}_attn")(t, train)
+            t = _bf_ln(self, f"{name}_b{i}_ln2", y)
+            y = y + TaylorFFN(dim=dim, dtype=self.dtype,
+                              name=f"{name}_b{i}_ffn")(t, train)
+        return y + x
+
+    def _down(self, x, out, name):
+        c = x.shape[-1]
+        x = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                    use_bias=False, dtype=self.dtype, name=f"{name}_dw")(x)
+        x = nn.Conv(out // 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name=f"{name}_pw")(x)
+        b, h, w, cc = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, cc)
+        return x.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, 4 * cc)
+
+    def _up(self, x, out, name):
+        c = x.shape[-1]
+        x = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                    use_bias=False, dtype=self.dtype, name=f"{name}_dw")(x)
+        x = nn.Conv(out * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name=f"{name}_pw")(x)
+        b, h, w, cc = x.shape
+        x = x.reshape(b, h, w, cc // 4, 2, 2)
+        return x.transpose(0, 1, 4, 2, 5, 3).reshape(b, 2 * h, 2 * w, cc // 4)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dims
+        nb, hd = self.num_blocks, self.heads
+        e1 = nn.Conv(d[0], (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                     dtype=self.dtype, name="embed")(x)
+        l1 = self._stage(e1, d[0], nb[0], hd[0], "enc1", train)
+        l2 = self._stage(self._down(l1, d[1], "down12"), d[1], nb[1], hd[1],
+                         "enc2", train)
+        l3 = self._stage(self._down(l2, d[2], "down23"), d[2], nb[2], hd[2],
+                         "enc3", train)
+        lat = self._stage(self._down(l3, d[3], "down34"), d[3], nb[3], hd[3],
+                          "latent", train)
+        d3 = jnp.concatenate([self._up(lat, d[2], "up43"), l3], -1)
+        d3 = nn.Conv(d[2], (1, 1), use_bias=False, dtype=self.dtype,
+                     name="reduce3")(d3)
+        d3 = self._stage(d3, d[2], nb[2], hd[2], "dec3", train)
+        d2 = jnp.concatenate([self._up(d3, d[1], "up32"), l2], -1)
+        d2 = nn.Conv(d[1], (1, 1), use_bias=False, dtype=self.dtype,
+                     name="reduce2")(d2)
+        d2 = self._stage(d2, d[1], nb[1], hd[1], "dec2", train)
+        d1 = jnp.concatenate([self._up(d2, d[0], "up21"), l1], -1)
+        d1 = self._stage(d1, d[1], nb[0], hd[0], "dec1", train)
+        d1 = self._stage(d1, d[1], nb[0], hd[0], "refine", train)
+        d1 = d1 + nn.Conv(d[1], (1, 1), use_bias=False, dtype=self.dtype,
+                          name="skip")(e1)
+        return nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                       dtype=self.dtype, name="out")(d1)
+
+
+class HATPassthrough(ConvBase):
+    """The reference HAT yaml module IS an identity at forward time: with the
+    yaml's default args, upsampler='' and HAT.forward (reference
+    HAttention.py:956-967) only runs the network body under
+    upsampler=='pixelshuffle' — otherwise it computes
+    (x - mean) * img_range ... / img_range + mean = x, touching none of the
+    constructed parameters. Reproduced exactly (without the dead weights)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return x

@@ -910,8 +910,14 @@ BUILDERS.update({
     "RIDNET": lambda a, n, w, d, mx, ctx: (_enh().RIDNET, _kw()),
     "FFA": lambda a, n, w, d, mx, ctx: (_enh().FFA, _kw()),
     "CPA_arch": lambda a, n, w, d, mx, ctx: (_enh().CPAArch, _kw()),
+    # MB_TaylorFormer is faithful (enhancers.py); HAT's yaml form is a
+    # forward identity upstream (HAttention.py:956 — upsampler='' skips the
+    # whole body), reproduced exactly; AirNet stays the compact enhancer
+    # (defined nowhere in the reference nn tree)
+    "MB_TaylorFormer": lambda a, n, w, d, mx, ctx: (_enh().MBTaylorFormer, _kw()),
+    "HAT": lambda a, n, w, d, mx, ctx: (_enh().HATPassthrough, _kw()),
     **{name: (lambda a, n, w, d, mx, ctx: (_z3().ImageEnhancer, _kw()))
-       for name in ("AirNet", "HAT", "MB_TaylorFormer")},
+       for name in ("AirNet",)},
 })
 
 

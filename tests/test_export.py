@@ -78,6 +78,31 @@ def test_saved_model_and_tflite_roundtrip(tmp_path):
     np.testing.assert_allclose(y_tfl, y_live, atol=5e-3, rtol=5e-3)
 
 
+def test_pb_frozen_graph_roundtrip(tmp_path):
+    """Frozen GraphDef (reference export_pb): weights fold to constants and
+    AutoBackend's pruned wrap_function agrees with the live model."""
+    pytest.importorskip("tensorflow")
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu import YOLO
+    from ultralytics_pro_tpu.engine.exporter import AutoBackend
+
+    m = YOLO("yolov8n.yaml")
+    m.model.init_params(imgsz=64)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    x = jnp.asarray(img)
+    y_live, _ = m.model.apply(m.model.variables,
+                              x[..., ::-1].astype(jnp.float32) / 255.0, train=False)
+
+    pb = m.export(format="pb", imgsz=64, batch=1, name=str(tmp_path / "m"))
+    assert pb.endswith(".pb")
+    backend = AutoBackend(pb)
+    y_pb = backend(img)
+    np.testing.assert_allclose(y_pb, np.asarray(y_live), atol=2e-3, rtol=1e-3)
+    assert backend.names  # metadata sidecar round-trips class names
+
+
 def test_tflite_int8_quantized_export(tmp_path):
     """INT8 post-training quantization with the coco8 calibration stream:
     artifact converts and is materially smaller than fp32."""

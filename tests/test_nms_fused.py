@@ -71,3 +71,38 @@ def test_predictor_uses_fused_path_for_detect():
     img = (np.random.default_rng(1).uniform(0, 255, (96, 128, 3))).astype(np.uint8)
     r = y.predict(img, imgsz=64, conf=0.01, verbose=False)
     assert r and r[0].boxes is not None
+
+
+def test_approx_topk_agreement():
+    """approx_topk (lax.approx_max_k candidate selection, the TPU-fast path
+    measured in tools/perf_topk_probe.py) must keep the same top detections as
+    exact top_k on realistic score distributions: only the candidate POOL
+    tail may differ, and final kept detections (max_det << max_nms) agree."""
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.ops.nms import non_max_suppression_fused
+
+    rng = np.random.default_rng(3)
+    a = 2100  # anchors
+    boxes = np.zeros((2, a, 4), np.float32)
+    boxes[..., :2] = rng.uniform(40, 600, (2, a, 2))
+    boxes[..., 2:] = rng.uniform(8, 120, (2, a, 2))
+    # realistic conf: most anchors low, a few confident detections
+    conf = rng.beta(0.3, 6.0, (2, a)).astype(np.float32)
+    cls = rng.integers(0, 80, (2, a)).astype(np.int32)
+
+    kw = dict(conf_thres=0.25, iou_thres=0.45, max_det=30, max_nms=512,
+              use_pallas=False)
+    exact = non_max_suppression_fused(jnp.asarray(boxes), jnp.asarray(conf),
+                                      jnp.asarray(cls), **kw)
+    approx = non_max_suppression_fused(jnp.asarray(boxes), jnp.asarray(conf),
+                                       jnp.asarray(cls), approx_topk=0.95, **kw)
+    n_exact = int(np.asarray(exact["valid"]).sum())
+    n_approx = int(np.asarray(approx["valid"]).sum())
+    assert n_exact > 10
+    # kept sets agree (scores identify boxes uniquely here)
+    s_exact = np.sort(np.asarray(exact["scores"]).ravel())
+    s_approx = np.sort(np.asarray(approx["scores"]).ravel())
+    matched = np.isin(np.round(s_approx, 6), np.round(s_exact, 6)).mean()
+    assert n_approx >= n_exact - 1
+    assert matched > 0.97, f"approx candidate selection changed detections: {matched}"

@@ -30,10 +30,12 @@ EXPORT_FORMATS = {
     "ckpt": ".ckpt",
     "saved_model": "_saved_model",  # jax2tf -> TF SavedModel (edge path)
     "tflite": ".tflite",            # jax2tf -> TFLite flatbuffer
+    "pb": ".pb",                    # frozen TF GraphDef (reference export_pb)
     "onnx": ".onnx",                # native jaxpr->ONNX (engine/onnx_export.py)
+    "torchscript": ".torchscript",  # jaxpr->torch aten trace (engine/torch_export.py)
 }
 UNSUPPORTED = {
-    "torchscript", "openvino", "engine", "coreml", "pb",
+    "openvino", "engine", "coreml",
     "edgetpu", "tfjs", "paddle", "mnn", "ncnn", "imx", "rknn", "executorch",
 }
 
@@ -207,6 +209,28 @@ class Exporter:
 
         return gen
 
+    def export_pb(self, imgsz: int, batch: int, name: Path):
+        """Frozen TF GraphDef (reference export_pb, exporter.py via
+        convert_variables_to_constants_v2): the jax2tf graph with all weights
+        folded to constants, loadable by TF1-style serving stacks."""
+        tf, module = self._tf_module(imgsz, batch)
+        from tensorflow.python.framework.convert_to_constants import (
+            convert_variables_to_constants_v2,
+        )
+
+        frozen = convert_variables_to_constants_v2(module.f.get_concrete_function())
+        gd = frozen.graph.as_graph_def()
+        out = Path(f"{name}.pb")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tf.io.write_graph(gd, str(out.parent or "."), out.name, as_text=False)
+        meta = self._metadata(imgsz, batch, "pb")
+        # tensor names survive freezing; AutoBackend prunes the wrapped graph
+        # by these instead of guessing from Placeholder/terminal-node scans
+        meta["inputs"] = [t.name for t in frozen.inputs]
+        meta["outputs"] = [t.name for t in frozen.outputs]
+        Path(f"{out}.json").write_text(json.dumps(meta, indent=2))
+        return out
+
     def export_onnx(self, imgsz: int, batch: int, name: Path):
         """Native jaxpr -> ONNX export (reference exporter.py:631): decoded
         (B, 4+nc, A) output0, NMS external like the reference default."""
@@ -219,6 +243,21 @@ class Exporter:
                 "names": str(getattr(model, "names", None) or {})}
         out = name.with_suffix(".onnx")
         return export_model_onnx(model, out, imgsz=imgsz, metadata=meta)
+
+    def export_torchscript(self, imgsz: int, batch: int, name: Path):
+        """Real TorchScript artifact (reference exporter.py:614): the jaxpr
+        lowers to torch aten ops via the ONNX-subset graph and torch.jit.trace;
+        loadable by plain torch.jit.load / libtorch. I/O matches the reference:
+        (B, 3, H, W) float in, (B, 4+nc, A) out, config.txt in _extra_files."""
+        from ultralytics_pro_tpu.engine.torch_export import export_model_torchscript
+
+        model = self.model
+        if model.variables is None:
+            model.init_params(imgsz=imgsz)
+        out = Path(f"{name}.torchscript")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        return export_model_torchscript(model, out, imgsz=imgsz,
+                                        metadata=self._metadata(imgsz, batch, "torchscript"))
 
     def export_ckpt(self, imgsz: int, batch: int, name: Path):
         from ultralytics_pro_tpu.engine.trainer import save_pickle
@@ -277,6 +316,36 @@ class AutoBackend:
             self.metadata = json.loads(meta_path.read_text()) if meta_path.exists() else {}
             self.names = {int(k): v for k, v in (self.metadata.get("names") or {}).items()}
             self.format = "tflite"
+        elif p.endswith(".pb"):
+            import tensorflow as tf
+
+            gd = tf.compat.v1.GraphDef()
+            gd.ParseFromString(Path(p).read_bytes())
+            meta_path = Path(p + ".json")
+            self.metadata = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+            self.names = {int(k): v for k, v in (self.metadata.get("names") or {}).items()}
+            wrapped = tf.compat.v1.wrap_function(
+                lambda: tf.compat.v1.import_graph_def(gd, name=""), [])
+            ge = wrapped.graph.as_graph_element
+            inputs = self.metadata.get("inputs") or ["args_tf_0:0"]
+            outputs = self.metadata.get("outputs") or ["Identity:0"]
+            self.pb_fn = wrapped.prune(
+                tf.nest.map_structure(ge, inputs), tf.nest.map_structure(ge, outputs))
+            self.format = "pb"
+        elif p.endswith(".torchscript"):
+            import torch
+
+            extra = {"config.txt": ""}
+            self.ts_model = torch.jit.load(p, map_location="cpu", _extra_files=extra)
+            self.ts_model.eval()
+            try:
+                self.metadata = json.loads(extra["config.txt"].decode()
+                                           if isinstance(extra["config.txt"], bytes)
+                                           else extra["config.txt"])
+            except Exception:
+                self.metadata = {}
+            self.names = {int(k): v for k, v in (self.metadata.get("names") or {}).items()}
+            self.format = "torchscript"
         elif p.endswith(".onnx"):
             blob = Path(p).read_bytes()
             try:
@@ -306,6 +375,14 @@ class AutoBackend:
             name = self.ort_session.get_inputs()[0].name
             y = self.ort_session.run(None, {name: x})[0]
             return np.swapaxes(y, 1, 2)  # reference (B,C,A) -> internal (B,A,C)
+        if self.format == "torchscript":
+            import torch
+
+            x = torch.from_numpy(np.asarray(img_u8, np.float32)).permute(0, 3, 1, 2)
+            with torch.no_grad():
+                y = self.ts_model(x)
+            y = y[0] if isinstance(y, (list, tuple)) else y
+            return np.swapaxes(y.numpy(), 1, 2)  # (B,C,A) -> internal (B,A,C)
         if self.format == "onnx_native":
             from ultralytics_pro_tpu.utils.onnx_run import run_onnx
 
@@ -315,6 +392,12 @@ class AutoBackend:
             return np.asarray(self.exported.call(img_u8))
         if self.format == "saved_model":
             return np.asarray(self.tf_model.f(img_u8))
+        if self.format == "pb":
+            import tensorflow as tf
+
+            # the pruned wrap_function binds graph tensors, not numpy arrays
+            y = self.pb_fn(tf.constant(np.asarray(img_u8, np.uint8)))
+            return np.asarray(y[0] if isinstance(y, (list, tuple)) else y)
         if self.format == "tflite":
             inp = self.interpreter.get_input_details()[0]
             out = self.interpreter.get_output_details()[0]

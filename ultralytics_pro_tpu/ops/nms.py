@@ -54,11 +54,22 @@ def _greedy_nms_scores(boxes, scores, iou_thres: float, max_det: int):
     return keep_idx, keep_valid
 
 
+def _topk(masked, k: int, approx):
+    """Candidate top-k: exact lax.top_k, or the TPU-accelerated partial
+    reduction lax.approx_max_k when `approx` is a recall target (float).
+    approx only reorders/misses tail candidates far below max_det rank; see
+    tools/perf_topk_probe.py for the measured speed/recall trade."""
+    if approx is None:
+        return jax.lax.top_k(masked, k)
+    vals, idx = jax.lax.approx_max_k(masked, k, recall_target=float(approx))
+    return vals, idx
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "conf_thres", "iou_thres", "max_det", "max_nms", "max_wh", "agnostic", "multi_label",
-        "use_pallas",
+        "use_pallas", "approx_topk",
     ),
 )
 def non_max_suppression(
@@ -74,6 +85,7 @@ def non_max_suppression(
     multi_label: bool = False,
     classes=None,
     use_pallas: bool = None,
+    approx_topk=None,
 ):
     """Batched class-aware NMS with fixed output shapes.
 
@@ -102,7 +114,7 @@ def non_max_suppression(
             flat = scores_i.reshape(-1)  # (A*nc,)
             masked = jnp.where(flat > conf_thres, flat, -1.0)
             k = min(max_nms, flat.shape[0])
-            top_scores, top_flat = jax.lax.top_k(masked, k)
+            top_scores, top_flat = _topk(masked, k, approx_topk)
             anchor_idx = top_flat // nc
             cls_idx = (top_flat % nc).astype(jnp.int32)
         else:
@@ -114,7 +126,7 @@ def non_max_suppression(
                 conf = jnp.where(jnp.asarray(classes)[cls_all], conf, 0.0)
             masked = jnp.where(conf > conf_thres, conf, -1.0)
             k = min(max_nms, a)
-            top_scores, anchor_idx = jax.lax.top_k(masked, k)
+            top_scores, anchor_idx = _topk(masked, k, approx_topk)
             cls_idx = cls_all[anchor_idx]
         cand_boxes = xywh2xyxy(boxes_i[anchor_idx])  # (K, 4)
         return cand_boxes, top_scores, cls_idx, anchor_idx
@@ -156,7 +168,7 @@ def non_max_suppression(
 @partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh",
-                     "agnostic", "use_pallas"),
+                     "agnostic", "use_pallas", "approx_topk"),
 )
 def non_max_suppression_fused(
     boxes,
@@ -171,6 +183,7 @@ def non_max_suppression_fused(
     agnostic: bool = False,
     classes=None,
     use_pallas: bool = None,
+    approx_topk=None,
 ):
     """Single-label NMS on precomputed per-anchor (conf, cls) — the companion
     of head.decode_single_label. Identical suppression/gather semantics to
@@ -195,7 +208,7 @@ def non_max_suppression_fused(
 
     def select(boxes_i, conf_i, cls_i):
         masked = jnp.where(conf_i > conf_thres, conf_i, -1.0)
-        top_scores, anchor_idx = jax.lax.top_k(masked, k)
+        top_scores, anchor_idx = _topk(masked, k, approx_topk)
         cand_boxes = xywh2xyxy(boxes_i[anchor_idx])
         return cand_boxes, top_scores, cls_i[anchor_idx], anchor_idx
 

@@ -423,8 +423,8 @@ def jaxpr_to_onnx(closed_jaxpr, input_shapes: Sequence[Sequence[int]],
     return op.model_proto(graph, metadata=metadata)
 
 
-def export_model_onnx(model, path, imgsz: int = 640, metadata=None) -> str:
-    """Trace model.apply (inference, decoded output) and write `path`.
+def model_onnx_bytes(model, imgsz: int = 640, metadata=None) -> bytes:
+    """Trace model.apply (inference, decoded output) to ModelProto bytes.
 
     Output layout matches the reference ONNX export: (B, 4+nc, A)
     (reference exporter.py:631 output0)."""
@@ -441,8 +441,13 @@ def export_model_onnx(model, path, imgsz: int = 640, metadata=None) -> str:
 
     shape = (1, imgsz, imgsz, model.ch if hasattr(model, "ch") else 3)
     closed = jax.make_jaxpr(fwd)(jnp.zeros(shape, jnp.float32))
-    buf = jaxpr_to_onnx(closed, [shape], graph_name="ultralytics_pro_tpu",
-                        metadata=metadata)
+    return jaxpr_to_onnx(closed, [shape], graph_name="ultralytics_pro_tpu",
+                         metadata=metadata)
+
+
+def export_model_onnx(model, path, imgsz: int = 640, metadata=None) -> str:
+    """Trace model.apply (inference, decoded output) and write `path`."""
+    buf = model_onnx_bytes(model, imgsz=imgsz, metadata=metadata)
     with open(path, "wb") as f:
         f.write(buf)
     return str(path)

@@ -16,7 +16,8 @@ from ultralytics_pro_tpu.utils import LOGGER
 
 
 def benchmark(model="yolov8n.yaml", data=None, imgsz: int = 160, verbose=False,
-              formats=("-", "stablehlo", "ckpt", "saved_model", "tflite", "onnx")) -> list:
+              formats=("-", "stablehlo", "ckpt", "saved_model", "tflite", "pb", "onnx",
+                       "torchscript")) -> list:
     """Run the export/predict/val matrix; returns rows of
     [format, status, size_mb, metric, inference_ms]."""
     from ultralytics_pro_tpu.engine.exporter import AutoBackend

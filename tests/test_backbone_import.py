@@ -2145,3 +2145,35 @@ def test_mb_taylorformer_import_parity():
         theirs = ref(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
     ours = m.apply(tree, jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close([ours], [theirs], tol=2e-3)
+
+
+def test_pvtv2_import_parity():
+    from ultralytics.nn.modules.PVTv2 import PyramidVisionTransformerV2
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import pvtv2_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones import PVTv2
+
+    torch.manual_seed(11)
+    arch = dict(embed_dims=[16, 32, 64, 128], num_heads=[1, 2, 4, 8],
+                mlp_ratios=[8, 8, 4, 4], depths=[1, 1, 2, 1],
+                sr_ratios=[8, 4, 2, 1], linear=False)
+    ref = PyramidVisionTransformerV2(c1=3, arch=arch, fork_feat=True, drop_path_rate=0.0)
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+
+    x = np.random.default_rng(7).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+
+    m = PVTv2(dims=(16, 32, 64, 128), depths=(1, 1, 2, 1), heads=(1, 2, 4, 8),
+              srs=(8, 4, 2, 1), mlp_ratios=(8.0, 8.0, 4.0, 4.0))
+    import jax.random as jrandom
+    v = m.init(jrandom.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = pvtv2_state_dict_to_flax(v, sd, strict=True)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(ours, theirs)

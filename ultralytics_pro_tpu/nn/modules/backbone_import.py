@@ -38,6 +38,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "iformer_state_dict_to_flax", "evit_state_dict_to_flax",
            "stvit_state_dict_to_flax", "transxnet_state_dict_to_flax",
            "glnet_state_dict_to_flax", "emo2_state_dict_to_flax",
+           "pvtv2_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1406,6 +1407,68 @@ def emo2_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def pvtv2_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """PVTv2 backbone (reference PVTv2.py:352 PyramidVisionTransformerV2):
+    patch_embed{i}.proj overlap conv + LN, block{i}.{j} spatial-reduction
+    attention (q / kv / sr conv / sr-norm / proj) + dwconv MLP, per-stage
+    out norm{i}. `linear=True` checkpoints (b2_li: pool+GELU sr path) are not
+    supported and raise via strict key matching."""
+    tree = _deep_dict(variables)
+    written = set()
+    LN = {"weight": "scale", "bias": "bias"}
+    for tkey, w in sd.items():
+        w = np.asarray(w, np.float32)
+        m = re.match(r"patch_embed(\d+)\.proj\.(weight|bias)$", tkey)
+        if m:
+            s = int(m.group(1)) - 1
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            _set(tree, ["params", f"patch_{s}", leaf],
+                 _conv_w(w) if leaf == "kernel" else w, written)
+            continue
+        m = re.match(r"patch_embed(\d+)\.norm\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", f"patch_norm_{int(m.group(1)) - 1}", LN[m.group(2)]], w, written)
+            continue
+        m = re.match(r"norm(\d+)\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", f"out_norm_{int(m.group(1)) - 1}", LN[m.group(2)]], w, written)
+            continue
+        m = re.match(r"block(\d+)\.(\d+)\.(.+)$", tkey)
+        if m:
+            s, b, rest = int(m.group(1)) - 1, int(m.group(2)), m.group(3)
+            blk = ["params", f"s{s}_b{b}"]
+            if re.match(r"norm[12]\.(weight|bias)$", rest):
+                mod, leaf = rest.split(".")
+                _set(tree, [*blk, mod, LN[leaf]], w, written)
+            elif re.match(r"attn\.(q|kv|proj)\.weight$", rest):
+                _set(tree, [*blk, rest.split(".")[1], "kernel"], w.T, written)
+            elif re.match(r"attn\.(q|kv|proj)\.bias$", rest):
+                _set(tree, [*blk, rest.split(".")[1], "bias"], w, written)
+            elif rest == "attn.sr.weight":
+                _set(tree, [*blk, "sr", "kernel"], _conv_w(w), written)
+            elif rest == "attn.sr.bias":
+                _set(tree, [*blk, "sr", "bias"], w, written)
+            elif re.match(r"attn\.norm\.(weight|bias)$", rest):
+                _set(tree, [*blk, "sr_norm", LN[rest.split(".")[2]]], w, written)
+            elif re.match(r"mlp\.fc[12]\.weight$", rest):
+                _set(tree, [*blk, rest.split(".")[1], "kernel"], w.T, written)
+            elif re.match(r"mlp\.fc[12]\.bias$", rest):
+                _set(tree, [*blk, rest.split(".")[1], "bias"], w, written)
+            elif rest == "mlp.dwconv.dwconv.weight":
+                _set(tree, [*blk, "dw", "kernel"], _conv_w(w), written)
+            elif rest == "mlp.dwconv.dwconv.bias":
+                _set(tree, [*blk, "dw", "bias"], w, written)
+            elif strict:
+                raise KeyError(f"unmapped PVTv2 block key {tkey}")
+            continue
+        if strict and not tkey.startswith("head."):
+            raise KeyError(f"unmapped PVTv2 key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1437,5 +1500,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "stvit": stvit_state_dict_to_flax,
           "transxnet": transxnet_state_dict_to_flax,
           "glnet": glnet_state_dict_to_flax,
-          "emo2": emo2_state_dict_to_flax}[family]
+          "emo2": emo2_state_dict_to_flax,
+          "pvtv2": pvtv2_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -117,3 +117,31 @@ def test_split_test_unlabeled(tmp_path):
     assert len(crops) == 4  # 2x2 grid at step 384 clamped to 88
     im = cv2.imread(str(crops[0]))
     assert im.shape[:2] == (512, 512)
+
+
+def test_bbox_iof_vectorized_matches_scalar_clip():
+    """The batched Sutherland–Hodgman (r4, ADVICE perf fix) must reproduce the
+    per-pair scalar clip exactly on random non-convex-free quads."""
+    import numpy as np
+
+    from ultralytics_pro_tpu.data.split_dota import _poly_rect_area, _shoelace, bbox_iof
+
+    rng = np.random.default_rng(7)
+    n, m = 60, 12
+    centers = rng.uniform(0, 1000, (n, 1, 2))
+    quads = centers + rng.uniform(-80, 80, (n, 4, 2))
+    # sort each quad's vertices by angle so rings are simple polygons
+    rel = quads - centers
+    ang = np.arctan2(rel[..., 1], rel[..., 0])  # (n, 4)
+    order = np.argsort(ang, axis=1)
+    quads = np.take_along_axis(quads, order[..., None].repeat(2, -1), axis=1)
+    wins = np.sort(rng.uniform(0, 1000, (m, 2, 2)), axis=1).reshape(m, 4)
+    wins[:, 2:] = np.maximum(wins[:, 2:], wins[:, :2] + 5)
+
+    got = bbox_iof(quads.reshape(n, 8), wins)
+    want = np.zeros((n, m))
+    for i in range(n):
+        a = max(_shoelace(quads[i]), 1e-6)
+        for j in range(m):
+            want[i, j] = _poly_rect_area(quads[i], wins[j]) / a
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)

@@ -1,11 +1,13 @@
-"""Faithful image-restoration front-ends (reference ADNet.py, IAT.py).
+"""Faithful image-restoration front-ends (reference ADNet.py, IAT.py,
+MB_TaylorFormer.py, HAT.py).
 
 These serve the reference's enhancer prefix rows (`[-1, 1, ADNet, []]` etc. in
 v10/v11 yamls; reference tasks.py:2873 passes [c1, *args]); each returns a
-3-channel enhanced image. HAT and MB_TaylorFormer are still served by the
-declared-approximation zoo_r3.ImageEnhancer; AirNet is defined nowhere in
-the reference nn tree (yaml-only, unbuildable upstream) — the compact
-enhancer makes its yaml buildable here (COVERAGE.md).
+3-channel enhanced image. ``MBTaylorFormer`` (:589) is the faithful
+multi-branch Taylor-attention restorer; ``HATPassthrough`` (:666) serves
+HAT's yaml form (see its docstring for why the full SR net doesn't apply).
+AirNet is defined nowhere in the reference nn tree (yaml-only, unbuildable
+upstream) — the compact enhancer makes its yaml buildable here (COVERAGE.md).
 """
 
 from __future__ import annotations

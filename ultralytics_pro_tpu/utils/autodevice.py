@@ -2,9 +2,16 @@
 
 The reference's GPUInfo wraps pynvml to pick idle CUDA cards. The TPU-native
 equivalent queries the live JAX backend instead: every addressable device
-reports its HBM occupancy through ``device.memory_stats()`` (PJRT), which is
-the signal that matters on a TPU pod slice — a chip is "busy" exactly when
-another program holds its HBM. No NVML, no driver shellouts.
+reports its HBM occupancy through ``device.memory_stats()`` (PJRT). Scope
+caveat vs NVML: PJRT memory stats describe THIS process's allocator
+(bytes_in_use of the current JAX client), not HBM held by other programs —
+on TPU another process holding a chip typically prevents backend init
+entirely rather than showing up as occupancy. So this module answers
+*intra-process placement* ("which of my addressable devices carries the
+least of my own state") — e.g. picking a spare chip after earlier models
+were placed — not cross-process idleness. In a fresh process all devices
+legitimately report idle and selection degrades to "first N devices",
+which is the correct placement answer there. No NVML, no driver shellouts.
 
 ``GPUInfo`` stays as an alias so reference call sites
 (``from ultralytics.utils.autodevice import GPUInfo``) port unchanged.
@@ -24,8 +31,9 @@ class DeviceInfo:
 
     Mirrors the reference GPUInfo surface (reference autodevice.py:11):
     ``refresh_stats`` / ``print_status`` / ``select_idle_device`` with
-    utilization defined as HBM occupancy (bytes_in_use / bytes_limit) —
-    the TPU analogue of SM utilization for placement decisions.
+    utilization defined as this-process HBM occupancy
+    (bytes_in_use / bytes_limit) — an intra-process placement signal
+    (see module docstring), not a cross-process busy indicator.
     """
 
     def __init__(self):
@@ -102,7 +110,12 @@ class DeviceInfo:
 
         eligible = [
             s for s in self.device_stats
-            if (s["memory_total"] <= 0 or s["memory_free"] / max(s["memory_total"], 1) >= min_memory_fraction)
+            # memory_free < 0 means the backend reported no usable stats
+            # (e.g. bytes_limit without bytes_in_use): unknown counts as
+            # idle, same as the total<=0 case — don't let -1/total fail
+            # the fraction filter even at its 0.0 default
+            if (s["memory_total"] <= 0 or s["memory_free"] < 0
+                or s["memory_free"] / max(s["memory_total"], 1) >= min_memory_fraction)
             and (100 - occupancy(s)) >= min_util_fraction * 100
         ]
         eligible.sort(key=lambda s: (occupancy(s), -s["memory_free"]))

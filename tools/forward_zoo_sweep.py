@@ -1,0 +1,150 @@
+"""Forward-ALL zoo sweep (VERDICT r3 Next #3): forward every buildable
+reference model YAML at 64px on CPU-jax and record finite-output per file.
+
+Round 3 proved 100% *buildability* of the 1,361 upstream-valid reference
+YAMLs but forwarded only a ~8% stratified sample — a channel-arithmetic or
+reshape bug in the other 92% was invisible. This tool forwards each one and
+writes results incrementally to ``tests/.forward_sweep.jsonl`` so an
+interrupted run resumes where it stopped. Per-model wall is bounded with
+SIGALRM (compile hangs must not stall the sweep).
+
+Usage:
+    python tools/forward_zoo_sweep.py [--timeout 600] [--redo-failures]
+    python tools/forward_zoo_sweep.py --report   # summarize + per-family table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import sys
+import time
+import traceback
+from collections import defaultdict
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parents[1] / "tests" / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.yaml_sweep import REF_MODELS  # noqa: E402
+
+RESULTS = Path(__file__).resolve().parents[1] / "tests" / ".forward_sweep.jsonl"
+
+
+class Timeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise Timeout()
+
+
+def list_buildable():
+    """The same ok/invalid/failed split the buildability sweep test uses."""
+    from tests.test_reference_zoo_sweep import _classify_all
+
+    ok, invalid, failed = _classify_all()
+    return ok
+
+
+def forward_one(rel: str) -> dict:
+    import jax.numpy as jnp
+
+    from ultralytics_pro_tpu.nn.tasks import TASK2MODEL, guess_model_task
+    from ultralytics_pro_tpu.utils import yaml_load
+
+    t0 = time.time()
+    d = yaml_load(REF_MODELS / rel)
+    task = guess_model_task(d)
+    m = TASK2MODEL[task](d)
+    v = m.init_params(imgsz=64)
+    ch = int(d.get("ch", 3) or 3)
+    y = m.apply(v, jnp.zeros((1, 64, 64, ch)), train=False)
+    out = y[0] if isinstance(y, tuple) else y
+    leaf = out[0] if isinstance(out, (list, tuple)) else out
+    finite = bool(jnp.all(jnp.isfinite(jnp.asarray(leaf, jnp.float32))))
+    return {"yaml": rel, "task": task, "ok": finite,
+            "err": None if finite else "non-finite output",
+            "secs": round(time.time() - t0, 1)}
+
+
+def run(timeout_s: int, redo_failures: bool) -> None:
+    done = {}
+    if RESULTS.exists():
+        for line in RESULTS.read_text().splitlines():
+            if line.strip():
+                r = json.loads(line)
+                done[r["yaml"]] = r
+    todo = [rel for rel in list_buildable()
+            if rel not in done or (redo_failures and not done[rel]["ok"])]
+    print(f"forward sweep: {len(done)} recorded, {len(todo)} to go", flush=True)
+    signal.signal(signal.SIGALRM, _alarm)
+    with RESULTS.open("a") as f:
+        for i, rel in enumerate(todo):
+            signal.alarm(timeout_s)
+            try:
+                r = forward_one(rel)
+            except Timeout:
+                r = {"yaml": rel, "ok": False, "err": f"timeout>{timeout_s}s"}
+            except Exception as e:  # noqa: BLE001
+                tb = traceback.format_exc().splitlines()
+                r = {"yaml": rel, "ok": False,
+                     "err": f"{type(e).__name__}: {str(e)[:160]}",
+                     "site": next((ln.strip() for ln in reversed(tb)
+                                   if "ultralytics_pro_tpu" in ln), "")[:160]}
+            finally:
+                signal.alarm(0)
+            f.write(json.dumps(r) + "\n")
+            f.flush()
+            status = "ok" if r["ok"] else f"FAIL {r['err']}"
+            print(f"[{i + 1}/{len(todo)}] {rel}: {status}", flush=True)
+
+
+def report() -> int:
+    rows = [json.loads(x) for x in RESULTS.read_text().splitlines() if x.strip()]
+    seen = {}
+    for r in rows:  # latest entry per yaml wins (redo runs append)
+        seen[r["yaml"]] = r
+    rows = list(seen.values())
+    fams = defaultdict(lambda: [0, 0, []])
+    for r in rows:
+        fam = r["yaml"].split("/")[0]
+        fams[fam][1] += 1
+        if r["ok"]:
+            fams[fam][0] += 1
+        else:
+            fams[fam][2].append((r["yaml"], r["err"]))
+    n_ok = sum(f[0] for f in fams.values())
+    n = len(rows)
+    print(f"forwarded {n} yamls: {n_ok} ok ({100.0 * n_ok / max(n, 1):.2f}%)")
+    print(f"{'family':<22} {'ok/total':>9}")
+    for fam in sorted(fams):
+        ok_n, tot, fails = fams[fam]
+        mark = "" if ok_n == tot else "  <-- failures"
+        print(f"{fam:<22} {ok_n:>4}/{tot:<4}{mark}")
+    for fam in sorted(fams):
+        for y, e in fams[fam][2]:
+            print(f"  FAIL {y}: {e}")
+    return 0 if n and n_ok / n >= 0.97 else 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--timeout", type=int, default=600,
+                    help="per-model wall bound in seconds")
+    ap.add_argument("--redo-failures", action="store_true")
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args()
+    if args.report:
+        sys.exit(report())
+    run(args.timeout, args.redo_failures)
+
+
+if __name__ == "__main__":
+    main()

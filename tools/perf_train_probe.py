@@ -35,7 +35,8 @@ def main():
     from ultralytics_pro_tpu.engine.trainer import DetectionTrainer
     from ultralytics_pro_tpu.nn.tasks import DetectionModel
 
-    for batch in (32, 64):
+    batches = tuple(int(b) for b in os.environ.get("BENCH_TRAIN_BATCHES", "32,64,128").split(","))
+    for batch in batches:
         model = DetectionModel("yolov8s.yaml", dtype=jnp.bfloat16)
         model.init_params(imgsz=IMGSZ)
         tr = DetectionTrainer(model, {"batch": batch, "imgsz": IMGSZ,

@@ -7,17 +7,42 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 
-def initialize_distributed():
-    """Multi-host init (jax.distributed); no-op when single-host or already
-    initialized. TPU pods discover peers from the environment."""
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           local_device_ids=None):
+    """Multi-host init (jax.distributed) — the SPMD replacement for the
+    reference's DDP relaunch (utils/dist.py:77): instead of forking per-GPU
+    workers around a subprocess barrier, every host joins one coordination
+    service and all devices form a single global mesh.
+
+    With explicit args (coordinator_address="host:port", num_processes,
+    process_id) the process joins that cluster — this is the path the
+    2-process CPU test exercises. With no args, TPU pods discover peers from
+    the runtime environment; single-host falls through to a no-op.
+
+    Must be called BEFORE any other jax API touches the backend (backend
+    initialization freezes the process topology).
+    """
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
     try:
-        jax.distributed.initialize()
-    except (ValueError, RuntimeError):
-        pass  # single-host
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id,
+                local_device_ids=local_device_ids)
+        else:
+            jax.distributed.initialize()
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        if coordinator_address is not None:
+            raise
+    except ValueError:
+        if coordinator_address is not None:
+            raise
+        # no args + no env discovery = single host; nothing to initialize
 
 
 def get_mesh(axes: Sequence[str] = ("data",), shape: Optional[Sequence[int]] = None):

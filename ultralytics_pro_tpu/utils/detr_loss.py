@@ -81,17 +81,18 @@ class DETRLoss:
         """Losses for one decoder layer given the matching (b, G) -> query idx."""
         b, q, nc = pred_scores.shape
         g = gt_bboxes.shape[1]
-        # gather matched predictions per gt
-        pb = jnp.take_along_axis(pred_bboxes, match_rows[..., None], axis=1)  # (b, G, 4)
+        # gather matched predictions per gt — one-hot matmul, not
+        # take_along_axis (TPU gather pathology; see utils/tal.py)
+        oh_match = jax.nn.one_hot(match_rows, q, dtype=pred_bboxes.dtype)  # (b, G, Q)
+        pb = oh_match @ pred_bboxes  # (b, G, 4)
         iou = jnp.clip(
             bbox_iou(xywh2xyxy(pb), xywh2xyxy(gt_bboxes), xywh=False)[..., 0], 0, None
         )  # (b, G)
 
-        # VarifocalLoss-style class target: one-hot scaled by IoU at matched slots
-        tgt = jnp.zeros((b, q, nc))
+        # VarifocalLoss-style class target: one-hot scaled by IoU at matched
+        # slots; the scatter-add is the transposed one-hot matmul (exact)
         one_hot = jax.nn.one_hot(gt_cls.astype(jnp.int32), nc) * (iou * mask_gt)[..., None]
-        # scatter per-gt rows into their matched query slot
-        tgt = tgt.at[jnp.arange(b)[:, None], match_rows].add(one_hot)
+        tgt = jnp.einsum("bgq,bgc->bqc", oh_match, one_hot)
         tgt = jnp.clip(tgt, 0.0, 1.0)
 
         pred_sig = jax.nn.sigmoid(pred_scores)

@@ -82,8 +82,12 @@ def df_loss(pred_dist, target, reg_max: int):
     wl = tr.astype(target.dtype) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
+    # one-hot select, NOT take_along_axis: the (N, 4, 1)-from-(N, 4, reg_max)
+    # gather lowers to a 38 ms scalar path on TPU at b32 while the masked
+    # reduction fuses into the softmax (tools/perf_tal_parts_probe.py)
+    ce_l = -(logp * jax.nn.one_hot(tl, reg_max, dtype=logp.dtype)).sum(-1)
+    ce_r = -(logp * jax.nn.one_hot(jnp.clip(tr, 0, reg_max - 1), reg_max,
+                                   dtype=logp.dtype)).sum(-1)
     return (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
 
 
@@ -236,7 +240,10 @@ class v8SegmentationLoss(v8DetectionLoss):
         def per_image(pm, pf, gt_f, tg, tb, fg):
             # pm (A, nm), pf (mh*mw, nm), gt_f (G, mh*mw), tg (A,), tb (A, 4), fg (A,)
             pred = pm @ pf.T  # (A, mh*mw) logits
-            tmask = gt_f[tg]  # (A, mh*mw)
+            # one-hot matmul select (TPU: integer row-gather lowers to a
+            # scalar path; bf16 is EXACT here — 0/1 selector x binary masks)
+            oh = jax.nn.one_hot(tg, gt_f.shape[0], dtype=jnp.bfloat16)  # (A, G)
+            tmask = (oh @ gt_f.astype(jnp.bfloat16)).astype(pred.dtype)  # (A, mh*mw)
             l = bce_logits(pred, tmask).reshape(-1, mh, mw)
             l = crop_mask(l, tb)  # zero outside gt box
             return l.sum((1, 2)) * fg  # (A,)
@@ -319,8 +326,11 @@ class v8PoseLoss(v8DetectionLoss):
         scale = jnp.array([w, h], jnp.float32)
         gt_kpts = jnp.concatenate([gt_kpts[..., :2] * scale, gt_kpts[..., 2:]], -1)
         k, nd = self.kpt_shape
-        idx = jnp.broadcast_to(assign.target_gt_idx[..., None, None], (b, a, k, gt_kpts.shape[-1]))
-        sel = jnp.take_along_axis(gt_kpts, idx, axis=1)  # (b, A, K, nd)
+        # one-hot matmul select over the gt axis (TPU gather pathology;
+        # see tal.get_targets)
+        oh = jax.nn.one_hot(assign.target_gt_idx, gt_kpts.shape[1], dtype=gt_kpts.dtype)
+        sel = (oh @ gt_kpts.reshape(b, gt_kpts.shape[1], -1)).reshape(
+            b, a, k, gt_kpts.shape[-1])  # (b, A, K, nd)
         sel = jnp.concatenate([sel[..., :2] / stride_tensor[None, :, None, :], sel[..., 2:]], -1)
 
         area = (

@@ -24,11 +24,14 @@ from ultralytics_pro_tpu.ops.iou import bbox_iou, probiou
 
 
 def _gather_gt_class_scores(pd_scores, gt_labels):
-    """(b, A, nc), (b, G) -> (b, G, A): per-anchor score of each gt's class."""
-    b, a, nc = pd_scores.shape
-    g = gt_labels.shape[1]
-    idx = jnp.broadcast_to(gt_labels[:, :, None], (b, g, a))
-    return jnp.take_along_axis(pd_scores.transpose(0, 2, 1), idx, axis=1)
+    """(b, A, nc), (b, G) -> (b, G, A): per-anchor score of each gt's class.
+
+    One-hot matmul, NOT take_along_axis: XLA lowers the (b, G, A) gather to a
+    pathological scalar path on TPU (124.6 ms/call at b32 — the single
+    largest cost in the whole train step; tools/perf_tal_parts_probe.py) while
+    the equivalent (G, nc) x (nc, A) einsum rides the MXU in ~1 ms."""
+    oh = jax.nn.one_hot(gt_labels, pd_scores.shape[-1], dtype=pd_scores.dtype)  # (b, G, nc)
+    return jnp.einsum("bgc,bac->bga", oh, pd_scores)
 
 
 class AssignResult(NamedTuple):
@@ -104,11 +107,16 @@ class TaskAlignedAssigner:
         return target_gt_idx, fg_mask, mask_pos
 
     def get_targets(self, gt_labels, gt_bboxes, target_gt_idx, fg_mask):
-        target_labels = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # (b, A)
-        idx4 = jnp.broadcast_to(target_gt_idx[..., None], (*target_gt_idx.shape, gt_bboxes.shape[-1]))
-        target_bboxes = jnp.take_along_axis(gt_bboxes, idx4, axis=1)  # (b, A, 4)
-        target_labels = jnp.clip(target_labels, 0, None)
-        target_scores = jax.nn.one_hot(target_labels, self.num_classes, dtype=gt_bboxes.dtype)
+        """All three gathers expressed as one-hot matmuls (take_along_axis
+        lowers to a ~20 ms scalar gather on TPU; the (b, A, G) one-hot matmul
+        forms are MXU work — tools/perf_tal_parts_probe.py). Exact: the
+        selector is 0/1 and label values (< nc) are exact in f32."""
+        oh_gt = jax.nn.one_hot(target_gt_idx, gt_labels.shape[1], dtype=gt_bboxes.dtype)  # (b, A, G)
+        target_bboxes = oh_gt @ gt_bboxes  # (b, A, 4)
+        labels = jnp.clip(gt_labels, 0, None)
+        target_labels = (oh_gt @ labels[..., None].astype(gt_bboxes.dtype))[..., 0].astype(jnp.int32)
+        cls_oh = jax.nn.one_hot(labels, self.num_classes, dtype=gt_bboxes.dtype)  # (b, G, nc)
+        target_scores = oh_gt @ cls_oh  # (b, A, nc)
         target_scores = jnp.where(fg_mask[..., None] > 0, target_scores, 0.0)
         return target_labels, target_bboxes, target_scores
 

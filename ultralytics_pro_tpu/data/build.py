@@ -198,8 +198,140 @@ class DataLoader:
             self.dataset.close_mosaic()
 
 
+# ---------------------------------------------------------------------------
+# Process-pool loader: true multi-core augmentation (reference build.py:37
+# InfiniteDataLoader wraps torch's multi-process workers; threads only scale
+# the cv2 portion here because label building/collate hold the GIL).
+# ---------------------------------------------------------------------------
+
+_WORKER_DATASET = None
+
+
+def _pool_init(dataset, seed):
+    """Runs once in each worker: pin the dataset and tame cv2's own pool."""
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    try:
+        import cv2
+
+        cv2.setNumThreads(0)  # one process == one core; no nested pools
+    except Exception:  # noqa: BLE001
+        pass
+    random.seed(seed)
+    np.random.seed(seed % (2**32 - 1))
+
+
+def _pool_get(i: int):
+    return _WORKER_DATASET[i]
+
+
+class ProcessDataLoader(DataLoader):
+    """DataLoader whose augmentation chain runs in OS processes.
+
+    The thread loader tops out when the Python parts of __getitem__ (label
+    geometry, mosaic bookkeeping, collate) serialize on the GIL; processes
+    scale the whole chain with cores. Workers are forked (default), so a
+    RAM-cached dataset is shared copy-on-write instead of duplicated; use
+    mp_context="spawn" where fork is unsafe. Results return via pickle —
+    ~1 MB per 640px image; the pipe cost is why `workers=0/1` should stay on
+    the thread loader (build_dataloader picks automatically).
+
+    In-flight work is bounded by a semaphore (workers + 2*batch samples) so
+    an epoch never buffers unboundedly when the consumer is slow.
+    """
+
+    def __init__(self, dataset, batch_size: int = 16, shuffle: bool = False,
+                 workers: int = 8, collate_fn=collate_detect, drop_last: bool = False,
+                 seed: int = 0, max_gt: int = 128, infinite: bool = False,
+                 mp_context: str = "fork"):
+        super().__init__(dataset, batch_size=batch_size, shuffle=shuffle,
+                         workers=workers, collate_fn=collate_fn, drop_last=drop_last,
+                         seed=seed, max_gt=max_gt, infinite=infinite)
+        self.mp_context = mp_context
+        self._pool = None
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context(self.mp_context)
+            self._pool = ctx.Pool(self.workers, initializer=_pool_init,
+                                  initargs=(self.dataset, self.seed))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+    def reset(self):
+        # close_mosaic mutates dataset state: restart workers so they see it
+        super().reset()
+        self.close()
+
+    def __iter__(self) -> Iterator[Dict]:
+        while True:
+            pool = self._ensure_pool()
+            batches = self._index_batches()
+            window = threading.Semaphore(self.workers + 2 * self.batch_size)
+            done = queue.Queue()
+
+            def _feed():
+                seq = 0
+                for chunk, _pad in batches:
+                    for i in chunk:
+                        window.acquire()
+                        pool.apply_async(
+                            _pool_get, (i,),
+                            callback=(lambda res, s=seq: (done.put((s, "ok", res)),
+                                                          window.release())),
+                            error_callback=(lambda e, s=seq: (done.put((s, "err", e)),
+                                                              window.release())))
+                        seq += 1
+
+            feeder = threading.Thread(target=_feed, daemon=True)
+            feeder.start()
+            # results arrive in completion order; reorder to submission order
+            # so samples land in their intended batch (val alignment + pads)
+            buf: Dict[int, tuple] = {}
+            next_seq = 0
+            for chunk, pad in batches:
+                samples = []
+                for _ in chunk:
+                    while next_seq not in buf:
+                        s, kind, res = done.get()
+                        buf[s] = (kind, res)
+                    kind, res = buf.pop(next_seq)
+                    next_seq += 1
+                    if kind == "err":
+                        raise res
+                    samples.append(res)
+                batch = self.collate_fn(samples)
+                batch["pad_count"] = pad
+                yield batch
+            feeder.join()
+            self.epoch += 1
+            if not self.infinite:
+                break
+
+
 def build_dataloader(dataset, batch: int, workers: int = 8, shuffle: bool = True,
-                     drop_last: bool = True, max_gt: int = 128, seed: int = 0):
-    """Reference build_dataloader equivalent (build.py:285)."""
-    return DataLoader(dataset, batch_size=batch, shuffle=shuffle, workers=workers,
-                      drop_last=drop_last, max_gt=max_gt, seed=seed)
+                     drop_last: bool = True, max_gt: int = 128, seed: int = 0,
+                     use_processes: Optional[bool] = None):
+    """Reference build_dataloader equivalent (build.py:285). Picks process
+    workers when the host has cores to use them (os.cpu_count() > 2) unless
+    overridden via use_processes."""
+    import os
+
+    if use_processes is None:
+        use_processes = (os.cpu_count() or 1) > 2 and workers > 1
+    cls = ProcessDataLoader if use_processes else DataLoader
+    return cls(dataset, batch_size=batch, shuffle=shuffle, workers=workers,
+               drop_last=drop_last, max_gt=max_gt, seed=seed)

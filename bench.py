@@ -124,7 +124,32 @@ def loader_bench():
         for b in loader:
             n += len(b["img"])
     dt = _t.perf_counter() - t0
-    return n / dt
+    rate = n / dt
+
+    # process-worker scaling curve (true multi-core: the thread loader's
+    # label/collate Python stays GIL-bound). On a 1-core CI host this shows
+    # the per-worker overhead slope; on a real TPU host it shows the scaling.
+    from ultralytics_pro_tpu.data.build import ProcessDataLoader
+
+    scaling = {}
+    max_w = min(8, (os.cpu_count() or 1) * 2)
+    w = 1
+    while w <= max_w:
+        pl = ProcessDataLoader(ds, batch_size=32, shuffle=True, drop_last=True,
+                               max_gt=64, workers=w)
+        try:
+            for b in pl:  # warm (fork + first epoch)
+                pass
+            t0 = _t.perf_counter()
+            m = 0
+            for _ in range(2):
+                for b in pl:
+                    m += len(b["img"])
+            scaling[f"proc_w{w}"] = round(m / (_t.perf_counter() - t0), 1)
+        finally:
+            pl.close()
+        w *= 2
+    return rate, scaling
 
 
 def main():
@@ -239,16 +264,53 @@ def main():
             extra["int8_quantized_convs"] = len(qt)
         except Exception as e:  # noqa: BLE001
             extra["int8_bench_error"] = f"{type(e).__name__}: {e}"[:160]
+        try:
+            # chain-level int8 (nn/quantize_chain.py): the whole backbone
+            # prefix carries int8 activations between blocks — targets the
+            # HBM-bound early stages where per-conv int8 loses to its seams
+            from ultralytics_pro_tpu.nn.quantize_chain import (
+                chain_quantized_apply, quantize_model_chain)
+
+            plan, rest_qt = quantize_model_chain(
+                model, variables, [img[:8].astype(jnp.bfloat16)])
+            if plan is None:
+                raise RuntimeError("model ineligible for chain int8")
+            capply = chain_quantized_apply(model, plan, rest_qt)
+
+            def e2e_c(variables, img_u8):
+                x = img_u8.astype(jnp.bfloat16)
+                y, aux = capply(variables, x, train=False)
+                b4, cf, cl = decode_single_label(aux["feats"], model.stride, nc)
+                return non_max_suppression_fused(
+                    b4, cf, cl, conf_thres=0.25, iou_thres=0.45, max_det=300,
+                    max_nms=1024)
+
+            @jax.jit
+            def e2e_chain_c(variables, img_u8):
+                def body(i, carry):
+                    x = img_u8 + (carry * 0).astype(jnp.uint8)
+                    out = e2e_c(variables, x)
+                    return out["scores"].sum().astype(jnp.float32) + carry * 0
+
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+            float(np.asarray(e2e_chain_c(variables, img)))  # compile+warm
+            t0 = time.perf_counter()
+            float(np.asarray(e2e_chain_c(variables, img)))
+            dc = max(time.perf_counter() - t0 - rtt, 1e-9)
+            extra["int8_chain_imgs_per_sec"] = round(batch * iters / dc, 2)
+            extra["int8_chain_prefix_layers"] = plan["n_prefix"]
+        except Exception as e:  # noqa: BLE001
+            extra["int8_chain_bench_error"] = f"{type(e).__name__}: {e}"[:160]
     if os.environ.get("BENCH_SKIP_TRAIN") != "1":
         try:
             extra["train_imgs_per_sec"] = round(train_bench(), 2)
         except Exception as e:  # noqa: BLE001
             extra["train_bench_error"] = f"{type(e).__name__}: {e}"[:160]
         try:
-            extra["loader_imgs_per_sec"] = round(loader_bench(), 2)
-            # host cores bound the loader: the aug chain is embarrassingly
-            # parallel per sample (threads; cv2 releases the GIL), so the
-            # sustained rate scales ~linearly with cores on a real TPU host
+            loader_rate, loader_scaling = loader_bench()
+            extra["loader_imgs_per_sec"] = round(loader_rate, 2)
+            extra["loader_scaling"] = loader_scaling  # process-pool workers
             extra["host_cpu_cores"] = os.cpu_count()
         except Exception as e:  # noqa: BLE001
             extra["loader_bench_error"] = f"{type(e).__name__}: {e}"[:160]

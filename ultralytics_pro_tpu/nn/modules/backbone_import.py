@@ -38,7 +38,8 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "iformer_state_dict_to_flax", "evit_state_dict_to_flax",
            "stvit_state_dict_to_flax", "transxnet_state_dict_to_flax",
            "glnet_state_dict_to_flax", "emo2_state_dict_to_flax",
-           "pvtv2_state_dict_to_flax",
+           "pvtv2_state_dict_to_flax", "hornet_state_dict_to_flax",
+           "moganet_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1469,6 +1470,150 @@ def pvtv2_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def hornet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """HorNet 7x7 (reference HorNet.py:262).
+
+    Torch layout: downsample_layers.0.{0 conv,1 LN} stem; downsample_layers.i
+    = {0 LN, 1 conv}; stages.{s}.{b} Block = {norm1,norm2 LN; gamma1,gamma2;
+    gnconv.{proj_in,dwconv,pws.{i},proj_out}; pwconv1,pwconv2 Linear};
+    norm{i} out-LNs."""
+    tree = _deep_dict(variables)
+    written = set()
+    for tkey, w in sd.items():
+        w = np.asarray(w, np.float32)
+        leaf = tkey.rsplit(".", 1)[-1]
+        m = re.match(r"downsample_layers\.(\d+)\.(\d)\.(weight|bias)$", tkey)
+        if m:
+            s, sub = int(m.group(1)), int(m.group(2))
+            if s == 0:
+                name, is_conv = ("stem_conv", True) if sub == 0 else ("stem_ln", False)
+            else:
+                name, is_conv = (f"down{s}_ln", False) if sub == 0 else (f"down{s}_conv", True)
+            if is_conv:
+                _set(tree, ["params", name, "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            else:
+                _set(tree, ["params", name, "scale" if leaf == "weight" else "bias"],
+                     w, written)
+            continue
+        m = re.match(r"norm(\d+)\.(weight|bias)$", tkey)
+        if m:
+            _set(tree, ["params", f"norm{m.group(1)}",
+                        "scale" if leaf == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"stages\.(\d+)\.(\d+)\.(.+)$", tkey)
+        if m:
+            s, b, rest = m.group(1), m.group(2), m.group(3)
+            pre = ["params", f"s{s}_b{b}"]
+            parts = rest.split(".")
+            if parts[0] in ("gamma1", "gamma2"):
+                _set(tree, pre + [parts[0]], w, written)
+            elif parts[0] in ("norm1", "norm2"):
+                _set(tree, pre + [parts[0], "scale" if leaf == "weight" else "bias"],
+                     w, written)
+            elif parts[0] in ("pwconv1", "pwconv2"):
+                _set(tree, pre + [parts[0], "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif parts[0] == "gnconv":
+                sub = parts[1]
+                name = f"pws_{parts[2]}" if sub == "pws" else sub
+                _set(tree, pre + ["gnconv", name,
+                                  "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif strict:
+                raise KeyError(f"unmapped HorNet block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped HorNet key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
+def moganet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """MogaNet (reference MogaNet_backbone.py:455).
+
+    Torch layout: patch_embed1.projection.{0 conv,1 BN,3 conv,4 BN} stacked
+    stem; patch_embed{i}.{projection conv,norm BN}; blocks{i}.{j} MogaBlock =
+    {norm1,norm2 BN; layer_scale_1/2 (1,C,1,1); attn.{proj_1,gate,proj_2,
+    sigma.scale,value.{DW_conv0,DW_conv1,DW_conv2,PW_conv}};
+    mlp.{fc1,dwconv,decompose,fc2,sigma.scale}}; norm{i} out-BNs."""
+    tree = _deep_dict(variables)
+    written = set()
+
+    def conv_entry(path, tkey):
+        _set(tree, ["params", *path, "kernel"], _conv_w(sd[f"{tkey}.weight"]), written)
+        if f"{tkey}.bias" in sd:
+            _set(tree, ["params", *path, "bias"], sd[f"{tkey}.bias"], written)
+
+    handled = set()
+    for tkey in sd:
+        # raw Parameters first (their "leaf" is the parameter name itself)
+        m = re.match(r"blocks(\d+)\.(\d+)\.(layer_scale_[12])$", tkey)
+        if m:
+            st, b = int(m.group(1)) - 1, m.group(2)
+            _set(tree, ["params", f"s{st}_b{b}", m.group(3)],
+                 np.asarray(sd[tkey], np.float32).reshape(-1), written)
+            continue
+        base = tkey.rsplit(".", 1)[0]
+        if base in handled:
+            continue
+        m = re.match(r"patch_embed(\d+)\.(projection|norm)(?:\.(\d))?$", base)
+        if m:
+            st = int(m.group(1)) - 1
+            sub = m.group(3)
+            if st == 0:
+                name = {"0": ("stem_conv1", True), "1": ("stem_bn1", False),
+                        "3": ("stem_conv2", True), "4": ("stem_bn2", False)}[sub]
+            else:
+                name = (f"embed{st}_conv", True) if m.group(2) == "projection" \
+                    else (f"embed{st}_bn", False)
+            if name[1]:
+                conv_entry([name[0]], base)
+            else:
+                _bn_entries(tree, [name[0]], [name[0]], sd, base, written)
+            handled.add(base)
+            continue
+        m = re.match(r"norm(\d+)$", base)
+        if m:
+            st = int(m.group(1)) - 1
+            _bn_entries(tree, [f"out_norm{st}"], [f"out_norm{st}"], sd, base, written)
+            handled.add(base)
+            continue
+        m = re.match(r"blocks(\d+)\.(\d+)\.(.+)$", base)
+        if m:
+            st, b, rest = int(m.group(1)) - 1, m.group(2), m.group(3)
+            pre = f"s{st}_b{b}"
+            parts = rest.split(".")
+            if parts[0] in ("norm1", "norm2"):
+                _bn_entries(tree, [pre, parts[0]], [pre, parts[0]], sd, base, written)
+            elif parts[0] == "attn":
+                if parts[1] == "sigma":
+                    _set(tree, ["params", pre, "attn", "sigma"],
+                         np.asarray(sd[tkey], np.float32).reshape(-1), written)
+                elif parts[1] == "value":
+                    conv_entry([pre, "attn", "value", parts[2]], base)
+                else:
+                    conv_entry([pre, "attn", parts[1]], base)
+            elif parts[0] == "mlp":
+                if parts[1] == "sigma":
+                    _set(tree, ["params", pre, "mlp", "sigma"],
+                         np.asarray(sd[tkey], np.float32).reshape(-1), written)
+                else:
+                    conv_entry([pre, "mlp", parts[1]], base)
+            elif strict:
+                raise KeyError(f"unmapped MogaNet block key {tkey}")
+            handled.add(base)
+            continue
+        if strict:
+            raise KeyError(f"unmapped MogaNet key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1501,5 +1646,7 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "transxnet": transxnet_state_dict_to_flax,
           "glnet": glnet_state_dict_to_flax,
           "emo2": emo2_state_dict_to_flax,
-          "pvtv2": pvtv2_state_dict_to_flax}[family]
+          "pvtv2": pvtv2_state_dict_to_flax,
+          "hornet": hornet_state_dict_to_flax,
+          "moganet": moganet_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

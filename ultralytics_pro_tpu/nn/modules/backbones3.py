@@ -401,12 +401,11 @@ class WTConvNeXt(ConvBase):
 BACKBONE_VARIANTS3 = {
     "mobilevit_s": (MobileViT, ()),
     "MobileViT": (MobileViT, ()),
-    "hornet_tiny": (HorNet, ()),
-    "HorNet": (HorNet, ()),
+    # hornet/moganet now bind the import-faithful backbones5 implementations
+    # (transplant-parity tested; round-4 tranche). The scaled-down stage
+    # assemblies above remain for blocks referenced directly by YAMLs.
     "inceptionnext_tiny": (InceptionNeXt, ()),
     "InceptionNext": (InceptionNeXt, ()),
-    "moganet_tiny": (MogaNet, ()),
-    "MogaNet": (MogaNet, ()),
     "vanillanet_5": (VanillaNet, ()),
     "VanillaNet": (VanillaNet, ()),
     "CSWin_tiny": (CSWin, ()),
@@ -455,6 +454,29 @@ BACKBONE_VARIANTS3.update({
     "Conv2Former": (Conv2Former, ()),
     "unireplknet_a": (UniRepLKNet, ()),
     "UniRepLKNet": (UniRepLKNet, ()),
+})
+
+
+def _faithful(modname, clsname, **kw):
+    import importlib
+
+    cls = getattr(importlib.import_module(
+        f"ultralytics_pro_tpu.nn.modules.{modname}"), clsname)
+    return (cls, tuple(kw.items()))
+
+
+# import-faithful round-4 rebinds (backbones5.py; transplant-parity tested,
+# official checkpoints load via backbone_import.load_backbone_checkpoint)
+BACKBONE_VARIANTS3.update({
+    "hornet_tiny": _faithful("backbones5", "HorNetBackbone"),
+    "HorNet": _faithful("backbones5", "HorNetBackbone"),
+    "hornet_small": _faithful("backbones5", "HorNetBackbone", base_dim=96),
+    "moganet_xtiny": _faithful("backbones5", "MogaNetBackbone",
+                               embed_dims=(32, 64, 96, 192), depths=(3, 3, 10, 2)),
+    "moganet_tiny": _faithful("backbones5", "MogaNetBackbone"),
+    "MogaNet": _faithful("backbones5", "MogaNetBackbone"),
+    "moganet_small": _faithful("backbones5", "MogaNetBackbone",
+                               embed_dims=(64, 128, 320, 512), depths=(2, 3, 12, 2)),
 })
 
 

@@ -67,6 +67,43 @@ def test_hornet_import_parity():
     _assert_close(ours, theirs)
 
 
+def test_inceptionnext_import_parity():
+    """Faithful InceptionNeXt (inception DW mixer + BN MetaNeXt blocks) vs
+    reference InceptionNext.py with transplanted weights."""
+    from ultralytics.nn.modules.InceptionNext import InceptionDWConv2d, MetaNeXt
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import (
+        inceptionnext_state_dict_to_flax)
+    from ultralytics_pro_tpu.nn.modules.backbones5 import InceptionNeXtBackbone
+
+    torch.manual_seed(11)
+    ref = MetaNeXt(depths=(1, 1, 2, 1), dims=(16, 32, 64, 96),
+                   token_mixers=InceptionDWConv2d, mlp_ratios=(4, 4, 4, 3))
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+        for mbuf in ref.modules():
+            if isinstance(mbuf, torch.nn.BatchNorm2d):
+                mbuf.running_mean.add_(torch.randn_like(mbuf.running_mean) * 0.05)
+                mbuf.running_var.mul_(1.2)
+
+    m = InceptionNeXtBackbone(depths=(1, 1, 2, 1), dims=(16, 32, 64, 96),
+                              mlp_ratios=(4, 4, 4, 3))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = inceptionnext_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(12).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
+                   mutable=False)
+    _assert_close(ours, theirs)
+
+
 def test_moganet_import_parity():
     """Faithful MogaNet (multi-order gated aggregation + CA-FFN) vs reference
     MogaNet_backbone.py with transplanted weights."""

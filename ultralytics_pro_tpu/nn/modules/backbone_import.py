@@ -39,7 +39,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "stvit_state_dict_to_flax", "transxnet_state_dict_to_flax",
            "glnet_state_dict_to_flax", "emo2_state_dict_to_flax",
            "pvtv2_state_dict_to_flax", "hornet_state_dict_to_flax",
-           "moganet_state_dict_to_flax",
+           "moganet_state_dict_to_flax", "inceptionnext_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1614,6 +1614,70 @@ def moganet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def inceptionnext_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """InceptionNeXt / MetaNeXt (reference InceptionNext.py:173).
+
+    Torch layout: stem.{0 conv,1 BN}; stages.{i}.downsample.{0 BN,1 conv};
+    stages.{i}.blocks.{j} = {token_mixer.{dwconv_hw,dwconv_w,dwconv_h},
+    norm BN, mlp.{fc1,fc2}, gamma}."""
+    tree = _deep_dict(variables)
+    written = set()
+    handled = set()
+    for tkey in sd:
+        m = re.match(r"stages\.(\d+)\.blocks\.(\d+)\.gamma$", tkey)
+        if m:
+            _set(tree, ["params", f"s{m.group(1)}_b{m.group(2)}", "gamma"],
+                 sd[tkey], written)
+            continue
+        base = tkey.rsplit(".", 1)[0]
+        if base in handled:
+            continue
+        handled.add(base)
+
+        def conv_entry(name):
+            _set(tree, ["params", name, "kernel"], _conv_w(sd[f"{base}.weight"]), written)
+            if f"{base}.bias" in sd:
+                _set(tree, ["params", name, "bias"], sd[f"{base}.bias"], written)
+
+        if base == "stem.0":
+            conv_entry("stem_conv")
+        elif base == "stem.1":
+            _bn_entries(tree, ["stem_bn"], ["stem_bn"], sd, base, written)
+        elif re.match(r"stages\.(\d+)\.downsample\.0$", base):
+            i = re.match(r"stages\.(\d+)", base).group(1)
+            _bn_entries(tree, [f"down{i}_bn"], [f"down{i}_bn"], sd, base, written)
+        elif re.match(r"stages\.(\d+)\.downsample\.1$", base):
+            i = re.match(r"stages\.(\d+)", base).group(1)
+            conv_entry(f"down{i}_conv")
+        else:
+            m = re.match(r"stages\.(\d+)\.blocks\.(\d+)\.(.+)$", base)
+            if not m:
+                if strict:
+                    raise KeyError(f"unmapped InceptionNeXt key {tkey}")
+                continue
+            i, b, rest = m.group(1), m.group(2), m.group(3)
+            pre = f"s{i}_b{b}"
+            if rest.startswith("token_mixer."):
+                sub = rest.split(".", 1)[1]
+                _set(tree, ["params", pre, "token_mixer", sub, "kernel"],
+                     _conv_w(sd[f"{base}.weight"]), written)
+                _set(tree, ["params", pre, "token_mixer", sub, "bias"],
+                     sd[f"{base}.bias"], written)
+            elif rest == "norm":
+                _bn_entries(tree, [pre, "norm"], [pre, "norm"], sd, base, written)
+            elif rest in ("mlp.fc1", "mlp.fc2"):
+                name = rest.split(".")[1]
+                _set(tree, ["params", pre, name, "kernel"],
+                     _conv_w(sd[f"{base}.weight"]), written)
+                _set(tree, ["params", pre, name, "bias"], sd[f"{base}.bias"], written)
+            elif strict:
+                raise KeyError(f"unmapped InceptionNeXt block key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1648,5 +1712,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "emo2": emo2_state_dict_to_flax,
           "pvtv2": pvtv2_state_dict_to_flax,
           "hornet": hornet_state_dict_to_flax,
-          "moganet": moganet_state_dict_to_flax}[family]
+          "moganet": moganet_state_dict_to_flax,
+          "inceptionnext": inceptionnext_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -401,11 +401,9 @@ class WTConvNeXt(ConvBase):
 BACKBONE_VARIANTS3 = {
     "mobilevit_s": (MobileViT, ()),
     "MobileViT": (MobileViT, ()),
-    # hornet/moganet now bind the import-faithful backbones5 implementations
-    # (transplant-parity tested; round-4 tranche). The scaled-down stage
-    # assemblies above remain for blocks referenced directly by YAMLs.
-    "inceptionnext_tiny": (InceptionNeXt, ()),
-    "InceptionNext": (InceptionNeXt, ()),
+    # hornet/moganet/inceptionnext bind the import-faithful backbones5
+    # implementations (transplant-parity tested; round-4 tranche). The
+    # scaled-down stage assemblies above remain for direct block use.
     "vanillanet_5": (VanillaNet, ()),
     "VanillaNet": (VanillaNet, ()),
     "CSWin_tiny": (CSWin, ()),
@@ -477,6 +475,12 @@ BACKBONE_VARIANTS3.update({
     "MogaNet": _faithful("backbones5", "MogaNetBackbone"),
     "moganet_small": _faithful("backbones5", "MogaNetBackbone",
                                embed_dims=(64, 128, 320, 512), depths=(2, 3, 12, 2)),
+    "inceptionnext_tiny": _faithful("backbones5", "InceptionNeXtBackbone"),
+    "InceptionNext": _faithful("backbones5", "InceptionNeXtBackbone"),
+    "inceptionnext_small": _faithful("backbones5", "InceptionNeXtBackbone",
+                                     depths=(3, 3, 27, 3)),
+    "inceptionnext_base": _faithful("backbones5", "InceptionNeXtBackbone",
+                                    depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024)),
 })
 
 

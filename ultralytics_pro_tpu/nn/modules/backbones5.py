@@ -215,6 +215,76 @@ class MogaBlockFaithful(ConvBase):
         return x + ls2 * y
 
 
+class InceptionDWConv2d(ConvBase):
+    """Inception DW mixer (reference InceptionNext.py:19): identity /
+    3x3 DW / 1x11 DW / 11x1 DW over (d-3gc, gc, gc, gc) with gc = d/8."""
+
+    dim: int = 0
+    band: int = 11
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dim
+        gc = int(d * 0.125)
+        hb = self.band // 2
+        x_id = x[..., :d - 3 * gc]
+        x_hw = nn.Conv(gc, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=gc,
+                       dtype=self.dtype, name="dwconv_hw")(x[..., d - 3 * gc:d - 2 * gc])
+        x_w = nn.Conv(gc, (1, self.band), padding=((0, 0), (hb, hb)),
+                      feature_group_count=gc, dtype=self.dtype,
+                      name="dwconv_w")(x[..., d - 2 * gc:d - gc])
+        x_h = nn.Conv(gc, (self.band, 1), padding=((hb, hb), (0, 0)),
+                      feature_group_count=gc, dtype=self.dtype,
+                      name="dwconv_h")(x[..., d - gc:])
+        return jnp.concatenate([x_id, x_hw, x_w, x_h], -1)
+
+
+class MetaNeXtBlock(ConvBase):
+    """InceptionNeXt block (reference InceptionNext.py:89): token mixer ->
+    BN -> 1x1 MLP (GELU) -> gamma layer scale -> + shortcut."""
+
+    dim: int = 0
+    ratio: float = 4.0
+    ls_init: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        gamma = self.param("gamma", nn.initializers.constant(self.ls_init), (self.dim,))
+        y = InceptionDWConv2d(dim=self.dim, dtype=self.dtype, name="token_mixer")(x, train)
+        y = _bn5(self, "norm", y, train)
+        y = nn.Conv(int(self.ratio * self.dim), (1, 1), dtype=self.dtype, name="fc1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="fc2")(y)
+        return x + gamma * y
+
+
+class InceptionNeXtBackbone(ConvBase):
+    """InceptionNeXt / MetaNeXt (reference InceptionNext.py:173): k4s4 stem +
+    BN, stages with (BN + k2s2 conv) downsample for i>0; emits all 4 stage
+    maps (the reference's features[scale] slots)."""
+
+    depths: Sequence[int] = (3, 3, 9, 3)    # 'tiny'
+    dims: Sequence[int] = (96, 192, 384, 768)
+    mlp_ratios: Sequence[float] = (4, 4, 4, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = _bn5(self, "stem_bn", x, train)
+        outs = []
+        for st in range(4):
+            if st > 0:
+                x = _bn5(self, f"down{st}_bn", x, train)
+                x = nn.Conv(self.dims[st], (2, 2), strides=(2, 2), dtype=self.dtype,
+                            name=f"down{st}_conv")(x)
+            for b in range(self.depths[st]):
+                x = MetaNeXtBlock(dim=self.dims[st], ratio=self.mlp_ratios[st],
+                                  dtype=self.dtype, name=f"s{st}_b{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
 class MogaNetBackbone(ConvBase):
     """MogaNet (reference MogaNet_backbone.py:455): stage-0 stacked conv stem
     (k3s2 BN GELU k3s2 BN), k3s2+BN patch embeds between stages, MogaBlocks,

@@ -26,6 +26,14 @@ from flax import linen as nn
 
 BN_MOMENTUM = 0.97  # torch momentum 0.03
 BN_EPS = 1e-3
+# Train-mode batch-statistics algorithm (eval mode uses running stats, so
+# this NEVER affects inference/parity numerics). True = one-pass
+# E[x^2]-E[x]^2 — measured +11.5% on the full yolov8s train step at bs128
+# (tools/perf_bwd_probe.py: grad 328.6 -> 366.3 imgs/s) because the backward
+# re-reads activations once instead of twice per BN. False = torch's
+# two-pass form for bit-exact train-step comparison; mathematically
+# identical, numerically ~1e-6 apart on normalized activations.
+BN_FAST_VARIANCE = [True]
 
 
 def autopad(k, p=None, d: int = 1):
@@ -66,7 +74,7 @@ def conv_bn_act(mod, x, c2, k, s, p, g, d, act, train):
     x = nn.BatchNorm(
         use_running_average=not train,
         momentum=BN_MOMENTUM,
-        use_fast_variance=False,
+        use_fast_variance=BN_FAST_VARIANCE[0],
         epsilon=BN_EPS,
         dtype=mod.dtype,
         name="bn",

@@ -104,6 +104,58 @@ def test_inceptionnext_import_parity():
     _assert_close(ours, theirs)
 
 
+def test_cswin_import_parity():
+    """Faithful CSWin (cross-shaped-window LePE attention) vs reference
+    CSWinTransformer.py with transplanted weights. 640px: the reference
+    hardwires a 640 init-time forward (width_list) into its constructor, so
+    that is the only resolution it can even be built at."""
+    from ultralytics.nn.modules.CSWinTransformer import CSWinTransformer
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import cswin_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones5 import CSWinBackbone
+
+    torch.manual_seed(21)
+    ref = CSWinTransformer(img_size=640, embed_dim=16, depth=[1, 1, 2, 1],
+                           split_size=[1, 2, 8, 8], num_heads=[2, 4, 8, 16],
+                           mlp_ratio=4.0)
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+
+    m = CSWinBackbone(embed_dim=16, depths=(1, 1, 2, 1),
+                      split_size=(1, 2, 8, 8), num_heads=(2, 4, 8, 16))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = cswin_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(22).normal(0, 1, (1, 3, 640, 640)).astype(np.float32)
+    # Compare TOKEN streams per stage: the reference's feature emission
+    # reshapes its (B, L, C) tokens straight to (B, C, H, W) WITHOUT the
+    # transpose (CSWinTransformer.py:352), scrambling channel/space in its
+    # own output maps — we match the underlying computation, not that bug.
+    ref.eval()
+    theirs = []
+    with torch.no_grad():
+        t = ref.stage1_conv_embed(torch.from_numpy(x))
+        for blk in ref.stage1:
+            t = blk(t)
+        theirs.append(t.numpy())
+        for merge, blocks in zip([ref.merge1, ref.merge2, ref.merge3],
+                                 [ref.stage2, ref.stage3, ref.stage4]):
+            t = merge(t)
+            for blk in blocks:
+                t = blk(t)
+            theirs.append(t.numpy())
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ours = [np.asarray(o, np.float32).reshape(o.shape[0], -1, o.shape[-1])
+            for o in ours]
+    _assert_close(ours, theirs)
+
+
 def test_moganet_import_parity():
     """Faithful MogaNet (multi-order gated aggregation + CA-FFN) vs reference
     MogaNet_backbone.py with transplanted weights."""

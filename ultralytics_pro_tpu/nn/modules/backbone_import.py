@@ -39,7 +39,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "stvit_state_dict_to_flax", "transxnet_state_dict_to_flax",
            "glnet_state_dict_to_flax", "emo2_state_dict_to_flax",
            "pvtv2_state_dict_to_flax", "hornet_state_dict_to_flax",
-           "moganet_state_dict_to_flax", "inceptionnext_state_dict_to_flax",
+           "moganet_state_dict_to_flax", "inceptionnext_state_dict_to_flax", "cswin_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1678,6 +1678,69 @@ def inceptionnext_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = T
     return tree
 
 
+def cswin_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """CSWin Transformer (reference CSWinTransformer.py:247).
+
+    Torch layout: stage1_conv_embed.{0 conv,2 LN}; merge{i}.{conv,norm};
+    stage{s}.{b} = {norm1,norm2 LN; qkv,proj Linear; attns.{i}.get_v DW conv;
+    mlp.{fc1,fc2}}. The classifier-era `norm`/`head` keys are unused by the
+    feature forward and skipped."""
+    tree = _deep_dict(variables)
+    written = set()
+    for tkey, w in sd.items():
+        w = np.asarray(w, np.float32)
+        leaf = tkey.rsplit(".", 1)[-1]
+        if tkey.startswith(("norm.", "head.")):
+            continue  # classification tail: not part of the feature forward
+        m = re.match(r"stage1_conv_embed\.(\d)\.(weight|bias)$", tkey)
+        if m:
+            if m.group(1) == "0":
+                _set(tree, ["params", "stem_conv", "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            else:
+                _set(tree, ["params", "stem_ln", "scale" if leaf == "weight" else "bias"],
+                     w, written)
+            continue
+        m = re.match(r"merge(\d)\.(conv|norm)\.(weight|bias)$", tkey)
+        if m:
+            i = m.group(1)
+            if m.group(2) == "conv":
+                _set(tree, ["params", f"merge{i}_conv",
+                            "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            else:
+                _set(tree, ["params", f"merge{i}_ln",
+                            "scale" if leaf == "weight" else "bias"], w, written)
+            continue
+        m = re.match(r"stage(\d)\.(\d+)\.(.+)$", tkey)
+        if m:
+            s, b, rest = int(m.group(1)) - 1, m.group(2), m.group(3)
+            pre = ["params", f"s{s}_b{b}"]
+            parts = rest.split(".")
+            if parts[0] in ("norm1", "norm2"):
+                _set(tree, pre + [parts[0], "scale" if leaf == "weight" else "bias"],
+                     w, written)
+            elif parts[0] in ("qkv", "proj"):
+                _set(tree, pre + [parts[0], "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif parts[0] == "mlp":
+                _set(tree, pre + [parts[1], "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif parts[0] == "attns":
+                _set(tree, pre + [f"attn{parts[1]}", "get_v",
+                                  "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif strict:
+                raise KeyError(f"unmapped CSWin block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped CSWin key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1713,5 +1776,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "pvtv2": pvtv2_state_dict_to_flax,
           "hornet": hornet_state_dict_to_flax,
           "moganet": moganet_state_dict_to_flax,
-          "inceptionnext": inceptionnext_state_dict_to_flax}[family]
+          "inceptionnext": inceptionnext_state_dict_to_flax,
+          "cswin": cswin_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

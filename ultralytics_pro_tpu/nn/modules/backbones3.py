@@ -406,8 +406,6 @@ BACKBONE_VARIANTS3 = {
     # scaled-down stage assemblies above remain for direct block use.
     "vanillanet_5": (VanillaNet, ()),
     "VanillaNet": (VanillaNet, ()),
-    "CSWin_tiny": (CSWin, ()),
-    "CSWin": (CSWin, ()),
     "maxvit_tiny": (MaxViT, ()),
     "MaxViT": (MaxViT, ()),
     "wtconvnext_tiny": (WTConvNeXt, ()),
@@ -481,6 +479,11 @@ BACKBONE_VARIANTS3.update({
                                      depths=(3, 3, 27, 3)),
     "inceptionnext_base": _faithful("backbones5", "InceptionNeXtBackbone",
                                     depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024)),
+    "CSWin_tiny": _faithful("backbones5", "CSWinBackbone"),
+    "CSWin": _faithful("backbones5", "CSWinBackbone"),
+    "CSWin_small": _faithful("backbones5", "CSWinBackbone", depths=(2, 4, 32, 2)),
+    "CSWin_base": _faithful("backbones5", "CSWinBackbone", embed_dim=96,
+                            depths=(2, 4, 32, 2), num_heads=(4, 8, 16, 32)),
 })
 
 

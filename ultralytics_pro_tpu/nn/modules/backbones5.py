@@ -118,6 +118,131 @@ class HorNetBackbone(ConvBase):
         return outs
 
 
+# ------------------------------------------------------------------- CSWin --
+
+def _win_part(x, hsp, wsp):
+    """(B, H, W, C) -> (B*nH*nW, hsp*wsp, C) in img2windows order
+    (reference CSWinTransformer.py:208)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // hsp, hsp, w // wsp, wsp, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, hsp * wsp, c)
+
+
+def _win_merge(x, hsp, wsp, h, w):
+    """Inverse of _win_part -> (B, H, W, C)."""
+    b = x.shape[0] // ((h // hsp) * (w // wsp))
+    x = x.reshape(b, h // hsp, w // wsp, hsp, wsp, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, -1)
+
+
+class LePEAttentionF(ConvBase):
+    """Cross-shaped-window attention branch with a locally-enhanced
+    positional encoding on V (reference CSWinTransformer.py:58): stripes of
+    (H_sp, W_sp); lepe = per-window 3x3 DW conv of V added to attn @ V."""
+
+    dim: int = 0
+    heads: int = 1
+    hsp: int = 1
+    wsp: int = 1
+
+    @nn.compact
+    def __call__(self, q, k, v, train: bool = False):
+        b, h, w, c = q.shape
+        hd = c // self.heads
+        scale = hd ** -0.5
+
+        def to_heads(t):  # (B', N, C) -> (B', heads, N, hd)
+            bw, n, _ = t.shape
+            return t.reshape(bw, n, self.heads, hd).transpose(0, 2, 1, 3)
+
+        qw = to_heads(_win_part(q, self.hsp, self.wsp))
+        kw = to_heads(_win_part(k, self.hsp, self.wsp))
+        # v windows as images for the DW lepe conv
+        vw_img = _win_part(v, self.hsp, self.wsp).reshape(-1, self.hsp, self.wsp, c)
+        lepe = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                       dtype=self.dtype, name="get_v")(vw_img)
+        vw = to_heads(vw_img.reshape(-1, self.hsp * self.wsp, c))
+        lepe = to_heads(lepe.reshape(-1, self.hsp * self.wsp, c))
+
+        attn = jax.nn.softmax((qw * scale) @ kw.transpose(0, 1, 3, 2), axis=-1)
+        out = attn @ vw + lepe  # (B', heads, N, hd)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, self.hsp * self.wsp, c)
+        return _win_merge(out, self.hsp, self.wsp, h, w)
+
+
+class CSWinBlockFaithful(ConvBase):
+    """CSWin block (reference CSWinTransformer.py:137): LN -> qkv -> two
+    half-channel stripe branches (or one full-window branch in the last
+    stage) -> proj residual; LN -> MLP residual."""
+
+    dim: int = 0
+    heads: int = 2
+    split: int = 7
+    last: bool = False
+    ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        # stripes wider than the map degrade to full-window attention (the
+        # torch reference simply crashes below its design resolution)
+        split = min(self.split, h, w)
+        last = self.last or (h <= split and w <= split)
+        y = _ln(self, "norm1", x, eps=1e-5)
+        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if last:
+            att = LePEAttentionF(dim=c, heads=self.heads, hsp=h, wsp=w,
+                                 dtype=self.dtype, name="attn0")(q, k, v, train)
+        else:
+            hc = c // 2
+            a0 = LePEAttentionF(dim=hc, heads=self.heads // 2, hsp=h, wsp=split,
+                                dtype=self.dtype, name="attn0")(
+                q[..., :hc], k[..., :hc], v[..., :hc], train)
+            a1 = LePEAttentionF(dim=hc, heads=self.heads // 2, hsp=split, wsp=w,
+                                dtype=self.dtype, name="attn1")(
+                q[..., hc:], k[..., hc:], v[..., hc:], train)
+            att = jnp.concatenate([a0, a1], -1)
+        x = x + nn.Dense(c, dtype=self.dtype, name="proj")(att)
+        y = _ln(self, "norm2", x, eps=1e-5)
+        y = nn.Dense(int(c * self.ratio), dtype=self.dtype, name="fc1")(y)
+        y = nn.Dense(c, dtype=self.dtype, name="fc2")(jax.nn.gelu(y, approximate=False))
+        return x + y
+
+
+class CSWinBackbone(ConvBase):
+    """CSWin Transformer (reference CSWinTransformer.py:247): k7s4p2 conv
+    stem + LN, three k3s2 merge convs + LN, cross-shaped-window blocks;
+    emits the last block output of each stage as an NHWC map."""
+
+    embed_dim: int = 64
+    depths: Sequence[int] = (1, 2, 21, 1)    # tiny
+    split_size: Sequence[int] = (1, 2, 8, 8)
+    num_heads: Sequence[int] = (2, 4, 8, 16)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.embed_dim, (7, 7), strides=(4, 4), padding=((2, 2), (2, 2)),
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = _ln(self, "stem_ln", x, eps=1e-5)
+        outs = []
+        dim = self.embed_dim
+        for st in range(4):
+            if st > 0:
+                dim *= 2
+                x = nn.Conv(dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"merge{st}_conv")(x)
+                x = _ln(self, f"merge{st}_ln", x, eps=1e-5)
+            for bi in range(self.depths[st]):
+                x = CSWinBlockFaithful(dim=dim, heads=self.num_heads[st],
+                                       split=self.split_size[st], last=(st == 3),
+                                       dtype=self.dtype, name=f"s{st}_b{bi}")(x, train)
+            outs.append(x)
+        return outs
+
+
 # ----------------------------------------------------------------- MogaNet --
 
 class MultiOrderDWConv(ConvBase):

@@ -32,6 +32,13 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# The sweep checks finite-output, not speed: skipping XLA's optimization
+# passes cuts per-model wall from ~70s to ~15s on this 1-core host.
+jax.config.update("jax_disable_most_optimizations", True)
+
 from tools.yaml_sweep import REF_MODELS  # noqa: E402
 
 RESULTS = Path(__file__).resolve().parents[1] / "tests" / ".forward_sweep.jsonl"

@@ -39,7 +39,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "stvit_state_dict_to_flax", "transxnet_state_dict_to_flax",
            "glnet_state_dict_to_flax", "emo2_state_dict_to_flax",
            "pvtv2_state_dict_to_flax", "hornet_state_dict_to_flax",
-           "moganet_state_dict_to_flax", "inceptionnext_state_dict_to_flax", "cswin_state_dict_to_flax",
+           "moganet_state_dict_to_flax", "inceptionnext_state_dict_to_flax", "cswin_state_dict_to_flax", "ghostnetv2_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1741,6 +1741,95 @@ def cswin_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     return tree
 
 
+def ghostnetv2_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """GhostNetV2 (reference GhostNetv2.py:178).
+
+    Torch layout: conv_stem/bn1; blocks.{g}.{i} GhostBottleneckV2 =
+    {ghost1.{primary_conv.{0,1},cheap_operation.{0,1},short_conv.{0..5}},
+    conv_dw,bn_dw, se.{conv_reduce,conv_expand}, ghost2.{...},
+    shortcut.{0..3}}; blocks.9.0.{conv,bn1} final ConvBnAct. Flax blocks are
+    indexed by GLOBAL layer id (b0..b15)."""
+    from ultralytics_pro_tpu.nn.modules.backbones5 import GHOSTNETV2_CFGS
+
+    # group -> starting global layer id
+    starts = []
+    lid = 0
+    for group in GHOSTNETV2_CFGS:
+        starts.append(lid)
+        lid += len(group)
+
+    tree = _deep_dict(variables)
+    written = set()
+    handled = set()
+
+    def conv_entry(path, tkey):
+        _set(tree, ["params", *path, "kernel"], _conv_w(sd[f"{tkey}.weight"]), written)
+        if f"{tkey}.bias" in sd:
+            _set(tree, ["params", *path, "bias"], sd[f"{tkey}.bias"], written)
+
+    ghost_map = {("primary_conv", "0"): ("primary_conv", True),
+                 ("primary_conv", "1"): ("primary_bn", False),
+                 ("cheap_operation", "0"): ("cheap_conv", True),
+                 ("cheap_operation", "1"): ("cheap_bn", False),
+                 ("short_conv", "0"): ("short_conv0", True),
+                 ("short_conv", "1"): ("short_bn0", False),
+                 ("short_conv", "2"): ("short_conv1", True),
+                 ("short_conv", "3"): ("short_bn1", False),
+                 ("short_conv", "4"): ("short_conv2", True),
+                 ("short_conv", "5"): ("short_bn2", False)}
+    shortcut_map = {"0": ("short_dw", True), "1": ("short_dw_bn", False),
+                    "2": ("short_pw", True), "3": ("short_pw_bn", False)}
+
+    for tkey in sd:
+        base = tkey.rsplit(".", 1)[0]
+        if base in handled:
+            continue
+        handled.add(base)
+        if base == "conv_stem":
+            conv_entry(["stem_conv"], base)
+        elif base == "bn1":
+            _bn_entries(tree, ["stem_bn"], ["stem_bn"], sd, base, written)
+        elif base == "blocks.9.0.conv":
+            conv_entry(["final_conv"], base)
+        elif base == "blocks.9.0.bn1":
+            _bn_entries(tree, ["final_bn"], ["final_bn"], sd, base, written)
+        else:
+            m = re.match(r"blocks\.(\d)\.(\d+)\.(.+)$", base)
+            if not m:
+                if strict:
+                    raise KeyError(f"unmapped GhostNetV2 key {tkey}")
+                continue
+            g, i, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            pre = [f"b{starts[g] + i}"]
+            parts = rest.split(".")
+            if parts[0] in ("ghost1", "ghost2"):
+                name, is_conv = ghost_map[(parts[1], parts[2])]
+                if is_conv:
+                    conv_entry(pre + [parts[0], name], base)
+                else:
+                    _bn_entries(tree, pre + [parts[0], name],
+                                pre + [parts[0], name], sd, base, written)
+            elif parts[0] == "conv_dw":
+                conv_entry(pre + ["conv_dw"], base)
+            elif parts[0] == "bn_dw":
+                _bn_entries(tree, pre + ["bn_dw"], pre + ["bn_dw"], sd, base, written)
+            elif parts[0] == "se":
+                name = "se_reduce" if parts[1] == "conv_reduce" else "se_expand"
+                conv_entry(pre + [name], base)
+            elif parts[0] == "shortcut":
+                name, is_conv = shortcut_map[parts[1]]
+                if is_conv:
+                    conv_entry(pre + [name], base)
+                else:
+                    _bn_entries(tree, pre + [name], pre + [name], sd, base, written)
+            elif strict:
+                raise KeyError(f"unmapped GhostNetV2 block key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1777,5 +1866,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "hornet": hornet_state_dict_to_flax,
           "moganet": moganet_state_dict_to_flax,
           "inceptionnext": inceptionnext_state_dict_to_flax,
-          "cswin": cswin_state_dict_to_flax}[family]
+          "cswin": cswin_state_dict_to_flax,
+          "ghostnetv2": ghostnetv2_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -466,10 +466,18 @@ class KANBlock(ConvBase):
         return x + y if x.shape[-1] == self.c2 else y
 
 
+def _faithful2(clsname, **kw):
+    import importlib
+
+    cls = getattr(importlib.import_module(
+        "ultralytics_pro_tpu.nn.modules.backbones5"), clsname)
+    return (cls, tuple(kw.items()))
+
+
 BACKBONE_VARIANTS2 = {
-    # reference GhostNetv2.py exports
-    "Ghostnetv2": (GhostNetV2, ()),
-    "ghostnetv2": (GhostNetV2, ()),
+    # reference GhostNetv2.py exports — round-4 import-faithful rebind
+    "Ghostnetv2": _faithful2("GhostNetV2Backbone"),
+    "ghostnetv2": _faithful2("GhostNetV2Backbone"),
     # reference FasterNet.py exports
     "fasternet_t0": (FasterNet, ()),
     "fasternet_t1": (FasterNet, (("dims", (64, 128, 256, 512)),)),

@@ -118,6 +118,155 @@ class HorNetBackbone(ConvBase):
         return outs
 
 
+# -------------------------------------------------------------- GhostNetV2 --
+
+GHOSTNETV2_CFGS = (
+    # k, exp, out, se_ratio, stride — reference GhostNetv2.py:236
+    ((3, 16, 16, 0.0, 1),),
+    ((3, 48, 24, 0.0, 2),),
+    ((3, 72, 24, 0.0, 1),),
+    ((5, 72, 40, 0.25, 2),),
+    ((5, 120, 40, 0.25, 1),),
+    ((3, 240, 80, 0.0, 2),),
+    ((3, 200, 80, 0.0, 1), (3, 184, 80, 0.0, 1), (3, 184, 80, 0.0, 1),
+     (3, 480, 112, 0.25, 1), (3, 672, 112, 0.25, 1)),
+    ((5, 672, 160, 0.25, 2),),
+    ((5, 960, 160, 0.0, 1), (5, 960, 160, 0.25, 1), (5, 960, 160, 0.0, 1),
+     (5, 960, 160, 0.25, 1)),
+)
+
+
+def _mkdiv(v, divisor=4):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _GhostModuleV2(ConvBase):
+    """GhostModuleV2 (reference GhostNetv2.py:67): primary 1x1 + cheap DW3
+    halves concatenated; 'attn' mode gates by a DFC branch (1x1 + 1x5 + 5x1
+    DW convs on the 2x-downsampled input, sigmoid, nearest-upsampled)."""
+
+    oup: int = 0
+    relu: bool = True
+    attn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math as _m
+
+        init_c = _m.ceil(self.oup / 2)
+        y1 = nn.Conv(init_c, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="primary_conv")(x)
+        y1 = _bn5(self, "primary_bn", y1, train)
+        if self.relu:
+            y1 = jax.nn.relu(y1)
+        y2 = nn.Conv(init_c, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                     feature_group_count=init_c, dtype=self.dtype,
+                     name="cheap_conv")(y1)
+        y2 = _bn5(self, "cheap_bn", y2, train)
+        if self.relu:
+            y2 = jax.nn.relu(y2)
+        out = jnp.concatenate([y1, y2], -1)[..., :self.oup]
+        if not self.attn:
+            return out
+        r = nn.avg_pool(x, (2, 2), (2, 2))
+        r = nn.Conv(self.oup, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="short_conv0")(r)
+        r = _bn5(self, "short_bn0", r, train)
+        r = nn.Conv(self.oup, (1, 5), padding=((0, 0), (2, 2)), use_bias=False,
+                    feature_group_count=self.oup, dtype=self.dtype,
+                    name="short_conv1")(r)
+        r = _bn5(self, "short_bn1", r, train)
+        r = nn.Conv(self.oup, (5, 1), padding=((2, 2), (0, 0)), use_bias=False,
+                    feature_group_count=self.oup, dtype=self.dtype,
+                    name="short_conv2")(r)
+        r = _bn5(self, "short_bn2", r, train)
+        gate = jax.nn.sigmoid(r)
+        gate = jax.image.resize(gate, (*out.shape[:3], gate.shape[-1]),
+                                method="nearest")
+        return out * gate
+
+
+class _GhostBottleneckV2(ConvBase):
+    """GhostBottleneckV2 (reference GhostNetv2.py:125)."""
+
+    mid: int = 0
+    out: int = 0
+    k: int = 3
+    stride: int = 1
+    se_ratio: float = 0.0
+    attn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        in_chs = x.shape[-1]
+        y = _GhostModuleV2(oup=self.mid, relu=True, attn=self.attn,
+                           dtype=self.dtype, name="ghost1")(x, train)
+        if self.stride > 1:
+            p = (self.k - 1) // 2
+            y = nn.Conv(self.mid, (self.k, self.k), strides=(self.stride,) * 2,
+                        padding=((p, p), (p, p)), use_bias=False,
+                        feature_group_count=self.mid, dtype=self.dtype,
+                        name="conv_dw")(y)
+            y = _bn5(self, "bn_dw", y, train)
+        if self.se_ratio > 0:
+            red = _mkdiv(self.mid * self.se_ratio)
+            s = y.mean(axis=(1, 2), keepdims=True)
+            s = nn.Conv(red, (1, 1), use_bias=True, dtype=self.dtype,
+                        name="se_reduce")(s)
+            s = jax.nn.relu(s)
+            s = nn.Conv(self.mid, (1, 1), use_bias=True, dtype=self.dtype,
+                        name="se_expand")(s)
+            y = y * (jax.nn.relu6(s + 3.0) / 6.0)
+        y = _GhostModuleV2(oup=self.out, relu=False, dtype=self.dtype,
+                           name="ghost2")(y, train)
+        if in_chs == self.out and self.stride == 1:
+            return y + res
+        p = (self.k - 1) // 2
+        sc = nn.Conv(in_chs, (self.k, self.k), strides=(self.stride,) * 2,
+                     padding=((p, p), (p, p)), use_bias=False,
+                     feature_group_count=in_chs, dtype=self.dtype,
+                     name="short_dw")(res)
+        sc = _bn5(self, "short_dw_bn", sc, train)
+        sc = nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="short_pw")(sc)
+        sc = _bn5(self, "short_pw_bn", sc, train)
+        return y + sc
+
+
+class GhostNetV2Backbone(ConvBase):
+    """GhostNetV2 (reference GhostNetv2.py:178): k3s2 stem, DFC-attention
+    ghost bottlenecks (layer_id>1 use the attn ghost1), final 1x1 ConvBnAct;
+    emits the last 4 unique-resolution maps like the reference forward."""
+
+    width: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(_mkdiv(16 * self.width), (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = jax.nn.relu(_bn5(self, "stem_bn", x, train))
+        uniq = {}
+        lid = 0
+        for g, group in enumerate(GHOSTNETV2_CFGS):
+            for (k, exp, c, se, s) in group:
+                x = _GhostBottleneckV2(
+                    mid=_mkdiv(exp * self.width), out=_mkdiv(c * self.width),
+                    k=k, stride=s, se_ratio=se, attn=lid > 1,
+                    dtype=self.dtype, name=f"b{lid}")(x, train)
+                lid += 1
+            uniq[x.shape[1:3]] = x
+        x = nn.Conv(_mkdiv(960 * self.width), (1, 1), use_bias=False,
+                    dtype=self.dtype, name="final_conv")(x)
+        x = jax.nn.relu(_bn5(self, "final_bn", x, train))
+        uniq[x.shape[1:3]] = x  # overwrites the last scale, like the reference
+        return list(uniq.values())[-4:]
+
+
 # ------------------------------------------------------------------- CSWin --
 
 def _win_part(x, hsp, wsp):

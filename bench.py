@@ -42,7 +42,9 @@ def train_bench():
     from ultralytics_pro_tpu.engine.trainer import DetectionTrainer
     from ultralytics_pro_tpu.nn.tasks import DetectionModel
 
-    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+    # bs=128 is the measured train-throughput knee (tools/perf_train_probe:
+    # 250 imgs/s at bs32 -> 360 at bs128 with one-pass BN stats)
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "128"))
     imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", "8"))
 

@@ -34,10 +34,39 @@ def _make_tv_stub():
     def _unavailable(*a, **k):
         raise RuntimeError("torchvision stubbed out for fixture generation")
 
+    def _nms(boxes, scores, iou_threshold):
+        """Real torchvision.ops.nms semantics (greedy, score-ordered) so the
+        reference validator runs end-to-end in the parity tools."""
+        order = torch.argsort(scores, descending=True)
+        keep = []
+        while order.numel():
+            i = order[0]
+            keep.append(i)
+            if order.numel() == 1:
+                break
+            b, rest = boxes[i], boxes[order[1:]]
+            x1 = torch.maximum(b[0], rest[:, 0])
+            y1 = torch.maximum(b[1], rest[:, 1])
+            x2 = torch.minimum(b[2], rest[:, 2])
+            y2 = torch.minimum(b[3], rest[:, 3])
+            inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+            area_b = (b[2] - b[0]) * (b[3] - b[1])
+            area_r = (rest[:, 2] - rest[:, 0]) * (rest[:, 3] - rest[:, 1])
+            iou = inter / (area_b + area_r - inter).clamp(min=1e-12)
+            order = order[1:][iou <= iou_threshold]
+        return torch.stack(keep) if keep else torch.zeros(0, dtype=torch.long)
+
+    def _batched_nms(boxes, scores, idxs, iou_threshold):
+        if boxes.numel() == 0:
+            return torch.zeros(0, dtype=torch.long)
+        off = idxs.to(boxes) * (boxes.max() + 1)
+        return _nms(boxes + off[:, None], scores, iou_threshold)
+
     tv = types.ModuleType("torchvision")
     tv.__version__ = "0.23.0"
     ops = types.ModuleType("torchvision.ops")
-    ops.nms = _unavailable
+    ops.nms = _nms
+    ops.batched_nms = _batched_nms
     ops.deform_conv2d = _unavailable
 
     class DeformConv2d(torch.nn.Module):

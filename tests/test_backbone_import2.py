@@ -228,3 +228,65 @@ def test_moganet_import_parity():
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
                    mutable=False)
     _assert_close(ours, theirs)
+
+
+def test_mambavision_import_parity():
+    """Faithful MambaVision (hybrid conv + mamba/attention stages) vs
+    reference MambaVision.py with transplanted weights. The reference's
+    selective_scan requires the CUDA extension, so it is patched here with a
+    sequential torch scan implementing the documented kernel semantics
+    (h_t = exp(dA) h + d B u; y = C.h + D u, delta_softplus + delta_bias) —
+    the same recurrence our associative scan computes."""
+    import ultralytics.nn.modules.MambaVision as refmod
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import (
+        mambavision_state_dict_to_flax)
+    from ultralytics_pro_tpu.nn.modules.backbones5 import MambaVisionBackbone
+
+    def seq_scan(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                 delta_softplus=False, return_last_state=None):
+        u, delta = u.float(), delta.float()
+        if delta_bias is not None:
+            delta = delta + delta_bias[None, :, None]
+        if delta_softplus:
+            delta = torch.nn.functional.softplus(delta)
+        b, d, l = u.shape
+        h = torch.zeros(b, d, A.shape[1])
+        ys = []
+        for t in range(l):
+            da = torch.exp(delta[:, :, t, None] * A[None])
+            h = da * h + delta[:, :, t, None] * B[:, None, :, t] * u[:, :, t, None]
+            ys.append(torch.einsum("bdn,bn->bd", h, C[:, :, t]))
+        y = torch.stack(ys, dim=-1)
+        if D is not None:
+            y = y + D[None, :, None] * u
+        return y
+
+    refmod.selective_scan_fn = seq_scan
+    torch.manual_seed(31)
+    ref = refmod.MambaVision(dim=32, in_dim=16, depths=[1, 2, 3, 2],
+                             window_size=[8, 8, 14, 7], mlp_ratio=4,
+                             num_heads=[2, 4, 4, 8], drop_path_rate=0.0)
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+        for mbuf in ref.modules():
+            if isinstance(mbuf, torch.nn.BatchNorm2d):
+                mbuf.running_mean.add_(torch.randn_like(mbuf.running_mean) * 0.05)
+                mbuf.running_var.mul_(1.2)
+
+    m = MambaVisionBackbone(dim=32, in_dim=16, depths=(1, 2, 3, 2),
+                            num_heads=(2, 4, 4, 8), window_size=(8, 8, 14, 7))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = mambavision_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(33).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
+                   mutable=False)
+    _assert_close(ours, theirs)

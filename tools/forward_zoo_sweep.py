@@ -43,6 +43,22 @@ from tools.yaml_sweep import REF_MODELS  # noqa: E402
 
 RESULTS = Path(__file__).resolve().parents[1] / "tests" / ".forward_sweep.jsonl"
 
+# YAMLs whose FORWARD crashes in the reference torch stack itself (verified
+# by building the reference DetectionModel and running x=zeros(1,3,64,64)):
+# LeYOLO ships scales n:[1.0, 1.33, 576] so every channel is width-scaled
+# by 1.33, but MobileNetV3_BLOCK's expansion arg `e` is NOT scaled by the
+# reference parse_model — with pw=False the depthwise conv then gets a
+# 24-channel input with groups=16 ("RuntimeError: Given groups=16 ...
+# expected input[1, 24, 128, 128] to have 16 channels"). Constructs, can
+# never forward, upstream. We reproduce the same build-time semantics, so
+# these are recorded as upstream-forward-invalid, not our failures.
+UPSTREAM_FORWARD_INVALID = {
+    "Leyolo/Detect/Leyolo-l.yaml", "Leyolo/Detect/Leyolo-s.yaml",
+    "Leyolo/OBB/Leyolo-l-obb.yaml", "Leyolo/OBB/Leyolo-s-obb.yaml",
+    "Leyolo/Pose/Leyolo-l-pose.yaml", "Leyolo/Pose/Leyolo-s-pose.yaml",
+    "Leyolo/Segment/Leyolo-l-seg.yaml", "Leyolo/Segment/Leyolo-s-seg.yaml",
+}
+
 
 class Timeout(Exception):
     pass
@@ -72,7 +88,13 @@ def forward_one(rel: str) -> dict:
     m = TASK2MODEL[task](d)
     v = m.init_params(imgsz=64)
     ch = int(d.get("ch", 3) or 3)
-    y = m.apply(v, jnp.zeros((1, 64, 64, ch)), train=False)
+    # jit: ONE compiled executable per model. Eager apply dispatches
+    # thousands of tiny op-compiles (~0.2-3s each on this host), which is
+    # what timed out the EIMS-heavy families (HEYDet: 419s eager -> jitted
+    # compile ~= the init cost).
+    import jax as _jax
+    y = _jax.jit(lambda v_, x_: m.apply(v_, x_, train=False))(
+        v, jnp.zeros((1, 64, 64, ch)))
     out = y[0] if isinstance(y, tuple) else y
     leaf = out[0] if isinstance(out, (list, tuple)) else out
     finite = bool(jnp.all(jnp.isfinite(jnp.asarray(leaf, jnp.float32))))
@@ -89,7 +111,8 @@ def run(timeout_s: int, redo_failures: bool) -> None:
                 r = json.loads(line)
                 done[r["yaml"]] = r
     todo = [rel for rel in list_buildable()
-            if rel not in done or (redo_failures and not done[rel]["ok"])]
+            if rel not in UPSTREAM_FORWARD_INVALID
+            and (rel not in done or (redo_failures and not done[rel]["ok"]))]
     print(f"forward sweep: {len(done)} recorded, {len(todo)} to go", flush=True)
     signal.signal(signal.SIGALRM, _alarm)
     with RESULTS.open("a") as f:
@@ -118,7 +141,11 @@ def report() -> int:
     seen = {}
     for r in rows:  # latest entry per yaml wins (redo runs append)
         seen[r["yaml"]] = r
+    for rel in UPSTREAM_FORWARD_INVALID:
+        seen.pop(rel, None)
     rows = list(seen.values())
+    print(f"(excluded {len(UPSTREAM_FORWARD_INVALID)} upstream-forward-invalid "
+          f"LeYOLO yamls — reference torch forward crashes, see header)")
     fams = defaultdict(lambda: [0, 0, []])
     for r in rows:
         fam = r["yaml"].split("/")[0]

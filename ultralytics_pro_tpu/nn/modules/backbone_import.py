@@ -40,6 +40,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "glnet_state_dict_to_flax", "emo2_state_dict_to_flax",
            "pvtv2_state_dict_to_flax", "hornet_state_dict_to_flax",
            "moganet_state_dict_to_flax", "inceptionnext_state_dict_to_flax", "cswin_state_dict_to_flax", "ghostnetv2_state_dict_to_flax",
+           "mambavision_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1830,6 +1831,95 @@ def ghostnetv2_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True
     return tree
 
 
+def mambavision_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """MambaVision (reference MambaVision.py:535).
+
+    Torch layout: patch_embed.conv_down.{0 conv,1 bn,3 conv,4 bn};
+    levels.{i}.blocks.{j} = ConvBlock {conv1,norm1 BN,conv2,norm2 BN} for
+    levels 0-1, Block {norm1/norm2 LN; mixer = MambaVisionMixer
+    {in_proj,x_proj,dt_proj,A_log,D,out_proj,conv1d_x,conv1d_z} or Attention
+    {qkv,proj}; mlp.fc1/fc2} for levels 2-3;
+    levels.{i}.downsample.reduction.0 conv. Classifier `head` skipped."""
+    tree = _deep_dict(variables)
+    written = set()
+    patch_map = {"0": ("patch_conv1", "conv"), "1": ("patch_bn1", "bn"),
+                 "3": ("patch_conv2", "conv"), "4": ("patch_bn2", "bn")}
+    for tkey, w in sd.items():
+        if tkey.endswith("num_batches_tracked") or tkey.startswith("head."):
+            continue
+        if tkey.endswith(("running_mean", "running_var")):
+            continue  # written together with the BN weight below
+        w = np.asarray(w, np.float32)
+        leaf = tkey.rsplit(".", 1)[-1]
+        m = re.match(r"patch_embed\.conv_down\.(\d)\.weight$", tkey)
+        if m:
+            name, kind = patch_map[m.group(1)]
+            if kind == "conv":
+                _set(tree, ["params", name, "kernel"], _conv_w(w), written)
+            else:
+                _bn_entries(tree, [name], [name], sd, tkey[:-7], written)
+            continue
+        if re.match(r"patch_embed\.conv_down\.\d\.bias$", tkey):
+            continue  # BN bias written by _bn_entries
+        m = re.match(r"levels\.(\d)\.downsample\.reduction\.0\.weight$", tkey)
+        if m:
+            _set(tree, ["params", f"down{m.group(1)}", "kernel"], _conv_w(w), written)
+            continue
+        m = re.match(r"levels\.(\d)\.blocks\.(\d+)\.(.+)$", tkey)
+        if m:
+            lvl, bi, rest = int(m.group(1)), m.group(2), m.group(3)
+            pre = ["params", f"s{lvl}_b{bi}"]
+            parts = rest.split(".")
+            if lvl < 2:  # ConvBlock: conv1/norm1(BN)/conv2/norm2(BN)
+                if parts[0] in ("conv1", "conv2"):
+                    _set(tree, pre + [parts[0], "kernel" if leaf == "weight" else "bias"],
+                         _conv_w(w) if leaf == "weight" else w, written)
+                elif parts[0] in ("norm1", "norm2"):
+                    if leaf == "weight":
+                        _bn_entries(tree, [f"s{lvl}_b{bi}", parts[0]],
+                                    [f"s{lvl}_b{bi}", parts[0]], sd,
+                                    tkey[:-7], written)
+                elif strict:
+                    raise KeyError(f"unmapped MambaVision conv-block key {tkey}")
+                continue
+            if parts[0] in ("norm1", "norm2"):  # LayerNorm
+                _set(tree, pre + [parts[0], "scale" if leaf == "weight" else "bias"],
+                     w, written)
+            elif parts[0] == "mlp":
+                _set(tree, pre + [parts[1], "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif parts[0] == "mixer":
+                sub = parts[1]
+                if sub in ("in_proj", "x_proj", "out_proj", "qkv", "proj"):
+                    _set(tree, pre + ["mixer", sub,
+                                      "kernel" if leaf == "weight" else "bias"],
+                         w.T if leaf == "weight" else w, written)
+                elif sub == "dt_proj":
+                    # explicit params: the kernel semantics reuse the bias as
+                    # delta_bias (the reference's double-add quirk)
+                    _set(tree, pre + ["mixer", "dt_proj_kernel" if leaf == "weight"
+                                      else "dt_proj_bias"],
+                         w.T if leaf == "weight" else w, written)
+                elif sub in ("A_log", "D"):
+                    _set(tree, pre + ["mixer", sub], w, written)
+                elif sub in ("conv1d_x", "conv1d_z"):
+                    # torch depthwise conv1d (C,1,K) -> flax (K,1,C)
+                    _set(tree, pre + ["mixer", sub,
+                                      "kernel" if leaf == "weight" else "bias"],
+                         w.transpose(2, 1, 0) if leaf == "weight" else w, written)
+                elif strict:
+                    raise KeyError(f"unmapped MambaVision mixer key {tkey}")
+            elif strict:
+                raise KeyError(f"unmapped MambaVision block key {tkey}")
+            continue
+        if strict:
+            raise KeyError(f"unmapped MambaVision key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1867,5 +1957,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "moganet": moganet_state_dict_to_flax,
           "inceptionnext": inceptionnext_state_dict_to_flax,
           "cswin": cswin_state_dict_to_flax,
-          "ghostnetv2": ghostnetv2_state_dict_to_flax}[family]
+          "ghostnetv2": ghostnetv2_state_dict_to_flax,
+          "mambavision": mambavision_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

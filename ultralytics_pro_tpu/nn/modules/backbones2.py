@@ -577,11 +577,24 @@ class VSSDNet(ConvBase):
         return outs
 
 
-# SSM hybrids registered after their definitions
+def _faithful5(clsname, **kw):
+    import importlib
+
+    cls = getattr(importlib.import_module(
+        "ultralytics_pro_tpu.nn.modules.backbones5"), clsname)
+    return (cls, tuple(kw.items()))
+
+
+# SSM hybrids registered after their definitions. mamba_vision binds the
+# import-faithful backbones5 implementation (transplant-parity tested,
+# round 4); the stage-assembly MambaVision above remains for direct use.
 BACKBONE_VARIANTS2.update({
     # reference MambaVision.py / VSSD.py / GroupMamba.py
-    "mamba_vision_T": (MambaVision, ()),
-    "MambaVision": (MambaVision, ()),
+    "mamba_vision_T": _faithful5("MambaVisionBackbone"),
+    "MambaVision": _faithful5("MambaVisionBackbone"),
+    "mamba_vision_T2": _faithful5("MambaVisionBackbone", depths=(1, 3, 11, 4)),
+    "mamba_vision_S": _faithful5("MambaVisionBackbone", dim=96, in_dim=64,
+                                 depths=(3, 3, 7, 5)),
     "VSSD": (VSSDNet, ()),
     "GroupMamba": (VSSDNet, ()),
 })

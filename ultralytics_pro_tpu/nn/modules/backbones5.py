@@ -118,6 +118,188 @@ class HorNetBackbone(ConvBase):
         return outs
 
 
+# ------------------------------------------------------------- MambaVision --
+
+class MambaVisionMixerF(ConvBase):
+    """MambaVision token mixer (reference MambaVision.py:226): in_proj ->
+    (x, z) halves -> depthwise k3 'same' conv1d + SiLU each -> selective scan
+    on x (d_state=8) -> concat z -> out_proj.
+
+    Faithful quirk preserved: the reference applies dt_proj WITH its bias and
+    then passes dt_proj.bias AGAIN as the kernel's delta_bias, so the
+    effective step is softplus(W@dt + 2b) (MambaVision.py:320+332). The CUDA
+    scan is replaced by the TPU associative scan (nn/modules/mamba.py)."""
+
+    dim: int = 0
+    d_state: int = 8
+    d_conv: int = 3
+
+    @nn.compact
+    def __call__(self, x_tokens, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.mamba import selective_scan
+
+        d = self.dim          # expand=1 -> d_inner == dim
+        half = d // 2
+        dtr = -(-d // 16)     # ceil(d/16)
+        xz = nn.Dense(d, use_bias=False, dtype=self.dtype, name="in_proj")(x_tokens)
+        x, z = xz[..., :half], xz[..., half:]
+        pad = (self.d_conv - 1) // 2
+        x = nn.Conv(half, (self.d_conv,), padding=((pad, self.d_conv - 1 - pad),),
+                    feature_group_count=half, use_bias=True, dtype=self.dtype,
+                    name="conv1d_x")(x)
+        z = nn.Conv(half, (self.d_conv,), padding=((pad, self.d_conv - 1 - pad),),
+                    feature_group_count=half, use_bias=True, dtype=self.dtype,
+                    name="conv1d_z")(z)
+        x = jax.nn.silu(x)
+        z = jax.nn.silu(z)
+        dbl = nn.Dense(dtr + 2 * self.d_state, use_bias=False, dtype=self.dtype,
+                       name="x_proj")(x)
+        dt, B, C = jnp.split(dbl, [dtr, dtr + self.d_state], axis=-1)
+        # dt_proj as explicit params: the kernel semantics need the bias
+        # value twice — softplus(delta + delta_bias) where delta already
+        # carries the bias once (the reference's double-add, kept faithful)
+        dk = self.param("dt_proj_kernel", nn.initializers.lecun_normal(), (dtr, half))
+        db = self.param("dt_proj_bias", nn.initializers.zeros, (half,))
+        dt = dt @ dk + db
+        delta = jax.nn.softplus(dt + db)
+        A_log = self.param("A_log", lambda k, s: jnp.log(jnp.broadcast_to(
+            jnp.arange(1, self.d_state + 1, dtype=jnp.float32), s)),
+            (half, self.d_state))
+        D = self.param("D", nn.initializers.ones, (half,))
+        y = selective_scan(x.astype(jnp.float32), delta.astype(jnp.float32),
+                           -jnp.exp(A_log.astype(jnp.float32)),
+                           B.astype(jnp.float32), C.astype(jnp.float32),
+                           D.astype(jnp.float32)).astype(x_tokens.dtype)
+        y = jnp.concatenate([y, z], -1)
+        return nn.Dense(d, use_bias=False, dtype=self.dtype, name="out_proj")(y)
+
+
+class _MVAttention(ConvBase):
+    """timm-style MHSA (reference MambaVision.py:342), qkv_bias=True."""
+
+    dim: int = 0
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bw, n, c = x.shape
+        hd = c // self.heads
+        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(bw, n, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jax.nn.softmax((q * hd ** -0.5) @ k.transpose(0, 1, 3, 2), axis=-1)
+        y = (attn @ v).transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return nn.Dense(c, use_bias=True, dtype=self.dtype, name="proj")(y)
+
+
+class _MVBlock(ConvBase):
+    """Transformer-stage block (reference MambaVision.py:391): LN -> mixer
+    (mamba or attention) residual; LN -> MLP residual. layer_scale=None in
+    the published configs -> no gamma params."""
+
+    dim: int = 0
+    heads: int = 8
+    attention: bool = False
+    ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if self.attention:
+            y = _MVAttention(dim=self.dim, heads=self.heads, dtype=self.dtype,
+                             name="mixer")(y, train)
+        else:
+            y = MambaVisionMixerF(dim=self.dim, dtype=self.dtype, name="mixer")(y, train)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.ratio), use_bias=True, dtype=self.dtype,
+                     name="fc1")(y)
+        y = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                     name="fc2")(jax.nn.gelu(y, approximate=False))
+        return x + y
+
+
+class _MVConvBlock(ConvBase):
+    """Conv-stage block (reference MambaVision.py:193): conv3+BN+GELU(tanh)
+    + conv3+BN, residual."""
+
+    dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         use_fast_variance=False, epsilon=1e-5, dtype=self.dtype,
+                         name="norm1")(y)
+        y = jax.nn.gelu(y, approximate=True)
+        y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         use_fast_variance=False, epsilon=1e-5, dtype=self.dtype,
+                         name="norm2")(y)
+        return x + y
+
+
+class MambaVisionBackbone(ConvBase):
+    """MambaVision (reference MambaVision.py:535): 2x conv3s2+BN(1e-4)+ReLU
+    patch embed; levels 0-1 conv blocks, levels 2-3 windowed token blocks
+    (first half mamba mixers, second half attention); k3s2 downsample convs
+    between levels; emits each level's pre-downsample map."""
+
+    dim: int = 80                       # mamba_vision_T
+    in_dim: int = 32
+    depths: Sequence[int] = (1, 3, 8, 4)
+    num_heads: Sequence[int] = (2, 4, 8, 16)
+    window_size: Sequence[int] = (8, 8, 14, 7)
+    ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.in_dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="patch_conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         use_fast_variance=False, epsilon=1e-4, dtype=self.dtype,
+                         name="patch_bn1")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="patch_conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         use_fast_variance=False, epsilon=1e-4, dtype=self.dtype,
+                         name="patch_bn2")(x)
+        x = jax.nn.relu(x)
+
+        outs = []
+        for lvl in range(4):
+            d = self.dim * 2 ** lvl
+            depth = self.depths[lvl]
+            if lvl < 2:
+                for bi in range(depth):
+                    x = _MVConvBlock(dim=d, dtype=self.dtype,
+                                     name=f"s{lvl}_b{bi}")(x, train)
+            else:
+                ws = self.window_size[lvl]
+                b, h, w, c = x.shape
+                pad_b = (ws - h % ws) % ws
+                pad_r = (ws - w % ws) % ws
+                xp = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+                hp, wp = h + pad_b, w + pad_r
+                t = _win_part(xp, ws, ws)  # (B*nW, ws*ws, C)
+                # first half mamba, second half attention (MambaVision.py:596)
+                attn_from = depth // 2 + 1 if depth % 2 else depth // 2
+                for bi in range(depth):
+                    t = _MVBlock(dim=d, heads=self.num_heads[lvl],
+                                 attention=bi >= attn_from, ratio=self.ratio,
+                                 dtype=self.dtype, name=f"s{lvl}_b{bi}")(t, train)
+                x = _win_merge(t, ws, ws, hp, wp)[:, :h, :w]
+            outs.append(x)
+            if lvl < 3:
+                x = nn.Conv(2 * d, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            use_bias=False, dtype=self.dtype,
+                            name=f"down{lvl}")(x)
+        return outs
+
+
 # -------------------------------------------------------------- GhostNetV2 --
 
 GHOSTNETV2_CFGS = (
@@ -301,6 +483,15 @@ class LePEAttentionF(ConvBase):
         b, h, w, c = q.shape
         hd = c // self.heads
         scale = hd ** -0.5
+        # Non-divisible maps zero-pad to stripe multiples and crop back (the
+        # torch reference crashes below its design resolution; parity at
+        # reference resolutions is unaffected since this path is inactive).
+        ph = (self.hsp - h % self.hsp) % self.hsp
+        pw = (self.wsp - w % self.wsp) % self.wsp
+        if ph or pw:
+            pad = ((0, 0), (0, ph), (0, pw), (0, 0))
+            q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        hp, wp = h + ph, w + pw
 
         def to_heads(t):  # (B', N, C) -> (B', heads, N, hd)
             bw, n, _ = t.shape
@@ -318,7 +509,8 @@ class LePEAttentionF(ConvBase):
         attn = jax.nn.softmax((qw * scale) @ kw.transpose(0, 1, 3, 2), axis=-1)
         out = attn @ vw + lepe  # (B', heads, N, hd)
         out = out.transpose(0, 2, 1, 3).reshape(-1, self.hsp * self.wsp, c)
-        return _win_merge(out, self.hsp, self.wsp, h, w)
+        out = _win_merge(out, self.hsp, self.wsp, hp, wp)
+        return out[:, :h, :w] if (ph or pw) else out
 
 
 class CSWinBlockFaithful(ConvBase):

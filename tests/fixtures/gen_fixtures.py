@@ -220,12 +220,65 @@ _TIMM_ACTS = {
 }
 
 
+class _SqueezeExcite(torch.nn.Module):
+    """Real timm efficientnet_blocks.SqueezeExcite semantics (mean-pool ->
+    reduce conv -> act -> expand conv -> sigmoid gate), rd_channels =
+    round(in_chs * rd_ratio) — needed by MaxViT's MBConv."""
+
+    def __init__(self, in_chs, rd_ratio=0.25, rd_channels=None,
+                 act_layer=torch.nn.ReLU, **kw):
+        super().__init__()
+        if rd_channels is None:
+            rd_channels = int(round(in_chs * rd_ratio))
+        self.conv_reduce = torch.nn.Conv2d(in_chs, rd_channels, 1, bias=True)
+        try:
+            self.act1 = act_layer(inplace=True)
+        except TypeError:
+            self.act1 = act_layer()
+        self.conv_expand = torch.nn.Conv2d(rd_channels, in_chs, 1, bias=True)
+        self.gate = torch.nn.Sigmoid()
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(self.act1(self.conv_reduce(s)))
+        return x * self.gate(s)
+
+
+class _DepthwiseSeparableConv(torch.nn.Module):
+    """Real timm efficientnet_blocks.DepthwiseSeparableConv semantics:
+    dw conv -> bn1 -> act -> pw conv -> bn2 (no pw act), internal residual
+    when stride==1 and in==out — needed by MaxViT's MBConv."""
+
+    def __init__(self, in_chs, out_chs, dw_kernel_size=3, stride=1,
+                 act_layer=torch.nn.ReLU, norm_layer=torch.nn.BatchNorm2d,
+                 drop_path_rate=0.0, **kw):
+        super().__init__()
+        self.has_skip = stride == 1 and in_chs == out_chs
+        self.conv_dw = torch.nn.Conv2d(in_chs, in_chs, dw_kernel_size, stride,
+                                       dw_kernel_size // 2, groups=in_chs, bias=False)
+        self.bn1 = norm_layer(in_chs)
+        try:
+            self.act1 = act_layer(inplace=True)
+        except TypeError:
+            self.act1 = act_layer()
+        self.se = torch.nn.Identity()
+        self.conv_pw = torch.nn.Conv2d(in_chs, out_chs, 1, bias=False)
+        self.bn2 = norm_layer(out_chs)
+
+    def forward(self, x):
+        sc = x
+        x = self.act1(self.bn1(self.conv_dw(x)))
+        x = self.bn2(self.conv_pw(self.se(x)))
+        return x + sc if self.has_skip else x
+
+
 # functional (not Mock) implementations for the handful of timm helpers the
 # backbone files actually execute at construction/forward time
 _REAL_STUBS = {
     "to_2tuple": _to_ntuple(2), "to_3tuple": _to_ntuple(3), "to_4tuple": _to_ntuple(4),
     "to_ntuple": _to_ntuple, "DropPath": _DropPath, "BlurPool": _BlurPool,
-    "Mlp": _TimmMlp, **_TIMM_ACTS,
+    "Mlp": _TimmMlp, "SqueezeExcite": _SqueezeExcite,
+    "DepthwiseSeparableConv": _DepthwiseSeparableConv, **_TIMM_ACTS,
     "trunc_normal_": lambda t, *a, **k: torch.nn.init.normal_(t, std=k.get("std", 0.02))
     if hasattr(t, "normal_") else t,
 }

@@ -290,3 +290,44 @@ def test_mambavision_import_parity():
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
                    mutable=False)
     _assert_close(ours, theirs)
+
+
+def test_maxvit_import_parity():
+    """Faithful MaxViT (MBConv + block/grid relative attention) vs reference
+    MaxViT.py with transplanted weights. The reference's timm imports
+    (DepthwiseSeparableConv, SqueezeExcite) resolve to the real-semantics
+    stubs in gen_fixtures, which also define the torch key layout the mapper
+    targets (same names as real timm: conv_dw/bn1/conv_pw/bn2,
+    conv_reduce/conv_expand)."""
+    from ultralytics.nn.modules.MaxViT import MaxViT as RefMaxViT
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import maxvit_state_dict_to_flax
+    from ultralytics_pro_tpu.nn.modules.backbones5 import MaxViTBackbone
+
+    torch.manual_seed(41)
+    ref = RefMaxViT(depths=(1, 1, 2, 1), channels=(16, 32, 48, 64),
+                    embed_dim=16, num_heads=8, grid_window_size=7,
+                    img_size=224, drop_path_rate=0.0)
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.04)
+        for mbuf in ref.modules():
+            if isinstance(mbuf, torch.nn.BatchNorm2d):
+                mbuf.running_mean.add_(torch.randn_like(mbuf.running_mean) * 0.05)
+                mbuf.running_var.mul_(1.2)
+
+    m = MaxViTBackbone(embed_dim=16, depths=(1, 1, 2, 1),
+                       channels=(16, 32, 48, 64), num_heads=8, window=7)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = maxvit_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(43).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
+                   mutable=False)
+    _assert_close(ours, theirs)

@@ -40,7 +40,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "glnet_state_dict_to_flax", "emo2_state_dict_to_flax",
            "pvtv2_state_dict_to_flax", "hornet_state_dict_to_flax",
            "moganet_state_dict_to_flax", "inceptionnext_state_dict_to_flax", "cswin_state_dict_to_flax", "ghostnetv2_state_dict_to_flax",
-           "mambavision_state_dict_to_flax",
+           "mambavision_state_dict_to_flax", "maxvit_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
 
@@ -1920,6 +1920,108 @@ def mambavision_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = Tru
     return tree
 
 
+def maxvit_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """MaxViT (reference MaxViT.py:617).
+
+    Torch layout: stem.{0,2} convs; stages.{i}.blocks.{j} = mb_conv
+    {main_path.0 BN, .1 conv1x1, .2 timm DSC {conv_dw,bn1,conv_pw,bn2},
+    .3 SE {conv_reduce,conv_expand}, .4 conv1x1; skip_path.1 conv1x1} +
+    {block,grid}_transformer {norm_1,norm_2 LN; attention.{qkv_mapping,proj,
+    relative_position_bias_table}; mlp.fc1/fc2}. Classifier `head` skipped;
+    relative_position_index is a non-persistent buffer (absent)."""
+    tree = _deep_dict(variables)
+    written = set()
+    main_conv = {"1": "conv1", "4": "conv2"}
+    dsc = {"conv_dw": "conv_dw", "conv_pw": "conv_pw"}
+    for tkey, w in sd.items():
+        if tkey.endswith("num_batches_tracked") or tkey.startswith("head."):
+            continue
+        if tkey.endswith(("running_mean", "running_var")):
+            continue  # written with the BN weight
+        w = np.asarray(w, np.float32)
+        leaf = tkey.rsplit(".", 1)[-1]
+        m = re.match(r"stem\.(\d)\.(weight|bias)$", tkey)
+        if m:
+            name = "stem_conv1" if m.group(1) == "0" else "stem_conv2"
+            _set(tree, ["params", name, "kernel" if leaf == "weight" else "bias"],
+                 _conv_w(w) if leaf == "weight" else w, written)
+            continue
+        m = re.match(r"stages\.(\d)\.blocks\.(\d+)\.(.+)$", tkey)
+        if not m:
+            if strict:
+                raise KeyError(f"unmapped MaxViT key {tkey}")
+            continue
+        st, bi, rest = m.group(1), m.group(2), m.group(3)
+        parts = rest.split(".")
+        if parts[0] == "mb_conv":
+            pre = ["params", f"s{st}_b{bi}_mb"]
+            if parts[1] == "main_path":
+                idx = parts[2]
+                if idx == "0":  # BN
+                    if leaf == "weight":
+                        _bn_entries(tree, [f"s{st}_b{bi}_mb", "pre_bn"],
+                                    [f"s{st}_b{bi}_mb", "pre_bn"], sd,
+                                    tkey[:-7], written)
+                elif idx in main_conv:
+                    _set(tree, pre + [main_conv[idx],
+                                      "kernel" if leaf == "weight" else "bias"],
+                         _conv_w(w) if leaf == "weight" else w, written)
+                elif idx == "2":  # timm DSC
+                    sub = parts[3]
+                    if sub in dsc:
+                        _set(tree, pre + [dsc[sub], "kernel"], _conv_w(w), written)
+                    elif sub in ("bn1", "bn2"):
+                        if leaf == "weight":
+                            _bn_entries(tree, [f"s{st}_b{bi}_mb", sub],
+                                        [f"s{st}_b{bi}_mb", sub], sd,
+                                        tkey[:-7], written)
+                    elif strict:
+                        raise KeyError(f"unmapped MaxViT DSC key {tkey}")
+                elif idx == "3":  # SE
+                    name = "se_reduce" if parts[3] == "conv_reduce" else "se_expand"
+                    _set(tree, pre + [name, "kernel" if leaf == "weight" else "bias"],
+                         _conv_w(w) if leaf == "weight" else w, written)
+                elif strict:
+                    raise KeyError(f"unmapped MaxViT main_path key {tkey}")
+            elif parts[1] == "skip_path":
+                _set(tree, pre + ["skip_conv",
+                                  "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(w) if leaf == "weight" else w, written)
+            elif strict:
+                raise KeyError(f"unmapped MaxViT mb_conv key {tkey}")
+            continue
+        tb = {"block_transformer": "blk", "grid_transformer": "grd"}.get(parts[0])
+        if tb is None:
+            if strict:
+                raise KeyError(f"unmapped MaxViT block key {tkey}")
+            continue
+        pre = ["params", f"s{st}_b{bi}_{tb}"]
+        if parts[1] in ("norm_1", "norm_2"):
+            _set(tree, pre + [parts[1].replace("_", ""),
+                              "scale" if leaf == "weight" else "bias"], w, written)
+        elif parts[1] == "attention":
+            sub = parts[2]
+            if sub == "qkv_mapping":
+                _set(tree, pre + ["qkv", "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif sub == "proj":
+                _set(tree, pre + ["proj", "kernel" if leaf == "weight" else "bias"],
+                     w.T if leaf == "weight" else w, written)
+            elif sub == "relative_position_bias_table":
+                _set(tree, pre + ["rel_bias"], w, written)
+            elif strict:
+                raise KeyError(f"unmapped MaxViT attention key {tkey}")
+        elif parts[1] == "mlp":
+            _set(tree, pre + [parts[2], "kernel" if leaf == "weight" else "bias"],
+                 w.T if leaf == "weight" else w, written)
+        elif strict:
+            raise KeyError(f"unmapped MaxViT transformer key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=True):
     """Entry point: family in {convnext, fasternet, swin}; `path_or_sd` is a
     local .pt path (loaded dependency-free via tools/convert_pt.py) or an
@@ -1958,5 +2060,6 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "inceptionnext": inceptionnext_state_dict_to_flax,
           "cswin": cswin_state_dict_to_flax,
           "ghostnetv2": ghostnetv2_state_dict_to_flax,
-          "mambavision": mambavision_state_dict_to_flax}[family]
+          "mambavision": mambavision_state_dict_to_flax,
+          "maxvit": maxvit_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

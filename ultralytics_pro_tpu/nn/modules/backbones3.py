@@ -479,6 +479,10 @@ BACKBONE_VARIANTS3.update({
                                      depths=(3, 3, 27, 3)),
     "inceptionnext_base": _faithful("backbones5", "InceptionNeXtBackbone",
                                     depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024)),
+    "maxvit_tiny": _faithful("backbones5", "MaxViTBackbone"),
+    "MaxViT": _faithful("backbones5", "MaxViTBackbone"),
+    "maxvit_small": _faithful("backbones5", "MaxViTBackbone",
+                              channels=(96, 192, 384, 768)),
     "CSWin_tiny": _faithful("backbones5", "CSWinBackbone"),
     "CSWin": _faithful("backbones5", "CSWinBackbone"),
     "CSWin_small": _faithful("backbones5", "CSWinBackbone", depths=(2, 4, 32, 2)),

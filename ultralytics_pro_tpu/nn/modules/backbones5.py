@@ -783,3 +783,166 @@ class MogaNetBackbone(ConvBase):
             x = _bn5(self, f"out_norm{st}", x, train)
             outs.append(x)
         return outs
+
+
+# ------------------------------------------------------------------ MaxViT --
+
+def _grid_part(x, g):
+    """(B, H, W, C) -> (B*nG, g*g, C), dilated-grid token order (reference
+    MaxViT.py:155 grid_partition: H splits as (g, H//g))."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, g, h // g, g, w // g, c).transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(-1, g * g, c)
+
+
+def _grid_merge(t, g, h, w):
+    """Inverse of _grid_part -> (B, H, W, C) (reference MaxViT.py:177)."""
+    b = t.shape[0] // ((h // g) * (w // g))
+    x = t.reshape(b, h // g, w // g, g, g, -1).transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(b, h, w, -1)
+
+
+def _rel_pos_index(g):
+    """Pair-wise relative position index (reference MaxViT.py:205), numpy."""
+    import numpy as _np
+
+    coords = _np.stack(_np.meshgrid(_np.arange(g), _np.arange(g), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += g - 1
+    rel[:, :, 1] += g - 1
+    rel[:, :, 0] *= 2 * g - 1
+    return rel.sum(-1)  # (g*g, g*g)
+
+
+class _MaxViTMBConv(ConvBase):
+    """MBConv (reference MaxViT.py:30): BN -> 1x1 -> timm
+    DepthwiseSeparableConv (dw3 s{1,2} + BN + GELU + pw + BN, inner residual
+    at s1) -> SqueezeExcite(0.25) -> 1x1; skip = [maxpool2 + 1x1] iff
+    downscale."""
+
+    dim: int = 0
+    downscale: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_in = x.shape[-1]
+        d = self.dim
+        s = 2 if self.downscale else 1
+        y = _bn5(self, "pre_bn", x, train)
+        y = nn.Conv(c_in, (1, 1), use_bias=True, dtype=self.dtype, name="conv1")(y)
+        # timm DepthwiseSeparableConv
+        z = nn.Conv(c_in, (3, 3), strides=(s, s), padding=((1, 1), (1, 1)),
+                    feature_group_count=c_in, use_bias=False, dtype=self.dtype,
+                    name="conv_dw")(y)
+        z = _bn5(self, "bn1", z, train)
+        z = jax.nn.gelu(z, approximate=False)
+        z = nn.Conv(d, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(z)
+        z = _bn5(self, "bn2", z, train)
+        if s == 1 and c_in == d:
+            z = z + y  # DSC's internal residual
+        # SqueezeExcite rd = round(d/4)
+        se = z.mean(axis=(1, 2), keepdims=True)
+        se = nn.Conv(int(round(d * 0.25)), (1, 1), use_bias=True,
+                     dtype=self.dtype, name="se_reduce")(se)
+        se = nn.Conv(d, (1, 1), use_bias=True, dtype=self.dtype,
+                     name="se_expand")(jax.nn.relu(se))
+        z = z * jax.nn.sigmoid(se)
+        z = nn.Conv(d, (1, 1), use_bias=True, dtype=self.dtype, name="conv2")(z)
+        if self.downscale:
+            skip = nn.max_pool(x, (2, 2), strides=(2, 2))
+            skip = nn.Conv(d, (1, 1), use_bias=True, dtype=self.dtype,
+                           name="skip_conv")(skip)
+        else:
+            skip = x
+        return z + skip
+
+
+class _MaxViTTransformer(ConvBase):
+    """Block/grid relative-attention transformer (reference MaxViT.py:313):
+    pad to window multiples, partition, LN -> rel-pos MHSA residual,
+    LN -> MLP residual, reverse, crop. LN/MLP are per-token so they run on
+    the unpartitioned map; only attention needs the partition."""
+
+    dim: int = 0
+    heads: int = 32
+    window: int = 7
+    grid: bool = False
+    ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.window
+        hd = c // self.heads
+        ph, pw = (g - h % g) % g, (g - w % g) % g
+        hp, wp = h + ph, w + pw
+
+        def part(t):
+            if ph or pw:
+                t = jnp.pad(t, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            return _grid_part(t, g) if self.grid else _win_part(t, g, g)
+
+        def merge(t):
+            t = (_grid_merge(t, g, hp, wp) if self.grid
+                 else _win_merge(t, g, g, hp, wp))
+            return t[:, :h, :w] if (ph or pw) else t
+
+        y = part(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(y)
+        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(y)
+        bw, n, _ = y.shape
+        qkv = qkv.reshape(bw, n, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        table = self.param("rel_bias", nn.initializers.zeros,
+                           ((2 * g - 1) ** 2, self.heads))
+        bias = table[_rel_pos_index(g).reshape(-1)].reshape(n, n, self.heads)
+        attn = jax.nn.softmax((q * hd ** -0.5) @ k.transpose(0, 1, 3, 2)
+                              + bias.transpose(2, 0, 1)[None], axis=-1)
+        o = (attn @ v).transpose(0, 2, 1, 3).reshape(bw, n, c)
+        o = nn.Dense(c, use_bias=True, dtype=self.dtype, name="proj")(o)
+        x = x + merge(o)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(c * self.ratio), use_bias=True, dtype=self.dtype,
+                     name="fc1")(y)
+        y = nn.Dense(c, use_bias=True, dtype=self.dtype,
+                     name="fc2")(jax.nn.gelu(y, approximate=False))
+        return x + y
+
+
+class MaxViTBackbone(ConvBase):
+    """MaxViT (reference MaxViT.py:617): conv3s2+GELU+conv3s1+GELU stem
+    (biased convs, no norm); 4 stages whose first block downscales; each
+    block = MBConv -> window transformer -> grid transformer; emits each
+    stage's final map."""
+
+    embed_dim: int = 64
+    depths: Sequence[int] = (2, 2, 5, 2)
+    channels: Sequence[int] = (64, 128, 256, 512)
+    num_heads: int = 32
+    window: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.embed_dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=True, dtype=self.dtype, name="stem_conv1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=True, dtype=self.dtype, name="stem_conv2")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        outs = []
+        for st in range(4):
+            d = self.channels[st]
+            for bi in range(self.depths[st]):
+                pre = f"s{st}_b{bi}"
+                x = _MaxViTMBConv(dim=d, downscale=(bi == 0), dtype=self.dtype,
+                                  name=f"{pre}_mb")(x, train)
+                x = _MaxViTTransformer(dim=d, heads=self.num_heads,
+                                       window=self.window, grid=False,
+                                       dtype=self.dtype, name=f"{pre}_blk")(x, train)
+                x = _MaxViTTransformer(dim=d, heads=self.num_heads,
+                                       window=self.window, grid=True,
+                                       dtype=self.dtype, name=f"{pre}_grd")(x, train)
+            outs.append(x)
+        return outs

@@ -85,6 +85,10 @@ class attention_model(ConvBase):
     def __call__(self, x, train: bool = False):
         import math
 
+        # reference forward takes [input1, input2]: channel_att(input1) +
+        # input2, then local_att on the sum (ASFyolo.py:153-158); a single
+        # tensor degrades to input2 = 0
+        x, x2 = (x[0], x[1]) if isinstance(x, (list, tuple)) else (x, None)
         c = x.shape[-1]
         k = int(abs((math.log2(max(c, 2)) + 1) / 2))
         k = k if k % 2 else k + 1
@@ -92,6 +96,8 @@ class attention_model(ConvBase):
         g = nn.Conv(1, (k,), padding=((k // 2, k // 2),), use_bias=False,
                     dtype=self.dtype, name="eca")(g)[..., 0]
         x = x * jax.nn.sigmoid(g)[:, None, None, :]
+        if x2 is not None:
+            x = x + x2
         # local att: pooled H and W profiles -> shared bottleneck -> two gates
         hgt, wid = x.shape[1], x.shape[2]
         xh = x.mean(axis=2)  # (B, H, C)

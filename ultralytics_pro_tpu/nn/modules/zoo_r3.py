@@ -543,11 +543,17 @@ class SCConv(ConvBase):
         c_ = self.c2 // 2
         x1, x2 = jnp.split(x, 2, axis=-1) if x.shape[-1] % 2 == 0 else (x, x)
         # calibration branch: 4x avg-pool -> conv -> nearest upsample -> gate
-        p = nn.avg_pool(x1, (4, 4), strides=(4, 4), padding="VALID")
+        # (pool window clamps to the map so tiny P5 maps don't pool to zero)
+        pw = min(4, x1.shape[1], x1.shape[2])
+        p = nn.avg_pool(x1, (pw, pw), strides=(pw, pw), padding="VALID")
         p = nn.Conv(x1.shape[-1], (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="k2")(p)
-        p = jnp.repeat(jnp.repeat(p, 4, axis=1), 4, axis=2)
+        p = jnp.repeat(jnp.repeat(p, pw, axis=1), pw, axis=2)
         p = p[:, :x1.shape[1], :x1.shape[2]]
+        dh, dw = x1.shape[1] - p.shape[1], x1.shape[2] - p.shape[2]
+        if dh > 0 or dw > 0:  # non-divisible maps: edge-extend the upsample
+            p = jnp.pad(p, ((0, 0), (0, max(dh, 0)), (0, max(dw, 0)), (0, 0)),
+                        mode="edge")
         gate = jax.nn.sigmoid(x1 + p)
         a = nn.Conv(c_, (3, 3), strides=(self.s, self.s), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="k3")(x1) * (

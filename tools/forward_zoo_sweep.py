@@ -165,7 +165,24 @@ def report() -> int:
     for fam in sorted(fams):
         for y, e in fams[fam][2]:
             print(f"  FAIL {y}: {e}")
-    return 0 if n and n_ok / n >= 0.97 else 1
+    return rows, n_ok
+
+
+def write_summary(rows, n_ok):
+    """Commit-able audit record consumed by
+    tests/test_reference_zoo_sweep.py::test_forward_all_sweep_ledger."""
+    buildable = len(list_buildable())
+    out = {
+        "buildable": buildable,
+        "upstream_forward_invalid": len(UPSTREAM_FORWARD_INVALID),
+        "attempted": len(rows),
+        "ok": n_ok,
+        "failures": sorted([r["yaml"], r["err"]] for r in rows if not r["ok"]),
+    }
+    p = Path(__file__).resolve().parents[1] / "tests" / "fixtures" / \
+        "forward_sweep_summary.json"
+    p.write_text(json.dumps(out, indent=1))
+    print(f"summary -> {p}")
 
 
 def main():
@@ -174,9 +191,13 @@ def main():
                     help="per-model wall bound in seconds")
     ap.add_argument("--redo-failures", action="store_true")
     ap.add_argument("--report", action="store_true")
+    ap.add_argument("--write-summary", action="store_true")
     args = ap.parse_args()
     if args.report:
-        sys.exit(report())
+        rows, n_ok = report()
+        if args.write_summary:
+            write_summary(rows, n_ok)
+        sys.exit(0 if rows and n_ok / len(rows) >= 0.97 else 1)
     run(args.timeout, args.redo_failures)
 
 

@@ -86,15 +86,19 @@ def forward_one(rel: str) -> dict:
     d = yaml_load(REF_MODELS / rel)
     task = guess_model_task(d)
     m = TASK2MODEL[task](d)
-    v = m.init_params(imgsz=64)
     ch = int(d.get("ch", 3) or 3)
-    # jit: ONE compiled executable per model. Eager apply dispatches
-    # thousands of tiny op-compiles (~0.2-3s each on this host), which is
-    # what timed out the EIMS-heavy families (HEYDet: 419s eager -> jitted
-    # compile ~= the init cost).
+    # ONE compiled executable per model, init fused with apply. Eager
+    # dispatch compiles thousands of tiny ops (~0.2-3s each on this host,
+    # which timed out the EIMS-heavy families); two separate jits (init,
+    # apply) still paid two compile round-trips per model.
     import jax as _jax
-    y = _jax.jit(lambda v_, x_: m.apply(v_, x_, train=False))(
-        v, jnp.zeros((1, 64, 64, ch)))
+
+    def init_and_apply(key, x):
+        v = m.module.init(key, x, train=True)
+        return m.module.apply(v, x, train=False)
+
+    y = _jax.jit(init_and_apply)(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, ch)))
     out = y[0] if isinstance(y, tuple) else y
     leaf = out[0] if isinstance(out, (list, tuple)) else out
     finite = bool(jnp.all(jnp.isfinite(jnp.asarray(leaf, jnp.float32))))
@@ -103,7 +107,7 @@ def forward_one(rel: str) -> dict:
             "secs": round(time.time() - t0, 1)}
 
 
-def run(timeout_s: int, redo_failures: bool) -> None:
+def run(timeout_s: int, redo_failures: bool, shard: str = "") -> None:
     done = {}
     if RESULTS.exists():
         for line in RESULTS.read_text().splitlines():
@@ -113,6 +117,9 @@ def run(timeout_s: int, redo_failures: bool) -> None:
     todo = [rel for rel in list_buildable()
             if rel not in UPSTREAM_FORWARD_INVALID
             and (rel not in done or (redo_failures and not done[rel]["ok"]))]
+    if shard:  # "i/n": overlap out-of-process compiles across workers
+        i, n = (int(p) for p in shard.split("/"))
+        todo = todo[i::n]
     print(f"forward sweep: {len(done)} recorded, {len(todo)} to go", flush=True)
     signal.signal(signal.SIGALRM, _alarm)
     with RESULTS.open("a") as f:
@@ -192,13 +199,14 @@ def main():
     ap.add_argument("--redo-failures", action="store_true")
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--write-summary", action="store_true")
+    ap.add_argument("--shard", default="", help='"i/n" worker shard')
     args = ap.parse_args()
     if args.report:
         rows, n_ok = report()
         if args.write_summary:
             write_summary(rows, n_ok)
         sys.exit(0 if rows and n_ok / len(rows) >= 0.97 else 1)
-    run(args.timeout, args.redo_failures)
+    run(args.timeout, args.redo_failures, args.shard)
 
 
 if __name__ == "__main__":

@@ -406,7 +406,7 @@ class OREPA(ConvBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c1, c2, k, g = x.shape[-1], self.c2, self.k, self.g
+        c1, c2, k, g = x.shape[-1], self.c2 or x.shape[-1], self.k, self.g
         ci = c1 // g
         init = nn.initializers.he_normal()
         w_origin = self.param("w_origin", init, (k, k, ci, c2))

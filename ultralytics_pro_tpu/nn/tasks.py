@@ -521,8 +521,14 @@ BUILDERS.update({
         _rep().C3_DRB, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, True))),
     "C2f_UniRepLKNetBlock": lambda a, n, w, d, mx, ctx: (
         _rep().C2f_UniRepLKNetBlock, _kw(c2=_sc(a[0], w, mx), n=n)),
+    # bare OREPA parses in the reference's channel-preserving group
+    # (tasks.py:2871: c2 = ch[f]; args = [c2, *args]) -> yaml args are
+    # (k, s); c2=0 keeps the input width. (The reference then passes
+    # out_channels=args[0]=k by position and crashes on its only usage —
+    # yolov10n-OREPA.yaml — so the yaml-comment intent "P2/4 downsample"
+    # is what we build.)
     "OREPA": lambda a, n, w, d, mx, ctx: (
-        _rep().OREPA, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1))),
+        _rep().OREPA, _kw(c2=0, k=_a(a, 0, 3), s=_a(a, 1, 1))),
 })
 
 

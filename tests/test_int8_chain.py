@@ -91,3 +91,73 @@ def test_chain_ineligible_falls_back():
     # cls backbone IS the v8 prefix, so plan may exist; the guarantee under
     # test is only "no crash + a usable fallback qtable"
     assert qtable is not None
+
+
+def test_chain_int8_map_delta(tmp_path):
+    """Chain-level PTQ accuracy gate (VERDICT r3 Weak #7): quantize the
+    reference-trained parity model with the CHAIN path (int8 activations
+    carried through the backbone prefix) and require the mAP drop vs f32
+    stays small, with per-class deltas reported."""
+    import glob
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from tests.conftest import FIXTURES
+    from tests.make_synth_dataset import make_synth_dataset
+
+    ref_json = os.path.join(FIXTURES, "val_parity_ref.json")
+    ref_npz = os.path.join(FIXTURES, "val_parity_model.npz")
+    if not os.path.exists(ref_json):
+        pytest.skip("reference baseline not generated")
+
+    from ultralytics_pro_tpu import YOLO
+    from ultralytics_pro_tpu.nn.tasks import yaml_model_load
+    from ultralytics_pro_tpu.utils.torch_import import load_torch_state_dict
+
+    with open(ref_json) as f:
+        ref = json.load(f)
+    data_yaml = make_synth_dataset(tmp_path / "synth", **ref["dataset_args"])
+    imgsz = ref["val_args"]["imgsz"]
+
+    ycfg = yaml_model_load("yolov8n.yaml")
+    ycfg["nc"] = ref["dataset_args"]["nc"]
+    model = YOLO(ycfg)
+    variables = model.model.init_params(imgsz=imgsz)
+    fx = dict(np.load(ref_npz))
+    sd = {k[4:]: v for k, v in fx.items() if k.startswith("sd::")}
+    model.model.variables = load_torch_state_dict(variables, sd, strict=True)
+
+    m32 = model.val(data=str(data_yaml), imgsz=imgsz, batch=8)
+    base50, base = float(m32.box.map50), float(m32.box.map)
+    per_class32 = {int(c): float(v) for c, v in
+                   zip(m32.box.ap_class_index, m32.box.maps[m32.box.ap_class_index])} \
+        if hasattr(m32.box, "ap_class_index") else {}
+    assert base50 > 0.5, base50
+
+    import jax.numpy as jnp
+
+    paths = sorted(glob.glob(os.path.join(tmp_path / "synth", "images", "val", "*")))[:8]
+    if not paths:
+        paths = sorted(glob.glob(str(tmp_path / "synth" / "images" / "*" / "*")))[:8]
+    imgs = np.stack([np.asarray(Image.open(p).convert("RGB").resize((imgsz, imgsz)))
+                     for p in paths]).astype(np.float32) / 255.0
+    plan = model.model.quantize_int8_chain([jnp.asarray(imgs)])
+    assert plan is not None and plan["n_prefix"] >= 8, plan and plan["n_prefix"]
+
+    m8 = model.val(data=str(data_yaml), imgsz=imgsz, batch=8)
+    q50, q = float(m8.box.map50), float(m8.box.map)
+    movers = ""
+    if per_class32 and hasattr(m8.box, "ap_class_index"):
+        per8 = {int(c): float(v) for c, v in
+                zip(m8.box.ap_class_index, m8.box.maps[m8.box.ap_class_index])}
+        deltas = sorted(((per8.get(c, 0.0) - v, c) for c, v in per_class32.items()))
+        movers = "  worst per-class: " + ", ".join(
+            f"c{c}:{d:+.3f}" for d, c in deltas[:5])
+    print(f"f32 mAP50={base50:.4f}/{base:.4f}  chain-int8 mAP50={q50:.4f}/{q:.4f}"
+          f"  prefix={plan['n_prefix']}{movers}")
+    assert q50 > base50 - 0.05, (base50, q50)
+    assert q > base - 0.08, (base, q)

@@ -1401,6 +1401,12 @@ class BaseModel:
 
     # -- forward --------------------------------------------------------------
     def apply(self, variables, x, train: bool = False, mutable=False):
+        if not train and not mutable and getattr(self, "int8_chain", None):
+            from ultralytics_pro_tpu.nn.quantize_chain import chain_quantized_apply
+
+            plan, rest_qt = self.int8_chain
+            return chain_quantized_apply(self, plan, rest_qt)(
+                variables, x, train=train)
         if not train and getattr(self, "int8_qtable", None):
             # PTQ int8 serving path (nn/quantize.py): eligible convs run
             # int8 x int8 -> int32 on the MXU at 2x the bf16 rate
@@ -1421,6 +1427,23 @@ class BaseModel:
 
         return quantize_model_int8(self, calib_batches, clip=clip,
                                    min_ch=min_ch, min_k=min_k)
+
+    def quantize_int8_chain(self, calib_batches):
+        """Chain-level PTQ: the longest eligible backbone prefix carries int8
+        activations BETWEEN blocks (HBM tensors 1 byte/elem, dequant only at
+        block boundaries) and the remaining layers run under the per-conv
+        int8 interceptor. Subsequent eval-mode apply()/val()/predict() route
+        through the chain. Returns the plan, or None when the architecture
+        is chain-ineligible (per-conv int8 is then active instead)."""
+        from ultralytics_pro_tpu.nn.quantize_chain import quantize_model_chain
+
+        plan, rest_qt = quantize_model_chain(self, self.variables, calib_batches)
+        if plan is not None:
+            self.int8_chain = (plan, rest_qt)
+            self.int8_qtable = None
+        else:
+            self.int8_qtable = rest_qt
+        return plan
 
     def __call__(self, x, train: bool = False):
         if self.variables is None:

@@ -915,8 +915,13 @@ class MultiSEAM(ConvBase):
         c = x.shape[-1]
         gates = []
         for pi, p in enumerate((3, 5, 7)):
+            # maps smaller than the patch zero-pad up to one patch: a 7x7
+            # VALID conv on a 2x2 P5 map yields a 0x0 tensor whose mean is
+            # NaN (param shapes stay resolution-independent)
+            ph, pw = max(p - x.shape[1], 0), max(p - x.shape[2], 0)
+            xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0))) if ph or pw else x
             y = nn.Conv(c, (p, p), strides=(p, p), padding="VALID",
-                        dtype=self.dtype, name=f"patch_{pi}")(x)
+                        dtype=self.dtype, name=f"patch_{pi}")(xp)
             y = _bn(self, f"pbn_{pi}", jax.nn.silu(y), train)
             z = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
                         dtype=self.dtype, name=f"dw_{pi}")(y)

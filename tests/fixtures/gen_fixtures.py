@@ -99,7 +99,8 @@ def _make_tv_stub():
     sys.modules["torchvision.models"] = models
 
 
-_make_tv_stub()
+# (_make_tv_stub is invoked by install_stubs() below, together with the
+# catch-all finder, so the pair can be scoped by the parity-test fixtures.)
 
 
 # Generic auto-stubs for optional third-party deps the reference module zoo
@@ -342,15 +343,67 @@ class _StubFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
         module.__path__ = []
 
 
-# Pre-import real packages BEFORE installing the catch-all finder so their
-# platform-conditional imports (six.moves.winreg etc.) resolve normally.
-for _name in ("pandas", "dateutil", "matplotlib", "scipy", "PIL", "yaml", "psutil", "cv2", "polars", "requests"):
-    try:
-        __import__(_name)
-    except ImportError:
-        pass
+# ---------------------------------------------------------------------------
+# Scoped stub lifecycle (fixes the full-suite cross-test state leak: a live
+# catch-all finder makes torch._dynamo see a fake `triton` package
+# (dynamo/utils.py touches triton.language.dtype at import), breaks
+# TensorFlow's lazy platform imports, and half-imports jax pallas whose retry
+# re-registers config options -> "Config option ... already defined").
+# Parity test modules call install_stubs() in a module-scoped fixture and
+# uninstall_stubs() at teardown; importing this module installs them too (for
+# the offline generation flow and tools/), and fragile real packages are
+# pre-imported so they can never be stubbed mid-session.
+# ---------------------------------------------------------------------------
 
-sys.meta_path.append(_StubFinder())
+_FINDER = _StubFinder()
+_installed = False
+
+
+def _preimport_fragile():
+    """Fully import packages whose lazy internals would otherwise resolve
+    through the catch-all finder while it is live."""
+    for _name in (
+        "pandas", "dateutil", "matplotlib", "scipy", "PIL", "yaml", "psutil",
+        "cv2", "polars", "requests",
+        # torch._dynamo's import probes triton.language.dtype if a `triton`
+        # module is importable; jax.experimental.pallas imports a triton
+        # lowering layer. Import both for real BEFORE the stub finder exists.
+        "torch._dynamo", "jax.experimental.pallas",
+    ):
+        try:
+            __import__(_name)
+        except Exception:  # noqa: BLE001  (optional / platform-conditional)
+            pass
+
+
+def install_stubs():
+    """Install the torchvision stub + catch-all finder (idempotent)."""
+    global _installed
+    if _installed:
+        return
+    _preimport_fragile()
+    _make_tv_stub()
+    sys.meta_path.append(_FINDER)
+    _installed = True
+
+
+def uninstall_stubs():
+    """Remove the finder and every stub module so later tests see a clean
+    import state (real absences raise ImportError again)."""
+    global _installed
+    if not _installed:
+        return
+    try:
+        sys.meta_path.remove(_FINDER)
+    except ValueError:
+        pass
+    for k in list(sys.modules):
+        if isinstance(sys.modules.get(k), _StubModule) or k.split(".")[0] == "torchvision":
+            del sys.modules[k]
+    _installed = False
+
+
+install_stubs()
 
 torch.manual_seed(0)
 rng = np.random.default_rng(0)

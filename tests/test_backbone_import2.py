@@ -12,8 +12,10 @@ pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module", autouse=True)
 def ref_path():
-    import tests.fixtures.gen_fixtures  # noqa: F401  (stub finder + ref path)
-    return None
+    import tests.fixtures.gen_fixtures as gf  # (/root/reference on path)
+    gf.install_stubs()
+    yield None
+    gf.uninstall_stubs()  # don't leak the catch-all finder into other modules
 
 
 def _stage_outs_torch(mod, x_nchw):

@@ -17,8 +17,10 @@ pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module", autouse=True)
 def ref_path():
-    import tests.fixtures.gen_fixtures  # noqa: F401
-    return None
+    import tests.fixtures.gen_fixtures as gf
+    gf.install_stubs()
+    yield None
+    gf.uninstall_stubs()
 
 
 def test_sam2_encoder_import_parity():

@@ -24,11 +24,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.fixture(scope="module")
 def ref_sam():
     sys.path.insert(0, REPO)
-    try:
-        import torch._dynamo  # noqa: F401  (pre-import before the stub finder)
-    except Exception:
-        pass
-    import tests.fixtures.gen_fixtures  # noqa: F401
+    import tests.fixtures.gen_fixtures as gf
+    gf.install_stubs()
     import torch
 
     from ultralytics.models.sam.build import _build_sam
@@ -36,7 +33,8 @@ def ref_sam():
     torch.manual_seed(0)
     sam = _build_sam(encoder_embed_dim=96, encoder_depth=2, encoder_num_heads=3,
                      encoder_global_attn_indexes=[1], checkpoint=None).eval()
-    return sam
+    yield sam
+    gf.uninstall_stubs()
 
 
 def test_sam_import_parity(ref_sam):

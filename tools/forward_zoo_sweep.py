@@ -97,14 +97,28 @@ def forward_one(rel: str) -> dict:
         v = m.module.init(key, x, train=True)
         return m.module.apply(v, x, train=False)
 
-    y = _jax.jit(init_and_apply)(_jax.random.PRNGKey(0),
-                                 jnp.zeros((1, 64, 64, ch)))
-    out = y[0] if isinstance(y, tuple) else y
-    leaf = out[0] if isinstance(out, (list, tuple)) else out
-    finite = bool(jnp.all(jnp.isfinite(jnp.asarray(leaf, jnp.float32))))
+    def attempt(sz):
+        y = _jax.jit(init_and_apply)(_jax.random.PRNGKey(0),
+                                     jnp.zeros((1, sz, sz, ch)))
+        out = y[0] if isinstance(y, tuple) else y
+        leaf = out[0] if isinstance(out, (list, tuple)) else out
+        return bool(jnp.all(jnp.isfinite(jnp.asarray(leaf, jnp.float32))))
+
+    # 64px keeps compiles cheap, but P6/P7 (stride 64/128) yamls legitimately
+    # need >= 2x max-stride inputs (the reference's stride dry-run uses 256px,
+    # tasks.py:1318) — on any failure retry once at the reference's 256.
+    try:
+        finite = attempt(64)
+        size = 64
+    except Exception:
+        finite = attempt(256)  # raises through to the caller on a real bug
+        size = 256
+    if not finite:
+        finite = attempt(256)
+        size = 256
     return {"yaml": rel, "task": task, "ok": finite,
             "err": None if finite else "non-finite output",
-            "secs": round(time.time() - t0, 1)}
+            "secs": round(time.time() - t0, 1), "imgsz": size}
 
 
 def run(timeout_s: int, redo_failures: bool, shard: str = "") -> None:

@@ -32,12 +32,14 @@ def test_chain_plan_covers_backbone(model):
     x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
     plan, qtable = quantize_model_chain(model, model.variables, [x])
     assert plan is not None
-    # v8 backbone prefix: Conv,Conv,C2f,Conv,C2f,Conv,C2f,Conv,C2f,SPPF
-    assert plan["n_prefix"] == 10
+    # v8 chain region: the 10-layer backbone prefix PLUS the whole PAN neck
+    # (Upsample/Concat/C2f/Conv) — everything up to the Detect head (22 layers)
+    assert plan["n_prefix"] == 22
     types = [e["type"] for e in plan["entries"]]
-    assert types[0] == "Conv" and types[-1] == "SPPF" and "C2f" in types
-    # per-conv qtable must not double-quantize prefix layers
-    assert not any(k.startswith(tuple(f"layers_{i}/" for i in range(10)))
+    assert types[0] == "Conv" and "SPPF" in types and "C2f" in types
+    assert "Upsample" in types and "Concat" in types
+    # per-conv qtable must not double-quantize chain layers
+    assert not any(k.startswith(tuple(f"layers_{i}/" for i in range(22)))
                    for k in qtable)
 
 

@@ -37,8 +37,12 @@ from flax import linen as nn
 
 from ultralytics_pro_tpu.nn.modules.conv import BN_EPS, autopad
 
-# layer types the chain interpreter understands (sequential wiring only)
-_CHAIN_TYPES = ("Conv", "C2f", "SPPF")
+# layer types the chain interpreter understands. Conv/C2f/SPPF carry the
+# int8 math; Upsample (nearest: exact on int8, scale-preserving) and Concat
+# (int8->int8 requant to the consumer's calibrated scale) extend the chain
+# through the PAN neck so the WHOLE pre-head graph stays 1 byte/elem in HBM.
+_CHAIN_TYPES = ("Conv", "C2f", "SPPF", "Upsample", "Concat")
+_CONV_TYPES = ("Conv", "C2f", "SPPF")
 # model-level special cases the generic rest-of-network runner cannot serve
 _UNSUPPORTED_TYPES = {"ImagePoolingAttn", "C2fAttn", "WorldDetect", "YOLOEDetect",
                       "RTDETRDecoder"}
@@ -46,6 +50,10 @@ _UNSUPPORTED_TYPES = {"ImagePoolingAttn", "C2fAttn", "WorldDetect", "YOLOEDetect
 
 def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def _norm_type(t: str) -> str:
+    return "Upsample" if t == "nn.Upsample" else t
 
 
 class _QConv:
@@ -187,8 +195,47 @@ def _first_conv_path(spec) -> tuple:
     return (name, "cv1")  # C2f / SPPF
 
 
+def _region_scan(specs) -> List:
+    """Longest leading graph region the interpreter can serve: Conv/C2f/SPPF
+    carrying the int8 math plus nearest-Upsample and Concat wiring, with every
+    `from` source inside the region (layer 0 alone reads the model input)."""
+    region: List = []
+    ids = set()
+    for s in specs:
+        t = _norm_type(s.type_name)
+        if t not in _CHAIN_TYPES:
+            break
+        kw = dict(s.kwargs)
+        if t == "Conv" and (kw.get("g", 1) != 1 or kw.get("d", 1) != 1
+                            or kw.get("act", True) is not True
+                            or kw.get("p") not in (None,)):
+            break
+        if t == "C2f" and kw.get("g", 1) != 1:
+            break
+        if t == "Upsample" and kw.get("mode", "nearest") != "nearest":
+            break
+        if t == "Concat" and kw.get("dim", 1) != 1:
+            break
+        fs = s.f if isinstance(s.f, tuple) else (s.f,)
+        ok = True
+        for j in fs:
+            src = s.i - 1 if j == -1 else j
+            if src == -1 and not region:
+                continue  # layer 0 consumes the model input
+            if src not in ids:
+                ok = False
+                break
+        if not ok:
+            break
+        region.append(s)
+        ids.add(s.i)
+    return region
+
+
 def build_chain_plan(model, variables, stats: Dict) -> Optional[Dict]:
-    """Build the chain-int8 plan for the longest eligible backbone prefix.
+    """Build the chain-int8 plan for the longest eligible leading graph region
+    (for v5/v8/v11-shaped models: the entire backbone AND PAN neck; the head
+    consumes dequantized saved maps).
 
     Returns None when the model shape is unsupported (the caller falls back
     to per-conv PTQ). `stats` is collect_conv_stats output on the SAME
@@ -205,40 +252,50 @@ def build_chain_plan(model, variables, stats: Dict) -> Optional[Dict]:
     bstats = variables.get("batch_stats", {})
     b = _Builder(params, bstats, stats)
 
-    # find the eligible prefix: consecutive sequential Conv/C2f/SPPF
-    prefix: List = []
-    for s in specs:
-        if s.type_name not in _CHAIN_TYPES or s.f != -1:
-            break
-        kw = dict(s.kwargs)
-        if s.type_name == "Conv" and (kw.get("g", 1) != 1 or kw.get("d", 1) != 1
-                                      or kw.get("act", True) is not True
-                                      or kw.get("p") not in (None,)):
-            break
-        if s.type_name == "C2f" and kw.get("g", 1) != 1:
-            break
-        prefix.append(s)
-    if len(prefix) < 3:
+    region = _region_scan(specs)
+    if len(region) < 3 or region[0].type_name != "Conv":
         return None
 
+    # Emit scale per layer = the calibrated input scale of its FIRST in-region
+    # consumer (transitively through scale-preserving Upsample/Concat); other
+    # consumers requant int8->int8 at consumption. No consumer in-region
+    # (head-feeding maps, the region tail) => emit f32.
+    consumers: Dict[int, List] = {s.i: [] for s in region}
+    for s in region:
+        fs = s.f if isinstance(s.f, tuple) else (s.f,)
+        for j in fs:
+            src = s.i - 1 if j == -1 else j
+            if src in consumers:
+                consumers[src].append(s)
+
     try:
+        req: Dict[int, Optional[float]] = {}
+        for s in reversed(region):
+            cons = consumers[s.i]
+            if not cons:
+                req[s.i] = None
+            elif cons[0].type_name in _CONV_TYPES:
+                req[s.i] = b.in_scale(*_first_conv_path(cons[0]))
+            else:  # Upsample / Concat pass the requirement through
+                req[s.i] = req[cons[0].i]
+
         entries = []
-        for idx, s in enumerate(prefix):
-            nxt = prefix[idx + 1] if idx + 1 < len(prefix) else None
-            # scale this layer must emit = next chain conv's calibrated input
-            out_scale = b.in_scale(*_first_conv_path(nxt)) if nxt else None
+        for idx, s in enumerate(region):
+            out_scale = req[s.i]
             name = f"layers_{s.i}"
             kw = dict(s.kwargs)
-            if s.type_name == "Conv":
+            t_name = _norm_type(s.type_name)
+            if t_name == "Conv":
                 qc = b.qconv((name,), out_scale, strides=kw.get("s", 1),
                              k=kw.get("k", 1), p=kw.get("p"),
                              input_shift=(idx == 0 and b.stats.get(
                                  (name, "conv"), 0.0) > 32.0))
-                entries.append({"type": "Conv", "i": s.i, "cv": qc,
-                                "out_scale": out_scale})
-            elif s.type_name == "C2f":
+                entries.append({"type": "Conv", "i": s.i, "f": s.f, "cv": qc,
+                                "in_scale": qc.in_scale, "out_scale": out_scale})
+            elif t_name == "C2f":
                 n = kw.get("n", 1)
                 shortcut = bool(kw.get("shortcut", False))
+                s_cv1 = b.in_scale(name, "cv1")
                 s_cv2 = b.in_scale(name, "cv2")
                 s_m = [b.in_scale(name, f"m_{j}", "cv1") for j in range(n)]
                 s_m_in = [b.in_scale(name, f"m_{j}", "cv2") for j in range(n)]
@@ -250,33 +307,42 @@ def build_chain_plan(model, variables, stats: Dict) -> Optional[Dict]:
                     m_cv2 = b.qconv((name, f"m_{j}", "cv2"), nxt_s, k=3)
                     ms.append((m_cv1, m_cv2, s_m[j], nxt_s))
                 cv2 = b.qconv((name, "cv2"), out_scale, k=1, in_scale=s_cv2)
-                entries.append({"type": "C2f", "i": s.i, "cv1": cv1, "m": ms,
-                                "cv2": cv2, "s_cv2": s_cv2, "s_m0": s_m[0],
+                entries.append({"type": "C2f", "i": s.i, "f": s.f, "cv1": cv1,
+                                "m": ms, "cv2": cv2, "s_cv2": s_cv2,
+                                "s_m0": s_m[0], "in_scale": s_cv1,
                                 "shortcut": shortcut, "out_scale": out_scale})
-            else:  # SPPF
+            elif t_name == "SPPF":
+                s_cv1 = b.in_scale(name, "cv1")
                 s_cv2 = b.in_scale(name, "cv2")
                 cv1 = b.qconv((name, "cv1"), s_cv2, k=1)
                 cv2 = b.qconv((name, "cv2"), out_scale, k=1, in_scale=s_cv2)
-                entries.append({"type": "SPPF", "i": s.i, "cv1": cv1,
-                                "cv2": cv2, "s_cv2": s_cv2,
+                entries.append({"type": "SPPF", "i": s.i, "f": s.f, "cv1": cv1,
+                                "cv2": cv2, "s_cv2": s_cv2, "in_scale": s_cv1,
                                 "k": kw.get("k", 5), "out_scale": out_scale})
+            elif t_name == "Upsample":
+                entries.append({"type": "Upsample", "i": s.i, "f": s.f,
+                                "scale": int(kw.get("scale", 2)),
+                                "out_scale": out_scale})
+            else:  # Concat
+                entries.append({"type": "Concat", "i": s.i, "f": s.f,
+                                "out_scale": out_scale})
     except _ChainBuildError:
         return None
 
-    return {"entries": entries, "n_prefix": len(prefix),
+    return {"entries": entries, "n_prefix": len(region),
             "save": set(model.save)}
 
 
-def _run_entry(e, q):
-    """Run one chain entry on int8 input; returns (q_or_f32_out, emitted_scale)."""
+def _run_conv_entry(e, q):
+    """Run one conv-bearing chain entry on int8 input at e['in_scale']."""
     if e["type"] == "Conv":
-        return e["cv"](q), e["out_scale"]
+        return e["cv"](q)
     if e["type"] == "SPPF":
         y = e["cv1"](q)  # int8 @ s_cv2
         y1 = _max_pool_same_i8(y, e["k"])
         y2 = _max_pool_same_i8(y1, e["k"])
         y3 = _max_pool_same_i8(y2, e["k"])
-        return e["cv2"](jnp.concatenate([y, y1, y2, y3], -1)), e["out_scale"]
+        return e["cv2"](jnp.concatenate([y, y1, y2, y3], -1))
     # C2f
     y = e["cv1"](q)  # int8 @ s_m0
     c = y.shape[-1] // 2
@@ -293,13 +359,29 @@ def _run_entry(e, q):
         pieces.append((cur, cur_scale))
     cat = jnp.concatenate(
         [_requant(p, s, e["s_cv2"]) for p, s in pieces], -1)
-    return e["cv2"](cat), e["out_scale"]
+    return e["cv2"](cat)
+
+
+def _as_q(v, scale: float):
+    """Coerce a cached value to int8 at `scale` (requant or fresh quantize)."""
+    kind, t, s = v
+    if kind == "q":
+        return _requant(t, s, scale)
+    return jnp.clip(jnp.round(t.astype(jnp.float32) / scale),
+                    -127, 127).astype(jnp.int8)
+
+
+def _as_f(v, dtype):
+    kind, t, s = v
+    if kind == "q":
+        return (t.astype(jnp.float32) * s).astype(dtype)
+    return t.astype(dtype)
 
 
 def chain_quantized_apply(model, plan: Dict, rest_qtable: Optional[Dict] = None):
-    """Returns apply(variables, x, train=False) running the backbone prefix
-    in carried int8 and the remaining layers through the regular modules
-    (under the per-conv int8 interceptor when rest_qtable is given)."""
+    """Returns apply(variables, x, train=False) running the leading graph
+    region in carried int8 and the remaining layers through the regular
+    modules (under the per-conv int8 interceptor when rest_qtable is given)."""
     from contextlib import nullcontext
 
     from ultralytics_pro_tpu.nn.quantize import _quant_interceptor
@@ -312,23 +394,43 @@ def chain_quantized_apply(model, plan: Dict, rest_qtable: Optional[Dict] = None)
 
     def apply_fn(variables, x, train: bool = False, **kw):
         assert not train, "chain int8 is a serving path"
-        y: Dict[int, Any] = {}
-        q = entries[0]["cv"].quantize_in(x) if entries[0]["type"] == "Conv" \
-            else None
-        assert q is not None, "chain prefix must start with a Conv layer"
-        out = None
+        assert entries[0]["type"] == "Conv", "chain must start with a Conv"
+        # cache: layer index -> ("q", int8, scale) | ("f", tensor, None)
+        vals: Dict[int, tuple] = {}
+
+        def src_vals(e):
+            fs = e["f"] if isinstance(e["f"], tuple) else (e["f"],)
+            return [vals[e["i"] - 1 if j == -1 else j] for j in fs]
+
         for k_e, e in enumerate(entries):
-            is_last = k_e == len(entries) - 1
-            nq, _scale = _run_entry(e, q)
-            if is_last:
-                out = nq  # f32 (out_scale None)
-            else:
-                if e["i"] in save:
-                    y[e["i"]] = (nq.astype(jnp.float32) * e["out_scale"]).astype(x.dtype)
-                q = nq
-        out = out.astype(x.dtype)
-        if specs[n_prefix - 1].i in save:
-            y[specs[n_prefix - 1].i] = out
+            t = e["type"]
+            if t in _CONV_TYPES:
+                if k_e == 0:
+                    q_in = e["cv"].quantize_in(x)
+                else:
+                    q_in = _as_q(src_vals(e)[0], e["in_scale"])
+                y_out = _run_conv_entry(e, q_in)
+            elif t == "Upsample":
+                kind, v, s = src_vals(e)[0]
+                r = jnp.repeat(jnp.repeat(v, e["scale"], axis=1),
+                               e["scale"], axis=2)
+                vals[e["i"]] = (kind, r, s)
+                continue
+            else:  # Concat
+                srcs = src_vals(e)
+                if e["out_scale"] is None:
+                    y_out = jnp.concatenate(
+                        [_as_f(v, x.dtype) for v in srcs], -1)
+                else:
+                    y_out = jnp.concatenate(
+                        [_as_q(v, e["out_scale"]) for v in srcs], -1)
+            vals[e["i"]] = ("f", y_out, None) if e["out_scale"] is None \
+                else ("q", y_out, e["out_scale"])
+
+        # dequantize what the rest of the network (the head) consumes
+        y: Dict[int, Any] = {i: _as_f(v, x.dtype) for i, v in vals.items()
+                             if i in save}
+        out = _as_f(vals[specs[n_prefix - 1].i], x.dtype)
 
         # rest of the network through the real modules
         bound = module.bind(variables)

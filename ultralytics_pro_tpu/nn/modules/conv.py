@@ -190,11 +190,15 @@ class ConvTranspose(ConvBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # lax.conv_transpose pads the DILATED input, so torch's
+        # ConvTranspose2d padding p maps to lax padding k-1-p per side:
+        # out = (in-1)*s + 2*(k-1-p) - k + 2 = (in-1)*s + k - 2p (torch formula).
+        tp = self.k - 1 - self.p
         x = nn.ConvTranspose(
             features=self.c2,
             kernel_size=_pair(self.k),
             strides=_pair(self.s),
-            padding=((self.p, self.p), (self.p, self.p)) if self.p else "VALID",
+            padding=((tp, tp), (tp, tp)),
             use_bias=not self.bn,
             dtype=self.dtype,
             transpose_kernel=True,  # matches torch ConvTranspose2d weight semantics

@@ -202,6 +202,35 @@ class C3_DBB(ConvBase):
         return Conv(c2=self.c2, k=1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
 
 
+class MobileOneBlockDW(ConvBase):
+    """Depthwise-separable MobileOne block — the yaml-facing MobileOneBlock
+    (reference block.py:4208). `k` counts over-parameterized BRANCHES (the
+    kernel is fixed at 3): dw stage = [BN skip] + k x (3x3 dw conv-BN) +
+    (1x1 dw conv-BN) -> ReLU; pw stage = [BN skip] + k x (1x1 conv-BN) -> ReLU.
+    Skips exist only when c1 == c2 and s == 1 (block.py:4238,4244)."""
+
+    c2: int = 0
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        skip = c1 == self.c2 and self.s == 1
+        out = _bn(self, "dw_bn_layer", x, train) if skip else 0.0
+        for i in range(self.k):
+            y = _raw_conv(self, f"dw_3x3_{i}", x, c1, 3, self.s, 1, c1)
+            out = out + _bn(self, f"dw_3x3_{i}_bn", y, train)
+        y = _raw_conv(self, "dw_1x1", x, c1, 1, self.s, 0, c1)
+        out = out + _bn(self, "dw_1x1_bn", y, train)
+        x = jax.nn.relu(out)
+        out = _bn(self, "pw_bn_layer", x, train) if skip else 0.0
+        for i in range(self.k):
+            y = _raw_conv(self, f"pw_1x1_{i}", x, self.c2, 1, 1, 0, 1)
+            out = out + _bn(self, f"pw_1x1_{i}_bn", y, train)
+        return jax.nn.relu(out)
+
+
 class MobileOneBlock(ConvBase):
     """MobileOne over-parameterized block (mobileone.py:44): BN skip +
     num_convs x (kxk conv-BN) + 1x1 scale conv-BN, summed, SE, act(ReLU)."""

@@ -275,24 +275,24 @@ class CPCAChannelAttention(ConvBase):
 
 
 class MobileOne(ConvBase):
-    """MobileOne stage (reference block.py:4507): n MobileOneBlocks; first
-    maps c1->c2 with stride, rest keep c2. YAML args [c2, k, s, use_se]."""
+    """MobileOne stage (reference block.py:4507): n depthwise-separable
+    MobileOneBlocks, each c1->c2 at stride s with k over-param branches
+    (kernel fixed 3). YAML args [c2, k, s] with n = depth-scaled repeat;
+    verified against the reference constructor (c1, c2, n, k, stride)."""
 
     c2: int = 0
     n: int = 1
-    k: int = 3
+    k: int = 4
     s: int = 1
-    use_se: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from ultralytics_pro_tpu.nn.modules.reparam import MobileOneBlock
+        from ultralytics_pro_tpu.nn.modules.reparam import MobileOneBlockDW
 
         y = x
         for i in range(self.n):
-            y = MobileOneBlock(c2=self.c2, k=self.k, s=self.s if i == 0 else 1,
-                               num_convs=1, use_se=self.use_se, dtype=self.dtype,
-                               name=f"m_{i}")(y, train)
+            y = MobileOneBlockDW(c2=self.c2, k=self.k, s=self.s,
+                                 dtype=self.dtype, name=f"m_{i}")(y, train)
         return y
 
 

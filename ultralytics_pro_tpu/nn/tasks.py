@@ -295,7 +295,9 @@ BUILDERS: Dict[str, Callable] = {
     "ECAAttention": lambda a, n, w, d, mx, ctx: (_att().ECAAttention, _kw(kernel_size=_a(a, 1, 3))),
     "SimAM": lambda a, n, w, d, mx, ctx: (_att().SimAM, _kw()),
     "GAMAttention": lambda a, n, w, d, mx, ctx: (
-        _att().GAMAttention, _kw(c2=_sc(a[0], w, mx) if a else 0, rate=_a(a, 1, 4))),
+        # reference block.py:3661 signature is (c1, c2, group=True, rate=4)
+        _att().GAMAttention, _kw(c2=_sc(a[0], w, mx) if a else 0,
+                                 group=bool(_a(a, 1, True)), rate=_a(a, 2, 4))),
     "CrissCrossAttention": lambda a, n, w, d, mx, ctx: (_att().CrissCrossAttention, _kw()),
     "SKAttention": lambda a, n, w, d, mx, ctx: (
         _att().SKAttention, _kw(reduction=_a(a, 1, 16))),
@@ -507,9 +509,10 @@ BUILDERS.update({
         _rep().C2f_DBB, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, False))),
     "C3_DBB": lambda a, n, w, d, mx, ctx: (
         _rep().C3_DBB, _kw(c2=_sc(a[0], w, mx), n=n, shortcut=_a(a, 1, True))),
+    # yaml-facing MobileOneBlock (block.py:4208): k = #branches, kernel fixed 3
     "MobileOneBlock": lambda a, n, w, d, mx, ctx: (
-        _rep().MobileOneBlock, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 3), s=_a(a, 2, 1),
-                                   num_convs=_a(a, 3, 1))),
+        _rep().MobileOneBlockDW, _kw(c2=_sc(a[0], w, mx), k=_a(a, 1, 1),
+                                     s=_a(a, 2, 1))),
     # DW block: channels stay c1; yaml may carry [c1, k] or just [k]
     "DilatedReparamBlock": lambda a, n, w, d, mx, ctx: (
         _rep().DilatedReparamBlock, _kw(k=(a[1] if len(a) > 1 else (a[0] if a else 7)))),
@@ -777,9 +780,10 @@ BUILDERS.update({
                                   use_se=bool(_a(a, 4, 1)), use_hs=bool(_a(a, 5, 1)))),
     "CPCAChannelAttention": lambda a, n, w, d, mx, ctx: (
         _z3().CPCAChannelAttention, _kw(internal=_sc(a[0], w, mx) if a else 64)),
+    # reference block.py:4507 MobileOne(c1, c2, n, k, stride): k = #branches
     "MobileOne": lambda a, n, w, d, mx, ctx: (
-        _z3().MobileOne, _kw(c2=_sc(a[0], w, mx), n=max(n, 1), k=_a(a, 1, 3),
-                             s=_a(a, 2, 1), use_se=bool(_a(a, 3, False)))),
+        _z3().MobileOne, _kw(c2=_sc(a[0], w, mx), n=max(n, 1), k=_a(a, 1, 4),
+                             s=_a(a, 2, 1))),
     # yaml [c2, blocks, branches, use_se, num_se] (reference block.py:4519)
     "MobileOne_origin": lambda a, n, w, d, mx, ctx: (
         _z3().MobileOne_origin, _kw(c2=_sc(a[0], w, mx), blocks=_a(a, 1, 2),

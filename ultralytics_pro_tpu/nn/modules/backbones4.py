@@ -109,6 +109,19 @@ class _Mixer(ConvBase):
                         dtype=self.dtype, name="mod_dw")(x)
             v = nn.Conv(c, (1, 1), dtype=self.dtype, name="mod_v")(x)
             return nn.Conv(c, (1, 1), dtype=self.dtype, name="mod_pw")(a * v)
+        if k == "fft":
+            # GFNet/DFFormer-style global filter (reference DFFormer.py):
+            # learned complex spectral weights multiply the 2D rFFT of the
+            # token map. Dynamic-filter variants predict the weights per
+            # token; the shared-filter form here is the GFFormer structure
+            # and a declared approximation for DFFormer (COVERAGE.md).
+            b, h, w, _ = x.shape
+            f = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
+            wr = self.param("filt_re", nn.initializers.ones, (h, w // 2 + 1, c))
+            wi = self.param("filt_im", nn.initializers.zeros, (h, w // 2 + 1, c))
+            f = f * jax.lax.complex(wr.astype(jnp.float32), wi.astype(jnp.float32))
+            y = jnp.fft.irfft2(f, s=(h, w), axes=(1, 2)).astype(x.dtype)
+            return nn.Conv(c, (1, 1), dtype=self.dtype, name="pw")(y)
         if k == "random":
             # RandFormer: frozen random token-mixing matrix over a pooled grid
             y = nn.avg_pool(x, (4, 4), strides=(4, 4), padding="SAME")

@@ -999,6 +999,26 @@ def _register_backbones():
     for _name in BACKBONE_VARIANTS4:
         BUILDERS[_name] = _backbone4_builder(_name)
 
+    # round-4 registry closure: reference-exported size variants
+    # (zoo_variants.py, generated by tools/gen_zoo_variants.py)
+    def _variant_builder(name):
+        def build(a, n, w, d, mx, ctx):
+            import importlib
+
+            from ultralytics_pro_tpu.nn.modules.zoo_variants import \
+                EXTRA_VARIANTS
+
+            mod, cls, kw, _ref = EXTRA_VARIANTS[name]
+            ctx["multi_output"] = 4
+            return getattr(importlib.import_module(
+                f"ultralytics_pro_tpu.nn.modules.{mod}"), cls), kw
+        return build
+
+    from ultralytics_pro_tpu.nn.modules.zoo_variants import EXTRA_VARIANTS
+
+    for _name in EXTRA_VARIANTS:
+        BUILDERS.setdefault(_name, _variant_builder(_name))
+
 
 _register_backbones()
 
@@ -1026,6 +1046,11 @@ BUILDERS["C2f_RetBlock"] = _build_csp_ret("C2f")
 BUILDERS["C3_RetBlock"] = _build_csp_ret("C3")
 
 register_csp_wrappers(BUILDERS, _sc, _kw, _a)
+
+# round-4 sub-block closure (zoo_r4.py): reference-exported helper blocks
+from ultralytics_pro_tpu.nn.modules.zoo_r4 import register_r4_builders  # noqa: E402
+
+register_r4_builders(BUILDERS, _sc, _kw, _a)
 
 # alias rows onto wrapper-generated builders (reference spellings)
 for _alias, _target in (("C3_deformable_LKA", "C3_DLKA"),

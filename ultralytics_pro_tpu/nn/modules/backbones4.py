@@ -76,6 +76,8 @@ class _Mixer(ConvBase):
         if k == "attn":
             b, h, w, _ = x.shape
             nh = max(1, c // 64)
+            while nh > 1 and c % nh:  # flax MHA needs heads | qkv_features
+                nh -= 1
             t = x.reshape(b, h * w, c)
             y = nn.MultiHeadDotProductAttention(num_heads=nh, qkv_features=c,
                                                 dtype=self.dtype, name="attn")(t, t)

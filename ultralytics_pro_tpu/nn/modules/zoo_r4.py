@@ -518,8 +518,18 @@ def register_r4_builders(BUILDERS, _sc, _kw, _a):
         ("ScConv", "SCConv"), ("RetinexFormer", "IAT"),
         ("LRPCHead", "YOLOEDetect"),
         ("MSDA", "C2PSA"),
+        ("MobileOneBlockv5", "MobileOneBlock"),
+        ("MobileOnev5", "MobileOneBlock"),
+        ("GhostNetV2", "Ghostnetv2"),
+        ("RepViT", "repvit_m0_9"),
     ):
         alias(name, target)
+
+    BUILDERS.setdefault(
+        "ChannelAggregationFFN",
+        lambda a, n, w, d, mx, ctx: (
+            _get("backbones5", "ChannelAggregationFFN"),
+            _kw(dim=_sc(a[0], w, mx))))
 
 
 def _heads(c, h):

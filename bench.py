@@ -302,6 +302,8 @@ def main():
             dc = max(time.perf_counter() - t0 - rtt, 1e-9)
             extra["int8_chain_imgs_per_sec"] = round(batch * iters / dc, 2)
             extra["int8_chain_prefix_layers"] = plan["n_prefix"]
+            # round-5: legacy Detect towers carried int8 too (head extension)
+            extra["int8_head_towers"] = plan.get("head") is not None
         except Exception as e:  # noqa: BLE001
             extra["int8_chain_bench_error"] = f"{type(e).__name__}: {e}"[:160]
     if os.environ.get("BENCH_SKIP_TRAIN") != "1":

@@ -41,6 +41,12 @@ def test_chain_plan_covers_backbone(model):
     # per-conv qtable must not double-quantize chain layers
     assert not any(k.startswith(tuple(f"layers_{i}/" for i in range(22)))
                    for k in qtable)
+    # round-5 head-tower extension: the legacy Detect towers carry int8 too,
+    # so the neck output maps stay int8 in HBM and the per-conv qtable must
+    # not intercept the head either
+    assert plan.get("head") is not None
+    assert len(plan["head"]["levels"]) == 3
+    assert not any(k.startswith("layers_22/") for k in qtable)
 
 
 def test_chain_apply_matches_f32(model):

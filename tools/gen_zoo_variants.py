@@ -318,10 +318,15 @@ add("uninext_s", "backbones4", "UniNeXtBackbone", "UniNeXt.py",
     embed_dim=96, depths=(2, 2, 18, 2))
 add("uninext_b", "backbones4", "UniNeXtBackbone", "UniNeXt.py",
     embed_dim=128, depths=(2, 2, 18, 2))
+# num_heads/attention_heads are the reference factory literals
+# (iFormer.py:560-603); the default attention_heads list is iformer_small's
+# 18-block schedule and indexes out of range on deeper variants
 add("iformer_base", "backbones4", "IFormerBackbone", "iFormer.py",
-    dims=(96, 192, 384, 512), depths=(4, 6, 14, 6))
+    dims=(96, 192, 384, 512), depths=(4, 6, 14, 6), num_heads=(3, 6, 12, 16),
+    attention_heads=(1,) * 4 + (3,) * 6 + (8,) * 7 + (10,) * 7 + (15,) * 6)
 add("iformer_large", "backbones4", "IFormerBackbone", "iFormer.py",
-    dims=(96, 192, 448, 640), depths=(4, 6, 18, 8))
+    dims=(96, 192, 448, 640), depths=(4, 6, 18, 8), num_heads=(3, 6, 14, 20),
+    attention_heads=(1,) * 4 + (3,) * 6 + (10,) * 9 + (12,) * 9 + (19,) * 8)
 add("stvit_base", "backbones4", "STViTBackbone", "STViT.py",
     dims=(96, 192, 384, 512), depths=(4, 6, 14, 6),
     num_heads=(2, 3, 6, 8), stoken=(8, 4, 1, 1))
@@ -436,19 +441,25 @@ add("efficientvit_backbone_b2", "backbones", "EfficientViT",
     "EfficientViT_MIT.py", dims=(24, 48, 96, 192), depths=(2, 3, 4, 4))
 add("efficientvit_backbone_b3", "backbones", "EfficientViT",
     "EfficientViT_MIT.py", dims=(32, 64, 128, 256), depths=(3, 4, 6, 6))
-for nm, e in (("EMO_1M", (32, 48, 80, 168)), ("EMO_2M", (32, 48, 120, 200)),
-              ("EMO_5M", (48, 72, 160, 288)), ("EMO_6M", (48, 72, 160, 288))):
+# dims/dim_heads/depths are the reference factory literals (EMO.py:383-420,
+# EMOv2.py:771-898); dim_heads must divide dims (EW-MHSA reshape)
+for nm, (dims, heads, dep) in (
+        ("EMO_1M", ((32, 48, 80, 168), (16, 16, 20, 21), (2, 2, 8, 3))),
+        ("EMO_2M", ((32, 48, 120, 200), (16, 16, 20, 20), (3, 3, 9, 3))),
+        ("EMO_5M", ((48, 72, 160, 288), (24, 24, 32, 32), (3, 3, 9, 3))),
+        ("EMO_6M", ((48, 72, 160, 320), (16, 24, 20, 32), (3, 3, 9, 3)))):
     add(nm, "backbones4", "EMO2Backbone", "EMO.py",
-        dims=e, depths=(2, 2, 8, 3) if nm != "EMO_6M" else (3, 3, 9, 3))
-_EMO2 = {"1M": ((32, 48, 80, 180), (2, 2, 8, 3)),
-         "2M": ((32, 48, 120, 200), (3, 3, 9, 3)),
-         "5M": ((48, 72, 160, 288), (3, 3, 9, 3)),
-         "20M": ((64, 96, 192, 336), (4, 4, 10, 4)),
-         "50M": ((80, 128, 256, 448), (4, 4, 12, 4))}
-for sz, (dims, dep) in _EMO2.items():
+        dims=dims, dim_heads=heads, depths=dep)
+_EMO2 = {"1M": ((32, 48, 80, 180), (16, 16, 20, 20), (2, 2, 8, 3)),
+         "2M": ((32, 48, 120, 200), (16, 16, 20, 20), (3, 3, 9, 3)),
+         "5M": ((48, 72, 160, 288), (16, 24, 32, 32), (3, 3, 9, 3)),
+         "20M": ((64, 128, 320, 448), (16, 32, 32, 32), (3, 3, 13, 3)),
+         "50M": ((64, 128, 384, 512), (16, 32, 32, 32), (5, 8, 20, 7))}
+for sz, (dims, heads, dep) in _EMO2.items():
     for suf in ("", "_256", "_512"):
         nm = f"EMO2_{sz}_k5_hybrid{suf}"
-        add(nm, "backbones4", "EMO2Backbone", "EMOv2.py", dims=dims, depths=dep)
+        add(nm, "backbones4", "EMO2Backbone", "EMOv2.py",
+            dims=dims, dim_heads=heads, depths=dep)
 
 # ------------------------------------------------- StageBackbone new families
 # (nearest-mixer structural approximations; declared in COVERAGE.md)

@@ -119,8 +119,16 @@ class _Mixer(ConvBase):
             # and a declared approximation for DFFormer (COVERAGE.md).
             b, h, w, _ = x.shape
             f = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
-            wr = self.param("filt_re", nn.initializers.ones, (h, w // 2 + 1, c))
-            wi = self.param("filt_im", nn.initializers.zeros, (h, w // 2 + 1, c))
+            # Filters live on a fixed base grid and are resized to the
+            # trace-time spectrum (the reference GFNet-family filter is
+            # stored once and interpolated), so one checkpoint serves every
+            # input resolution instead of binding params to the trace shape.
+            bh, bw = 16, 9
+            wr = self.param("filt_re", nn.initializers.ones, (bh, bw, c))
+            wi = self.param("filt_im", nn.initializers.zeros, (bh, bw, c))
+            if (h, w // 2 + 1) != (bh, bw):
+                wr = jax.image.resize(wr, (h, w // 2 + 1, c), "bilinear")
+                wi = jax.image.resize(wi, (h, w // 2 + 1, c), "bilinear")
             f = f * jax.lax.complex(wr.astype(jnp.float32), wi.astype(jnp.float32))
             y = jnp.fft.irfft2(f, s=(h, w), axes=(1, 2)).astype(x.dtype)
             return nn.Conv(c, (1, 1), dtype=self.dtype, name="pw")(y)
@@ -1867,8 +1875,10 @@ class EWMHSAHybrid(ConvBase):
         xp = jnp.pad(x, ((0, 0), (0, pb), (0, pr), (0, 0)))
         hp, wp = h0 + pb, w0 + pr
         n1, n2 = hp // ws, wp // ws
-        nh = c // self.dim_head
-        dh = self.dim_head
+        nh = max(1, c // self.dim_head)
+        while nh > 1 and (c % nh or self.dim_mid % nh):
+            nh -= 1  # heads must divide qk channels AND the expanded v width
+        dh = c // nh
         dhv = self.dim_mid // nh
 
         qk = nn.Conv(2 * c, (1, 1), dtype=self.dtype, name="qk")(xp)

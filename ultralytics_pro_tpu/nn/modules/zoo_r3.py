@@ -804,6 +804,8 @@ class MLLABlock(ConvBase):
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
         nh = self.num_heads if self.num_heads and c % self.num_heads == 0 else max(1, c // 64)
+        while nh > 1 and c % nh:  # heads must divide channels (c=224 -> 2)
+            nh -= 1
         hd = c // nh
 
         def rope(t):

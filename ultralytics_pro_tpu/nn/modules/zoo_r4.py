@@ -323,6 +323,102 @@ class KANConv2d(ConvBase):
         return y + base
 
 
+class GridDeformAttn(ConvBase):
+    """Single-input adapter over transformer.MSDeformAttn so the name is
+    usable as a YAML graph row (the reference exports MSDeformAttn from
+    nn.modules, making it YAML-reachable via globals()[m]). As a plain layer
+    it runs deformable SELF-attention on one feature map: queries are the
+    map's own tokens, reference boxes a uniform grid, value the map itself —
+    the Deformable-DETR encoder form (reference transformer.py:438)."""
+
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.transformer import MSDeformAttn
+
+        if isinstance(x, (list, tuple)):
+            x = x[0]
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        gx, gy = jnp.meshgrid(xs, ys)
+        ref = jnp.stack([gx.reshape(-1), gy.reshape(-1),
+                         jnp.full((h * w,), 1.0 / w),
+                         jnp.full((h * w,), 1.0 / h)], -1)
+        ref = jnp.broadcast_to(ref[None], (b, h * w, 4)).astype(x.dtype)
+        nh = self.n_heads if c % self.n_heads == 0 else 1
+        y = MSDeformAttn(d_model=c, n_levels=1, n_heads=nh,
+                         n_points=self.n_points, dtype=self.dtype,
+                         name="msda")(tokens, ref, [tokens], [(h, w)], train)
+        return (tokens + y).reshape(b, h, w, c)
+
+
+class GridDeformDecoderLayer(ConvBase):
+    """Single-input adapter over transformer.DeformableTransformerDecoderLayer
+    (reference transformer.py:561) for plain YAML rows: the map's tokens act
+    as both the query embeddings and the (single-level) value, with a uniform
+    grid of reference boxes. Stacks `n` layers when used via the builder."""
+
+    n_heads: int = 8
+    n_points: int = 4
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules.transformer import (
+            DeformableTransformerDecoderLayer)
+
+        if isinstance(x, (list, tuple)):
+            x = x[0]
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        gx, gy = jnp.meshgrid(xs, ys)
+        ref = jnp.stack([gx.reshape(-1), gy.reshape(-1),
+                         jnp.full((h * w,), 1.0 / w),
+                         jnp.full((h * w,), 1.0 / h)], -1)
+        ref = jnp.broadcast_to(ref[None], (b, h * w, 4)).astype(x.dtype)
+        nh = self.n_heads if c % self.n_heads == 0 else 1
+        emb = tokens
+        for i in range(self.n):
+            emb = DeformableTransformerDecoderLayer(
+                d_model=c, n_heads=nh, d_ffn=max(c * 4, 256), n_levels=1,
+                n_points=self.n_points, dtype=self.dtype,
+                name=f"layer{i}")(emb, ref, [tokens], [(h, w)], train=train)
+        return emb.reshape(b, h, w, c)
+
+
+class ContrastiveAdapter(ConvBase):
+    """Two-input adapter for world.ContrastiveHead / BNContrastiveHead as a
+    YAML graph row (reference block.py:1036/1062): expects from=[features,
+    text-embeddings]. Raises a clear error — instead of an opaque positional
+    TypeError — when wired with a single input."""
+
+    embed_dims: int = 512
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from ultralytics_pro_tpu.nn.modules import world
+
+        if not (isinstance(xs, (list, tuple)) and len(xs) == 2):
+            raise ValueError(
+                "ContrastiveHead/BNContrastiveHead need two YAML inputs "
+                "[image features, text embeddings], e.g. from: [-1, 12]; "
+                f"got {type(xs).__name__}"
+                + (f" of {len(xs)}" if isinstance(xs, (list, tuple)) else ""))
+        x, w = xs
+        if w.ndim == 2:
+            w = w[None]
+        cls = world.BNContrastiveHead if self.use_bn else world.ContrastiveHead
+        kw = {"embed_dims": self.embed_dims} if self.use_bn else {}
+        return cls(dtype=self.dtype, name="head", **kw)(x, w, train=train)
+
+
 class VGGBackbone(ConvBase):
     """Plain VGG stage stack (reference VGG_backbone.py VGG11/13/16/19):
     conv3-BN-ReLU xN per stage, maxpool downsample; emits 4 maps."""
@@ -410,14 +506,17 @@ def register_r4_builders(BUILDERS, _sc, _kw, _a):
         # ---- transformer module re-exports
         "MLP": lambda a, n, w, d, mx, ctx: (
             _get(H, "MLPBlock"), _kw(c2=_sc(a[0], w, mx))),
-        "MSDeformAttn": plain("transformer", "MSDeformAttn"),
+        # MSDeformAttn & the deformable decoder classes take (query,
+        # refer_bbox, value_list, shapes) positionally — as plain YAML rows
+        # they ride grid-reference self-attention adapters instead of
+        # crashing with a positional TypeError at forward.
+        "MSDeformAttn": plain(H, "GridDeformAttn"),
         "TransformerEncoderLayer": lambda a, n, w, d, mx, ctx: (
-            _get("transformer", "AIFI"), _kw(hidden=_a(a, 1, 1024),
-                                             heads=_a(a, 2, 8))),
-        "DeformableTransformerDecoderLayer": plain(
-            "transformer", "DeformableTransformerDecoderLayer"),
-        "DeformableTransformerDecoder": plain(
-            "transformer", "DeformableTransformerDecoderLayer"),
+            _get("transformer", "AIFI"), _kw(cm=_a(a, 1, 1024),
+                                             num_heads=_a(a, 2, 8))),
+        "DeformableTransformerDecoderLayer": plain(H, "GridDeformDecoderLayer"),
+        "DeformableTransformerDecoder": lambda a, n, w, d, mx, ctx: (
+            _get(H, "GridDeformDecoderLayer"), _kw(n=max(n, 1))),
         # ---- already-defined classes, now registered
         "CIB": lambda a, n, w, d, mx, ctx: (
             _get("v9v10v12", "CIB") if _has("v9v10v12", "CIB")
@@ -439,9 +538,10 @@ def register_r4_builders(BUILDERS, _sc, _kw, _a):
             _get("v9v10v12", "ABlock"),
             _kw(dim=_sc(a[0], w, mx),
                 num_heads=_heads(_sc(a[0], w, mx), _a(a, 1, 8)))),
-        "ContrastiveHead": plain("world", "ContrastiveHead"),
+        "ContrastiveHead": plain(H, "ContrastiveAdapter"),
         "BNContrastiveHead": lambda a, n, w, d, mx, ctx: (
-            _get("world", "BNContrastiveHead"), _kw(embed_dims=_a(a, 0, 512))),
+            _get(H, "ContrastiveAdapter"),
+            _kw(embed_dims=_a(a, 0, 512), use_bn=True)),
         "MultiOrderGatedAggregation": lambda a, n, w, d, mx, ctx: (
             _get("backbones5", "MultiOrderGatedAggregation"),
             _kw(dim=_sc(a[0], w, mx))),

@@ -232,6 +232,50 @@ def _region_scan(specs) -> List:
     return region
 
 
+def _build_head_plan(spec, region_ids, params, b: _Builder) -> Optional[Dict]:
+    """Detect-head tower extension: when the layer after the region is the
+    final plain Detect head (legacy Conv3x3-Conv3x3-1x1 towers, reference
+    head.py:91), carry int8 INTO each level's box/cls towers. The neck output
+    maps then stay int8 in HBM (1 byte/elem at the largest spatial sizes) and
+    the 3x3 tower convs ride the int8 MXU; only the final 1x1 logits convs
+    and the decode run in f32."""
+    if spec.type_name != "Detect":
+        return None
+    fs = spec.f if isinstance(spec.f, tuple) else (spec.f,)
+    if not all(j in region_ids for j in fs):
+        return None
+    name = f"layers_{spec.i}"
+    layer_params = params.get(name, {})
+    levels = []
+    try:
+        for li, src in enumerate(fs):
+            for branch in (f"cv2_{li}", f"cv3_{li}"):
+                for part in ("_0", "_1", "_2"):
+                    if branch + part not in layer_params:
+                        return None  # non-legacy tower naming
+            s2_in = b.in_scale(name, f"cv2_{li}_0")
+            s3_in = b.in_scale(name, f"cv3_{li}_0")
+            cv2_0 = b.qconv((name, f"cv2_{li}_0"),
+                            b.in_scale(name, f"cv2_{li}_1"), k=3)
+            cv2_1 = b.qconv((name, f"cv2_{li}_1"), None, k=3)
+            cv3_0 = b.qconv((name, f"cv3_{li}_0"),
+                            b.in_scale(name, f"cv3_{li}_1"), k=3)
+            cv3_1 = b.qconv((name, f"cv3_{li}_1"), None, k=3)
+            f2 = layer_params[f"cv2_{li}_2"]
+            f3 = layer_params[f"cv3_{li}_2"]
+            levels.append({
+                "src": src, "s_cv2_in": s2_in, "s_cv3_in": s3_in,
+                "cv2_0": cv2_0, "cv2_1": cv2_1, "cv3_0": cv3_0, "cv3_1": cv3_1,
+                "f2_kernel": jnp.asarray(f2["kernel"], jnp.float32),
+                "f2_bias": jnp.asarray(f2["bias"], jnp.float32),
+                "f3_kernel": jnp.asarray(f3["kernel"], jnp.float32),
+                "f3_bias": jnp.asarray(f3["bias"], jnp.float32),
+            })
+    except _ChainBuildError:
+        return None
+    return {"i": spec.i, "f": fs, "levels": levels}
+
+
 def build_chain_plan(model, variables, stats: Dict) -> Optional[Dict]:
     """Build the chain-int8 plan for the longest eligible leading graph region
     (for v5/v8/v11-shaped models: the entire backbone AND PAN neck; the head
@@ -256,6 +300,13 @@ def build_chain_plan(model, variables, stats: Dict) -> Optional[Dict]:
     if len(region) < 3 or region[0].type_name != "Conv":
         return None
 
+    # head-tower extension: legacy Detect directly after the region
+    head = None
+    if len(region) == len(specs) - 1:
+        head = _build_head_plan(specs[-1], {s.i for s in region}, params, b)
+    head_req = {lev["src"]: lev["s_cv2_in"]
+                for lev in (head["levels"] if head else [])}
+
     # Emit scale per layer = the calibrated input scale of its FIRST in-region
     # consumer (transitively through scale-preserving Upsample/Concat); other
     # consumers requant int8->int8 at consumption. No consumer in-region
@@ -273,7 +324,7 @@ def build_chain_plan(model, variables, stats: Dict) -> Optional[Dict]:
         for s in reversed(region):
             cons = consumers[s.i]
             if not cons:
-                req[s.i] = None
+                req[s.i] = head_req.get(s.i)  # head tower scale, else f32
             elif cons[0].type_name in _CONV_TYPES:
                 req[s.i] = b.in_scale(*_first_conv_path(cons[0]))
             else:  # Upsample / Concat pass the requirement through
@@ -330,7 +381,7 @@ def build_chain_plan(model, variables, stats: Dict) -> Optional[Dict]:
         return None
 
     return {"entries": entries, "n_prefix": len(region),
-            "save": set(model.save)}
+            "save": set(model.save), "head": head}
 
 
 def _run_conv_entry(e, q):
@@ -427,6 +478,32 @@ def chain_quantized_apply(model, plan: Dict, rest_qtable: Optional[Dict] = None)
             vals[e["i"]] = ("f", y_out, None) if e["out_scale"] is None \
                 else ("q", y_out, e["out_scale"])
 
+        head = plan.get("head")
+        if head is not None:
+            # quantized Detect towers: neck maps arrive int8 at the box
+            # tower's calibrated scale; the cls tower requants int8->int8
+            def final_1x1(t, kernel, bias):
+                yf = jax.lax.conv_general_dilated(
+                    t, kernel, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return yf + bias
+
+            raw = []
+            for lev in head["levels"]:
+                kind, q_map, s_map = vals[lev["src"]]
+                assert kind == "q", "head source must be int8-carried"
+                q2 = _requant(q_map, s_map, lev["s_cv2_in"])
+                box = final_1x1(lev["cv2_1"](lev["cv2_0"](q2)),
+                                lev["f2_kernel"], lev["f2_bias"])
+                q3 = _requant(q_map, s_map, lev["s_cv3_in"])
+                cls = final_1x1(lev["cv3_1"](lev["cv3_0"](q3)),
+                                lev["f3_kernel"], lev["f3_bias"])
+                raw.append(jnp.concatenate([box, cls], -1).astype(x.dtype))
+            detect = module.bind(variables).layers[-1]
+            if train:
+                return {"feats": raw}
+            return detect._decode(raw, raw), {"feats": raw}
+
         # dequantize what the rest of the network (the head) consumes
         y: Dict[int, Any] = {i: _as_f(v, x.dtype) for i, v in vals.items()
                              if i in save}
@@ -467,6 +544,9 @@ def quantize_model_chain(model, variables, calib_batches,
         skip = {"/".join(p) for p in stats
                 if int(p[0].split("_")[1]) < plan["n_prefix"]
                 and p[0].startswith("layers_")}
+        if plan.get("head"):
+            hname = f"layers_{plan['head']['i']}"
+            skip |= {"/".join(p) for p in stats if p[0] == hname}
     qtable = build_qtable(variables, stats, min_ch=rest_min_ch,
                           min_k=rest_min_k, skip_paths=skip)
     return plan, qtable

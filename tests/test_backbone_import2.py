@@ -333,3 +333,40 @@ def test_maxvit_import_parity():
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
                    mutable=False)
     _assert_close(ours, theirs)
+
+
+def test_ghostnetv1_import_parity():
+    """Faithful GhostNetV1 (reference GhostNetv1.py:158 — the V2 structure
+    with no DFC gate) vs the reference with transplanted weights; the V2
+    importer serves V1 dicts unchanged (they simply carry no short_conv
+    keys)."""
+    from ultralytics.nn.modules.GhostNetv1 import Ghostnetv1
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import (
+        ghostnetv2_state_dict_to_flax)
+    from ultralytics_pro_tpu.nn.modules.backbones5 import GhostNetV2Backbone
+
+    torch.manual_seed(33)
+    ref = Ghostnetv1()
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+        for mbuf in ref.modules():
+            if isinstance(mbuf, torch.nn.BatchNorm2d):
+                mbuf.running_mean.add_(torch.randn_like(mbuf.running_mean) * 0.05)
+                mbuf.running_var.mul_(1.2)
+
+    m = GhostNetV2Backbone(dfc_attn=False)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = ghostnetv2_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(32).normal(0, 1, (2, 3, 128, 128)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
+                   mutable=False)
+    _assert_close(ours, theirs)

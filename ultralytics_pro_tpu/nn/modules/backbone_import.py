@@ -2060,6 +2060,8 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "inceptionnext": inceptionnext_state_dict_to_flax,
           "cswin": cswin_state_dict_to_flax,
           "ghostnetv2": ghostnetv2_state_dict_to_flax,
+          # V1 shares V2's layout minus the DFC keys (GhostNetv1.py:158)
+          "ghostnetv1": ghostnetv2_state_dict_to_flax,
           "mambavision": mambavision_state_dict_to_flax,
           "maxvit": maxvit_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

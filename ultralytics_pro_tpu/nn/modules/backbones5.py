@@ -422,9 +422,15 @@ class _GhostBottleneckV2(ConvBase):
 class GhostNetV2Backbone(ConvBase):
     """GhostNetV2 (reference GhostNetv2.py:178): k3s2 stem, DFC-attention
     ghost bottlenecks (layer_id>1 use the attn ghost1), final 1x1 ConvBnAct;
-    emits the last 4 unique-resolution maps like the reference forward."""
+    emits the last 4 unique-resolution maps like the reference forward.
+
+    dfc_attn=False is the faithful GhostNetV1 (reference GhostNetv1.py:158):
+    identical cfg table and module structure, no DFC gate anywhere — the V2
+    state_dict importer serves V1 checkpoints unchanged (V1 dicts simply
+    carry no short_conv keys)."""
 
     width: float = 1.0
+    dfc_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -438,7 +444,7 @@ class GhostNetV2Backbone(ConvBase):
             for (k, exp, c, se, s) in group:
                 x = _GhostBottleneckV2(
                     mid=_mkdiv(exp * self.width), out=_mkdiv(c * self.width),
-                    k=k, stride=s, se_ratio=se, attn=lid > 1,
+                    k=k, stride=s, se_ratio=se, attn=self.dfc_attn and lid > 1,
                     dtype=self.dtype, name=f"b{lid}")(x, train)
                 lid += 1
             uniq[x.shape[1:3]] = x
@@ -830,6 +836,13 @@ class _MaxViTMBConv(ConvBase):
         c_in = x.shape[-1]
         d = self.dim
         s = 2 if self.downscale else 1
+        if self.downscale and (x.shape[1] % 2 or x.shape[2] % 2):
+            # Odd maps: pad to even so the dw-conv and maxpool skip agree on
+            # the output size (the torch reference crashes below its design
+            # resolution; the added zero column/row equals the conv's own
+            # zero padding, so even-size numerics are untouched).
+            x = jnp.pad(x, ((0, 0), (0, x.shape[1] % 2), (0, x.shape[2] % 2),
+                            (0, 0)))
         y = _bn5(self, "pre_bn", x, train)
         y = nn.Conv(c_in, (1, 1), use_bias=True, dtype=self.dtype, name="conv1")(y)
         # timm DepthwiseSeparableConv

@@ -55,8 +55,22 @@ def _nms_kernel(data_ref, keep_ref, valid_ref, *, max_det: int, iou_thres: float
         valid_row = jnp.where(slot, (sj > 0).astype(jnp.int32), valid_row)
         return s, keep_row, valid_row
 
-    init = (scores0, jnp.zeros((b, max_det), jnp.int32), jnp.zeros((b, max_det), jnp.int32))
-    _, keep_row, valid_row = jax.lax.fori_loop(0, max_det, body, init)
+    init = (jnp.int32(0), scores0, jnp.zeros((b, max_det), jnp.int32),
+            jnp.zeros((b, max_det), jnp.int32))
+
+    def cond(carry):
+        # Early exit once EVERY batch row is out of positive candidates —
+        # exact: remaining slots keep valid=0, identical to running the
+        # full max_det iterations (standard greedy-NMS termination).
+        i, s, _, _ = carry
+        return jnp.logical_and(i < max_det, jnp.max(s) > 0)
+
+    def step(carry):
+        i, s, keep_row, valid_row = carry
+        s, keep_row, valid_row = body(i, (s, keep_row, valid_row))
+        return i + 1, s, keep_row, valid_row
+
+    _, _, keep_row, valid_row = jax.lax.while_loop(cond, step, init)
     keep_ref[:] = keep_row
     valid_ref[:] = valid_row
 

@@ -49,8 +49,22 @@ def _greedy_nms_scores(boxes, scores, iou_thres: float, max_det: int):
         keep_valid = keep_valid.at[i].set(sj > 0)
         return s, keep_idx, keep_valid
 
-    init = (scores, jnp.zeros((max_det,), jnp.int32), jnp.zeros((max_det,), bool))
-    _, keep_idx, keep_valid = jax.lax.fori_loop(0, max_det, body, init)
+    init = (jnp.int32(0), scores, jnp.zeros((max_det,), jnp.int32),
+            jnp.zeros((max_det,), bool))
+
+    def cond(carry):
+        # Early exit when no positive candidate remains — exact (the skipped
+        # slots keep idx 0 / valid False), and matches the Pallas kernel's
+        # termination so keep agreement stays bit-identical.
+        i, s, _, _ = carry
+        return jnp.logical_and(i < max_det, jnp.max(s) > 0)
+
+    def step(carry):
+        i, s, keep_idx, keep_valid = carry
+        s, keep_idx, keep_valid = body(i, (s, keep_idx, keep_valid))
+        return i + 1, s, keep_idx, keep_valid
+
+    _, _, keep_idx, keep_valid = jax.lax.while_loop(cond, step, init)
     return keep_idx, keep_valid
 
 

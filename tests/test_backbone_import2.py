@@ -370,3 +370,41 @@ def test_ghostnetv1_import_parity():
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
                    mutable=False)
     _assert_close(ours, theirs)
+
+
+def test_ghostnetv3_import_parity():
+    """Faithful train-form GhostNetV3 (reparam ghost modules + DFC gates,
+    reference GhostNetv3.py:839 GhostNet_1_0) vs the reference with
+    transplanted weights. The reference trains through the rpr branches
+    (infer_mode=False); its fused primary/cheap modules and conv_dw/bn_dw
+    are dead until reparameterize() and the importer skips them."""
+    from ultralytics.nn.modules.GhostNetv3 import GhostNet_1_0
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import (
+        ghostnetv3_state_dict_to_flax)
+    from ultralytics_pro_tpu.nn.modules.backbones5 import GhostNetV3Backbone
+
+    torch.manual_seed(35)
+    ref = GhostNet_1_0()
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+        for mbuf in ref.modules():
+            if isinstance(mbuf, torch.nn.BatchNorm2d):
+                mbuf.running_mean.add_(torch.randn_like(mbuf.running_mean) * 0.05)
+                mbuf.running_var.mul_(1.2)
+
+    m = GhostNetV3Backbone()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = ghostnetv3_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(34).normal(0, 1, (2, 3, 128, 128)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
+                   mutable=False)
+    _assert_close(ours, theirs)

@@ -40,6 +40,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "glnet_state_dict_to_flax", "emo2_state_dict_to_flax",
            "pvtv2_state_dict_to_flax", "hornet_state_dict_to_flax",
            "moganet_state_dict_to_flax", "inceptionnext_state_dict_to_flax", "cswin_state_dict_to_flax", "ghostnetv2_state_dict_to_flax",
+           "ghostnetv3_state_dict_to_flax",
            "mambavision_state_dict_to_flax", "maxvit_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
@@ -1831,6 +1832,136 @@ def ghostnetv2_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True
     return tree
 
 
+def ghostnetv3_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """GhostNetV3 train-form checkpoints (reference GhostNetv3.py:839).
+
+    Torch layout: conv_stem/bn1; stages.{g}.{i} GhostBottleneck =
+    {ghost{1,2}.{primary_rpr_skip BN, primary_rpr_conv.{0-2}.{conv,bn},
+    cheap_rpr_skip BN, cheap_rpr_scale.{conv,bn}, cheap_rpr_conv.{0-2}.{conv,bn},
+    short_conv.{0..5}}, dw_rpr_scale/.conv, dw_rpr_conv.{0-2},
+    se.{conv_reduce,conv_expand}, shortcut.{0..3}}; conv_last.{conv,bn1}.
+    The fused primary_conv_module/cheap_operation_module and conv_dw/bn_dw
+    entries are DEAD until the torch reparameterize() runs (training forward
+    never reads them) and are skipped. Flax blocks are named by GLOBAL layer
+    id (b0..b15)."""
+    from ultralytics_pro_tpu.nn.modules.backbones5 import GHOSTNETV3_CFGS
+
+    starts = []
+    lid = 0
+    for group in GHOSTNETV3_CFGS:
+        starts.append(lid)
+        lid += len(group)
+
+    tree = _deep_dict(variables)
+    written = set()
+    handled = set()
+
+    def conv_entry(path, tkey):
+        _set(tree, ["params", *path, "kernel"], _conv_w(sd[f"{tkey}.weight"]), written)
+        if f"{tkey}.bias" in sd:
+            _set(tree, ["params", *path, "bias"], sd[f"{tkey}.bias"], written)
+
+    short_map = {"0": ("short_conv0", True), "1": ("short_bn0", False),
+                 "2": ("short_conv1", True), "3": ("short_bn1", False),
+                 "4": ("short_conv2", True), "5": ("short_bn2", False)}
+    shortcut_map = {"0": ("short_dw", True), "1": ("short_dw_bn", False),
+                    "2": ("short_pw", True), "3": ("short_pw_bn", False)}
+
+    def ghost_entry(pre, parts, base):
+        """parts = key path inside a GhostModule (after ghost1/ghost2)."""
+        if parts[0] in ("primary_conv_module", "cheap_operation_module"):
+            return  # fused inference path: dead until reparameterize()
+        if parts[0] == "primary_rpr_skip":
+            _bn_entries(tree, pre + ["primary_skip_bn"],
+                        pre + ["primary_skip_bn"], sd, base, written)
+        elif parts[0] == "primary_rpr_conv":
+            name = f"primary_conv{parts[1]}" if parts[2] == "conv" \
+                else f"primary_bn{parts[1]}"
+            if parts[2] == "conv":
+                conv_entry(pre + [name], base)
+            else:
+                _bn_entries(tree, pre + [name], pre + [name], sd, base, written)
+        elif parts[0] == "cheap_rpr_skip":
+            _bn_entries(tree, pre + ["cheap_skip_bn"],
+                        pre + ["cheap_skip_bn"], sd, base, written)
+        elif parts[0] == "cheap_rpr_scale":
+            if parts[1] == "conv":
+                conv_entry(pre + ["cheap_scale_conv"], base)
+            else:
+                _bn_entries(tree, pre + ["cheap_scale_bn"],
+                            pre + ["cheap_scale_bn"], sd, base, written)
+        elif parts[0] == "cheap_rpr_conv":
+            name = f"cheap_conv{parts[1]}" if parts[2] == "conv" \
+                else f"cheap_bn{parts[1]}"
+            if parts[2] == "conv":
+                conv_entry(pre + [name], base)
+            else:
+                _bn_entries(tree, pre + [name], pre + [name], sd, base, written)
+        elif parts[0] == "short_conv":
+            name, is_conv = short_map[parts[1]]
+            if is_conv:
+                conv_entry(pre + [name], base)
+            else:
+                _bn_entries(tree, pre + [name], pre + [name], sd, base, written)
+        elif strict:
+            raise KeyError(f"unmapped GhostNetV3 ghost key {base}")
+
+    for tkey in sd:
+        base = tkey.rsplit(".", 1)[0]
+        if base in handled:
+            continue
+        handled.add(base)
+        if base == "conv_stem":
+            conv_entry(["stem_conv"], base)
+        elif base == "bn1":
+            _bn_entries(tree, ["stem_bn"], ["stem_bn"], sd, base, written)
+        elif base == "conv_last.conv":
+            conv_entry(["final_conv"], base)
+        elif base == "conv_last.bn1":
+            _bn_entries(tree, ["final_bn"], ["final_bn"], sd, base, written)
+        else:
+            m = re.match(r"stages\.(\d)\.(\d+)\.(.+)$", base)
+            if not m:
+                if strict:
+                    raise KeyError(f"unmapped GhostNetV3 key {tkey}")
+                continue
+            g, i, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            pre = [f"b{starts[g] + i}"]
+            parts = rest.split(".")
+            if parts[0] in ("ghost1", "ghost2"):
+                ghost_entry(pre + [parts[0]], parts[1:], base)
+            elif parts[0] in ("conv_dw", "bn_dw"):
+                continue  # inference DW path: dead until reparameterize()
+            elif parts[0] == "dw_rpr_scale":
+                if parts[1] == "conv":
+                    conv_entry(pre + ["dw_scale_conv"], base)
+                else:
+                    _bn_entries(tree, pre + ["dw_scale_bn"],
+                                pre + ["dw_scale_bn"], sd, base, written)
+            elif parts[0] == "dw_rpr_conv":
+                name = f"dw_conv{parts[1]}" if parts[2] == "conv" \
+                    else f"dw_bn{parts[1]}"
+                if parts[2] == "conv":
+                    conv_entry(pre + [name], base)
+                else:
+                    _bn_entries(tree, pre + [name], pre + [name], sd, base, written)
+            elif parts[0] == "se":
+                name = "se_reduce" if parts[1] == "conv_reduce" else "se_expand"
+                conv_entry(pre + [name], base)
+            elif parts[0] == "shortcut":
+                name, is_conv = shortcut_map[parts[1]]
+                if is_conv:
+                    conv_entry(pre + [name], base)
+                else:
+                    _bn_entries(tree, pre + [name], pre + [name], sd, base, written)
+            elif strict:
+                raise KeyError(f"unmapped GhostNetV3 block key {tkey}")
+    if strict:
+        missing = _unwritten(tree, written)
+        assert not missing, f"flax leaves not covered: {missing[:8]}"
+    return tree
+
+
 def mambavision_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
     """MambaVision (reference MambaVision.py:535).
 
@@ -2062,6 +2193,7 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           "ghostnetv2": ghostnetv2_state_dict_to_flax,
           # V1 shares V2's layout minus the DFC keys (GhostNetv1.py:158)
           "ghostnetv1": ghostnetv2_state_dict_to_flax,
+          "ghostnetv3": ghostnetv3_state_dict_to_flax,
           "mambavision": mambavision_state_dict_to_flax,
           "maxvit": maxvit_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -455,6 +455,180 @@ class GhostNetV2Backbone(ConvBase):
         return list(uniq.values())[-4:]
 
 
+# -------------------------------------------------------------- GhostNetV3 --
+
+GHOSTNETV3_CFGS = (
+    # k, exp, out, se_ratio, stride — reference GhostNetv3.py:819
+    # GHOSTNET_SPECS["GhostNet1.0"], grouped into the 5 stages whose outputs
+    # (stages 2-4 + final 1x1) the reference forward returns.
+    ((3, 16, 16, 0.0, 1),),
+    ((3, 48, 24, 0.0, 2), (3, 72, 24, 0.0, 1)),
+    ((5, 72, 40, 0.25, 2), (5, 120, 40, 0.25, 1)),
+    ((3, 240, 80, 0.0, 2), (3, 200, 80, 0.0, 1), (3, 184, 80, 0.0, 1),
+     (3, 184, 80, 0.0, 1), (3, 480, 112, 0.25, 1), (3, 672, 112, 0.25, 1)),
+    ((5, 672, 160, 0.25, 2), (5, 960, 160, 0.0, 1), (5, 960, 160, 0.25, 1),
+     (5, 960, 160, 0.0, 1), (5, 960, 160, 0.25, 1)),
+)
+
+
+class _GhostModuleV3(ConvBase):
+    """GhostModuleV3 in its TRAIN form (reference GhostNetv3.py:76) — the
+    form published V3 checkpoints store. Primary half: identity BN (only
+    when inp == init_channels) + three (1x1 conv + BN) reparam branches,
+    summed, ReLU. Cheap half (on the primary half): identity BN + a 1x1 DW
+    scale branch (conv + BN) + three (3x3 DW conv + BN) branches, summed.
+    Halves concatenate and truncate to oup. mode 'ori_shortcut_mul_conv15'
+    (attn=True) gates the output by the DFC short branch — 1x1 + (1,5) +
+    (5,1) DW convs on the 2x-avg-pooled input, sigmoid, nearest-resized —
+    exactly as GhostNetV2. The fused `primary_conv_module` /
+    `cheap_operation_module` in the torch state_dict are dead weights until
+    reparameterize() and are skipped on import."""
+
+    oup: int = 0
+    relu: bool = True
+    attn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math as _m
+
+        init_c = _m.ceil(self.oup / 2)  # ratio=2 -> new_channels == init_c
+        inp = x.shape[-1]
+        y1 = 0.0
+        if inp == init_c:  # primary_rpr_skip (stride is always 1 here)
+            y1 = _bn5(self, "primary_skip_bn", x, train)
+        # kernel_size=1 -> no primary scale branch in the reference
+        for j in range(3):
+            b = nn.Conv(init_c, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"primary_conv{j}")(x)
+            y1 = y1 + _bn5(self, f"primary_bn{j}", b, train)
+        if self.relu:
+            y1 = jax.nn.relu(y1)
+        # cheap: init == new, so the identity BN always exists and every
+        # branch is depthwise (groups = min(init, new) = init)
+        y2 = _bn5(self, "cheap_skip_bn", y1, train)
+        sc = nn.Conv(init_c, (1, 1), use_bias=False, feature_group_count=init_c,
+                     dtype=self.dtype, name="cheap_scale_conv")(y1)
+        y2 = y2 + _bn5(self, "cheap_scale_bn", sc, train)
+        for j in range(3):
+            b = nn.Conv(init_c, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                        feature_group_count=init_c, dtype=self.dtype,
+                        name=f"cheap_conv{j}")(y1)
+            y2 = y2 + _bn5(self, f"cheap_bn{j}", b, train)
+        if self.relu:
+            y2 = jax.nn.relu(y2)
+        out = jnp.concatenate([y1, y2], -1)[..., :self.oup]
+        if not self.attn:
+            return out
+        r = nn.avg_pool(x, (2, 2), (2, 2))
+        r = nn.Conv(self.oup, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="short_conv0")(r)
+        r = _bn5(self, "short_bn0", r, train)
+        r = nn.Conv(self.oup, (1, 5), padding=((0, 0), (2, 2)), use_bias=False,
+                    feature_group_count=self.oup, dtype=self.dtype,
+                    name="short_conv1")(r)
+        r = _bn5(self, "short_bn1", r, train)
+        r = nn.Conv(self.oup, (5, 1), padding=((2, 2), (0, 0)), use_bias=False,
+                    feature_group_count=self.oup, dtype=self.dtype,
+                    name="short_conv2")(r)
+        r = _bn5(self, "short_bn2", r, train)
+        gate = jax.nn.sigmoid(r)
+        gate = jax.image.resize(gate, (*out.shape[:3], gate.shape[-1]),
+                                method="nearest")
+        return out * gate
+
+
+class _GhostBottleneckV3(ConvBase):
+    """GhostBottleneckV3 train form (reference GhostNetv3.py:558): ghost1
+    (DFC-gated when global layer_id > 1), multi-branch reparam DW conv when
+    stride > 1 (1x1 DW scale + three kxk DW branches, no activation), SE
+    (hard-sigmoid), ghost2 (no relu, never gated), and the V1/V2 shortcut."""
+
+    mid: int = 0
+    out: int = 0
+    k: int = 3
+    stride: int = 1
+    se_ratio: float = 0.0
+    attn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        in_chs = x.shape[-1]
+        y = _GhostModuleV3(oup=self.mid, relu=True, attn=self.attn,
+                           dtype=self.dtype, name="ghost1")(x, train)
+        if self.stride > 1:
+            p = (self.k - 1) // 2
+            sc = nn.Conv(self.mid, (1, 1), strides=(self.stride,) * 2,
+                         use_bias=False, feature_group_count=self.mid,
+                         dtype=self.dtype, name="dw_scale_conv")(y)
+            acc = _bn5(self, "dw_scale_bn", sc, train)
+            for j in range(3):
+                b = nn.Conv(self.mid, (self.k, self.k),
+                            strides=(self.stride,) * 2,
+                            padding=((p, p), (p, p)), use_bias=False,
+                            feature_group_count=self.mid, dtype=self.dtype,
+                            name=f"dw_conv{j}")(y)
+                acc = acc + _bn5(self, f"dw_bn{j}", b, train)
+            y = acc
+        if self.se_ratio > 0:
+            red = _mkdiv(self.mid * self.se_ratio)
+            s = y.mean(axis=(1, 2), keepdims=True)
+            s = nn.Conv(red, (1, 1), use_bias=True, dtype=self.dtype,
+                        name="se_reduce")(s)
+            s = jax.nn.relu(s)
+            s = nn.Conv(self.mid, (1, 1), use_bias=True, dtype=self.dtype,
+                        name="se_expand")(s)
+            y = y * (jax.nn.relu6(s + 3.0) / 6.0)
+        y = _GhostModuleV3(oup=self.out, relu=False, dtype=self.dtype,
+                           name="ghost2")(y, train)
+        if in_chs == self.out and self.stride == 1:
+            return y + res
+        p = (self.k - 1) // 2
+        sc = nn.Conv(in_chs, (self.k, self.k), strides=(self.stride,) * 2,
+                     padding=((p, p), (p, p)), use_bias=False,
+                     feature_group_count=in_chs, dtype=self.dtype,
+                     name="short_dw")(res)
+        sc = _bn5(self, "short_dw_bn", sc, train)
+        sc = nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="short_pw")(sc)
+        sc = _bn5(self, "short_pw_bn", sc, train)
+        return y + sc
+
+
+class GhostNetV3Backbone(ConvBase):
+    """GhostNetV3 train form (reference GhostNetv3.py:839 GhostNet /
+    GhostNet_1_0): k3s2 stem, reparam-style ghost bottlenecks in 5 stages
+    (global layer_id > 1 uses the DFC-gated ghost1), final 1x1 ConvBnAct;
+    returns [stage2, stage3, stage4, conv_last(stage5)] like the reference
+    `_forward_features`. Blocks are named by GLOBAL layer id (b0..b15) so
+    the state_dict importer (`ghostnetv3_state_dict_to_flax`) maps
+    stages.{g}.{i} by offset."""
+
+    width: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(_mkdiv(16 * self.width), (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = jax.nn.relu(_bn5(self, "stem_bn", x, train))
+        outs = []
+        lid = 0
+        for group in GHOSTNETV3_CFGS:
+            for (k, exp, c, se, s) in group:
+                x = _GhostBottleneckV3(
+                    mid=_mkdiv(exp * self.width), out=_mkdiv(c * self.width),
+                    k=k, stride=s, se_ratio=se, attn=lid > 1,
+                    dtype=self.dtype, name=f"b{lid}")(x, train)
+                lid += 1
+            outs.append(x)
+        x = nn.Conv(_mkdiv(960 * self.width), (1, 1), use_bias=False,
+                    dtype=self.dtype, name="final_conv")(x)
+        x = jax.nn.relu(_bn5(self, "final_bn", x, train))
+        return [outs[1], outs[2], outs[3], x]
+
+
 # ------------------------------------------------------------------- CSWin --
 
 def _win_part(x, hsp, wsp):

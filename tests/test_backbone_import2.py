@@ -408,3 +408,40 @@ def test_ghostnetv3_import_parity():
     ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
                    mutable=False)
     _assert_close(ours, theirs)
+
+
+def test_parameternet_import_parity():
+    """Faithful GhostNet_Reparam / parameternet_600m (reference
+    ParameterNet.py:894 — the GhostNetV3 reparam ghost machinery in pure
+    'ori' mode over the ParameterNet stage table) vs the reference with
+    transplanted weights."""
+    from ultralytics.nn.modules.ParameterNet import GhostNet_Reparam
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics_pro_tpu.nn.modules.backbone_import import (
+        parameternet_state_dict_to_flax)
+    from ultralytics_pro_tpu.nn.modules.backbones5 import ParameterNetBackbone
+
+    torch.manual_seed(37)
+    ref = GhostNet_Reparam()
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+        for mbuf in ref.modules():
+            if isinstance(mbuf, torch.nn.BatchNorm2d):
+                mbuf.running_mean.add_(torch.randn_like(mbuf.running_mean) * 0.05)
+                mbuf.running_var.mul_(1.2)
+
+    m = ParameterNetBackbone()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    v = parameternet_state_dict_to_flax(v, sd, strict=True)
+
+    x = np.random.default_rng(36).normal(0, 1, (2, 3, 128, 128)).astype(np.float32)
+    theirs = _stage_outs_torch(ref, x)
+    ours = m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), False,
+                   mutable=False)
+    _assert_close(ours, theirs)

@@ -381,12 +381,16 @@ add("LSKNET_T", "backbones2", "LSKNet", "LSKNet.py",
 add("LSKNET_S", "backbones2", "LSKNet", "LSKNet.py",
     dims=(64, 128, 320, 512), depths=(2, 2, 4, 2))
 # Ghostnetv1 is EXACT: V1 shares V2's cfg table with the DFC gate removed
-# (GhostNetv1.py:158). GhostNetv3 factories are EXACT too (round 5):
-# train-form reparam ghost modules + DFC gates, backbones5.GhostNetV3Backbone.
+# (GhostNetv1.py:158). GhostNet_1_0 is the EXACT train-form GhostNetV3
+# (reparam ghost modules + DFC gates, backbones5.GhostNetV3Backbone);
+# GhostNet_Reparam is the EXACT parameternet_600m (ParameterNet.py:894 —
+# same reparam machinery, 'ori' mode only, its own stage table).
 add("Ghostnetv1", "backbones5", "GhostNetV2Backbone", "GhostNetv1.py",
     width=1.0, dfc_attn=False)
-for nm in ("GhostNet_1_0", "GhostNet_Reparam"):
-    add(nm, "backbones5", "GhostNetV3Backbone", "GhostNetv3.py", width=1.0)
+add("GhostNet_1_0", "backbones5", "GhostNetV3Backbone", "GhostNetv3.py",
+    width=1.0)
+add("GhostNet_Reparam", "backbones5", "ParameterNetBackbone",
+    "ParameterNet.py", width=1.0)
 add("fasternet_m", "backbones2", "FasterNet", "FasterNet.py",
     depths=(3, 4, 18, 3), dims=(144, 288, 576, 1152))
 add("fasternet_l", "backbones2", "FasterNet", "FasterNet.py",

@@ -40,7 +40,7 @@ __all__ = ["convnext_state_dict_to_flax", "fasternet_state_dict_to_flax",
            "glnet_state_dict_to_flax", "emo2_state_dict_to_flax",
            "pvtv2_state_dict_to_flax", "hornet_state_dict_to_flax",
            "moganet_state_dict_to_flax", "inceptionnext_state_dict_to_flax", "cswin_state_dict_to_flax", "ghostnetv2_state_dict_to_flax",
-           "ghostnetv3_state_dict_to_flax",
+           "ghostnetv3_state_dict_to_flax", "parameternet_state_dict_to_flax",
            "mambavision_state_dict_to_flax", "maxvit_state_dict_to_flax",
            "load_backbone_checkpoint"]
 
@@ -1832,8 +1832,13 @@ def ghostnetv2_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True
     return tree
 
 
-def ghostnetv3_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
-    """GhostNetV3 train-form checkpoints (reference GhostNetv3.py:839).
+def ghostnetv3_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True,
+                                  cfgs=None):
+    """GhostNetV3 train-form checkpoints (reference GhostNetv3.py:839);
+    with cfgs=PARAMETERNET_CFGS also serves GhostNet_Reparam /
+    parameternet_600m (reference ParameterNet.py:894 — the same reparam
+    ghost layout in pure 'ori' mode, so its dicts simply carry no
+    short_conv keys).
 
     Torch layout: conv_stem/bn1; stages.{g}.{i} GhostBottleneck =
     {ghost{1,2}.{primary_rpr_skip BN, primary_rpr_conv.{0-2}.{conv,bn},
@@ -1848,7 +1853,7 @@ def ghostnetv3_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True
 
     starts = []
     lid = 0
-    for group in GHOSTNETV3_CFGS:
+    for group in (GHOSTNETV3_CFGS if cfgs is None else cfgs):
         starts.append(lid)
         lid += len(group)
 
@@ -1960,6 +1965,15 @@ def ghostnetv3_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True
         missing = _unwritten(tree, written)
         assert not missing, f"flax leaves not covered: {missing[:8]}"
     return tree
+
+
+def parameternet_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
+    """GhostNet_Reparam / parameternet_600m (reference ParameterNet.py:894):
+    the GhostNetV3 key layout over the ParameterNet stage table."""
+    from ultralytics_pro_tpu.nn.modules.backbones5 import PARAMETERNET_CFGS
+
+    return ghostnetv3_state_dict_to_flax(variables, sd, strict=strict,
+                                         cfgs=PARAMETERNET_CFGS)
 
 
 def mambavision_state_dict_to_flax(variables: Dict, sd: Dict, strict: bool = True):
@@ -2194,6 +2208,7 @@ def load_backbone_checkpoint(family: str, variables: Dict, path_or_sd, strict=Tr
           # V1 shares V2's layout minus the DFC keys (GhostNetv1.py:158)
           "ghostnetv1": ghostnetv2_state_dict_to_flax,
           "ghostnetv3": ghostnetv3_state_dict_to_flax,
+          "parameternet": parameternet_state_dict_to_flax,
           "mambavision": mambavision_state_dict_to_flax,
           "maxvit": maxvit_state_dict_to_flax}[family]
     return fn(variables, sd, strict=strict)

@@ -629,6 +629,59 @@ class GhostNetV3Backbone(ConvBase):
         return [outs[1], outs[2], outs[3], x]
 
 
+PARAMETERNET_CFGS = (
+    # k, exp, out, se_ratio, stride — reference ParameterNet.py:862
+    # PARAMETERTNET_SPECS["parameternet_600m"]; nine stage groups, features
+    # taken after every group containing a stride-2 block (indices 1, 3, 5)
+    # plus the final 1x1 conv.
+    ((3, 16, 16, 0.0, 1),),
+    ((3, 48, 24, 0.0, 2),),
+    ((3, 72, 24, 0.0, 1),),
+    ((5, 72, 40, 0.25, 2),),
+    ((3, 120, 40, 0.25, 1), (3, 120, 40, 0.25, 1)),
+    ((3, 240, 80, 0.0, 2),),
+    ((3, 200, 80, 0.0, 1), (3, 200, 80, 0.0, 1), (3, 200, 80, 0.0, 1),
+     (3, 480, 112, 0.25, 1), (3, 672, 112, 0.25, 1), (3, 672, 112, 0.25, 1)),
+    ((5, 672, 160, 0.25, 2),),
+    ((3, 960, 160, 0.25, 1), (3, 960, 160, 0.25, 1), (3, 960, 160, 0.25, 1),
+     (3, 960, 160, 0.25, 1), (3, 960, 160, 0.25, 1)),
+)
+
+
+class ParameterNetBackbone(ConvBase):
+    """GhostNet_Reparam / parameternet_600m train form (reference
+    ParameterNet.py:894): the GhostNetV3 reparam ghost machinery in pure
+    'ori' mode (no DFC gate anywhere), ParameterNet cfg table, ReLU
+    activations. Returns [group1, group3, group5, conv_last(group8)] —
+    the reference's `stage_output_indices` selection (strides 4/8/16 + the
+    final stride-32 1x1). Blocks are named by GLOBAL layer id (b0..b16) so
+    `ghostnetv3_state_dict_to_flax(..., cfgs=PARAMETERNET_CFGS)` maps
+    stages.{g}.{i} by offset; ParameterNet dicts carry no short_conv keys."""
+
+    width: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(_mkdiv(16 * self.width), (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = jax.nn.relu(_bn5(self, "stem_bn", x, train))
+        outs = []
+        lid = 0
+        for group in PARAMETERNET_CFGS:
+            for (k, exp, c, se, s) in group:
+                x = _GhostBottleneckV3(
+                    mid=_mkdiv(exp * self.width), out=_mkdiv(c * self.width),
+                    k=k, stride=s, se_ratio=se, attn=False,
+                    dtype=self.dtype, name=f"b{lid}")(x, train)
+                lid += 1
+            outs.append(x)
+        x = nn.Conv(_mkdiv(960 * self.width), (1, 1), use_bias=False,
+                    dtype=self.dtype, name="final_conv")(x)
+        x = jax.nn.relu(_bn5(self, "final_bn", x, train))
+        return [outs[1], outs[3], outs[5], x]
+
+
 # ------------------------------------------------------------------- CSWin --
 
 def _win_part(x, hsp, wsp):

@@ -9,6 +9,8 @@ reference torch architectures exactly so official checkpoints transplant:
 - InceptionNeXt   (reference InceptionNext.py — inception DW token mixer)
 - CSWin           (reference CSWinTransformer.py — cross-shaped window attention)
 - GhostNetV2      (reference GhostNetv2.py — DFC-attention ghost blocks)
+- GhostNetV3      (reference GhostNetv3.py — train-form reparam ghost blocks)
+- ParameterNet    (reference ParameterNet.py — GhostNet_Reparam / parameternet_600m)
 
 Conventions: NHWC; torch channels_first LayerNorm over C == flax LayerNorm on
 the trailing axis of an NHWC tensor; weights import via
